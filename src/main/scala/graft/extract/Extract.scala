@@ -1,0 +1,109 @@
+package graft.extract
+
+import graft.{ExtractedDoc, PageRow, Span}
+import graft.extract.html.HtmlExtractor
+import graft.extract.pdf.{PdfDoc, PdfText}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Byte-stream sniffer (SURVEY.md §2.3 C1/C2): the web-domain analog of the
+  * reference's needs-OCR decision (src/services/RAG/ocr_engine.py:269-280).
+  * Cheap enough to run as a plain column expression so Catalyst can fold it.
+  */
+object Sniffer {
+  /** Pure-Scala sniff over the leading bytes. */
+  def sniff(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return "unknown"
+    if (bytes.length >= 5 &&
+        bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
+      return "pdf"
+    // HTML heuristic: a '<' appears in the first 256 bytes followed by an
+    // ASCII letter, '!' or '/'
+    val n = math.min(bytes.length, 256)
+    var i = 0
+    while (i < n - 1) {
+      val c = bytes(i) & 0xff
+      if (c == '<') {
+        val d = bytes(i + 1) & 0xff
+        if ((d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') || d == '!' || d == '/') return "html"
+      }
+      if (c == 0) return "unknown" // NUL in prefix: binary garbage
+      i += 1
+    }
+    "unknown"
+  }
+
+  /** Column form: `kind` from the binary prefix, expressed with built-in
+    * (codegen'd) functions only — substring/startswith over BINARY. */
+  def kindCol(html: Column): Column =
+    when(substring(html, 1, 5) === lit("%PDF-".getBytes), "pdf")
+      .when(substring(html, 1, 1) === lit("<".getBytes) ||
+            locate("<htm", lower(substring(html, 1, 256).cast("string"))) > 0 ||
+            locate("<!do", lower(substring(html, 1, 256).cast("string"))) > 0 ||
+            locate("<bod", lower(substring(html, 1, 256).cast("string"))) > 0 ||
+            locate("<div", lower(substring(html, 1, 256).cast("string"))) > 0 ||
+            locate("<p>",  lower(substring(html, 1, 256).cast("string"))) > 0, "html")
+      .otherwise("unknown")
+}
+
+/** The extraction stage: one coarse typed `mapPartitions` over pages — the
+  * idiomatic Spark port of the reference's per-file worker `process_one`
+  * (src/services/RAG/convert_to_embeddings.py:341-430). Parser setup is
+  * amortized per partition, errors become `err` rows (never task failures),
+  * and a per-document byte cap plays the role of the reference's per-file
+  * timeout (convert_to_embeddings.py:608-631, SURVEY.md §2.9 T3).
+  */
+object Extract {
+
+  /** Documents larger than this bail out with err="oversize" (P5 skew cap). */
+  val MaxDocBytes: Int = 64 << 20
+
+  def extractOne(url: String, bytes: Array[Byte]): ExtractedDoc = {
+    if (bytes == null)
+      return ExtractedDoc(url, "unknown", "", Nil, "err", 0, 0, "null_bytes")
+    if (bytes.length > MaxDocBytes)
+      return ExtractedDoc(url, Sniffer.sniff(bytes), "", Nil, "err", 0, 0, "oversize")
+    Sniffer.sniff(bytes) match {
+      case "pdf" =>
+        try {
+          val (text, pageSpans) = PdfText.extract(new PdfDoc(bytes))
+          val eff = text.count(c => !Character.isWhitespace(c))
+          if (eff < 50) // empty-text gate, reference ocr_engine.py:229-235
+            ExtractedDoc(url, "pdf", "", Nil, "empty_text", 0, 0, "")
+          else
+            ExtractedDoc(url, "pdf", text, pageSpans.map(p => Span(p._1, p._2, "page")),
+              "text_layer", pageSpans.length, text.length, "")
+        } catch {
+          case NonFatal(e) =>
+            ExtractedDoc(url, "pdf", "", Nil, "err", 0, 0,
+              s"pdf_parse: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200)}")
+        }
+      case "html" =>
+        try {
+          val r = HtmlExtractor.extract(bytes)
+          ExtractedDoc(url, "html", r.text, r.spans, r.method, r.nBlocks, r.text.length, "")
+        } catch {
+          case NonFatal(e) =>
+            ExtractedDoc(url, "html", "", Nil, "err", 0, 0,
+              s"html_parse: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200)}")
+        }
+      case _ =>
+        ExtractedDoc(url, "unknown", "", Nil, "err", 0, 0, "unsniffable")
+    }
+  }
+
+  /** Typed extraction over a pages Dataset. Column pruning note: only
+    * (url, html) are deserialized; select upstream so the scan never reads
+    * more (SURVEY.md §4 "column pruning is load-bearing"). */
+  def run(pages: Dataset[PageRow])(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    pages.mapPartitions { it => it.map(p => extractOne(p.url, p.html)) }
+  }
+
+  /** Salted repartition before extraction (north rule: defuse large-doc
+    * skew): spreads rows uniformly by url hash, decoupling extraction
+    * parallelism from however the input files were laid out. */
+  def salted(pages: Dataset[PageRow], partitions: Int): Dataset[PageRow] =
+    pages.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+}

