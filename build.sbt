@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // throughput-batch GC: scales better than G1 for the allocation-heavy
+  // extraction stages at local[32]
+  "-XX:+UseParallelGC",
+  "-XX:ReservedCodeCacheSize=512m",
 )

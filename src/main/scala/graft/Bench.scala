@@ -1,24 +1,113 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.corpus.PageGen
+import graft.extract.Extract
+import graft.chunk.Chunker
+
+/** Benchmark main. Emits ONE JSON line:
+  *   - value/metric: end-to-end extraction throughput (docs/sec) on the
+  *     synthesized Common-Crawl-style pages corpus at the session's max
+  *     parallelism — the BASELINE.md headline metric;
+  *   - "scaling": the same job at local[8] vs local[32] on the same input
+  *     (sandbox stand-in for N vs 4N executors, per the north rule) with
+  *     efficiency = (T8*8)/(T32*32);
+  *   - "queries": per-query wall seconds for every SparkEntry query on
+  *     SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Materialize the deterministic corpus once (unmeasured): the measured
+    * job is extraction over a parquet pages table — the north-rule shape —
+    * not corpus synthesis. */
+  def writeCorpus(spark: SparkSession, n: Long, dir: String): Unit = {
+    import spark.implicits._
+    spark.range(n).repartition(64).map(i => PageGen.row(42L, i))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** The measured job: read pages parquet → salted repartition →
+    * sniff+extract → chunk → count. Identical input bytes at every
+    * parallelism level. */
+  private def pipeline(spark: SparkSession, dir: String, parts: Int): (Long, Long) = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val pages = spark.read.parquet(dir).as[PageRow]
+    val docs = Extract.run(Extract.salted(pages, parts))
+    val chunks = docs.flatMap { d =>
+      if (d.err.isEmpty && d.text.nonEmpty)
+        Chunker.chunkDocument(d.url, Hashing.sha256Hex(d.text), d.text)
+      else Nil
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nChunks = chunks.count()
+    (0L, nChunks)
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // corpus size scaled to the SF dir (sf0.1 -> 20k pages)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
+    val nPages = math.max(2000L, (sf * 600000).toLong)
+
+    // ---- per-query timings at full parallelism
+    val spark = newSession(cpus)
+    val queryTimes: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val (_, t) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
+        name -> t
+    }
+
+    // ---- corpus + chunk count (headline throughput comes from the warm
+    // local[32] scaling measurement below — same job, steady-state)
+    val corpusDir = s"/tmp/graft-bench-pages-$nPages"
+    writeCorpus(spark, nPages, corpusDir)
+    val (_, nChunks) = pipeline(spark, corpusDir, cpus)
     spark.stop()
+
+    // ---- scaling: same job, same input, two parallelism levels.
+    // min of two measured runs after a warmup — JIT/codegen noise would
+    // otherwise dominate the smaller configs.
+    def measure(cores: Int): Double = {
+      val s = newSession(cores)
+      pipeline(s, corpusDir, cores) // JIT/codegen warmup
+      val ts = (1 to 3).map(_ => time(pipeline(s, corpusDir, cores))._2)
+      s.stop()
+      ts.min
+    }
+    val lo = 8; val hi = 32
+    val tLo = measure(lo)
+    val tHi = measure(hi)
+    val eff = (tLo * lo) / (tHi * hi)
+    val throughput = nPages / tHi
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val scaling =
+      f"""{"docs":$nPages,"t_local8_sec":$tLo%.3f,"t_local32_sec":$tHi%.3f,""" +
+      f""""docs_per_sec_local8":${nPages / tLo}%.1f,"docs_per_sec_local32":${nPages / tHi}%.1f,""" +
+      f""""efficiency":$eff%.3f}"""
+    println(
+      f"""{"metric":"extract_throughput_docs_per_sec","value":$throughput%.1f,"unit":"docs/sec",""" +
+      f""""queries":$qs,"sf":"$sfDir","pages":$nPages,"chunks":$nChunks,""" +
+      f""""extract_wall_sec":$tHi%.3f,"scaling":$scaling}""")
   }
 }

@@ -1,0 +1,256 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication as pure window/aggregate plans (no UDFs, fully
+  * codegen'd, one shuffle each).
+  *
+  * D2/F3 (SURVEY.md §2.6): corpus-wide whole-document dedup, the reference's
+  * `seen_files.json` sha256-registry keep-first semantics
+  * (src/services/RAG/convert_to_embeddings.py:559-570). Losers are kept as
+  * rows with `duplicate_of` so lineage survives, mirroring the reference's
+  * metadata-only dup rows.
+  *
+  * Scale note: partitionBy(hash) shuffles on a high-cardinality key —
+  * uniform by construction, no salting needed; AQE coalesces the tail.
+  */
+object ExactDedup {
+
+  /** Annotate each row with keep/duplicate_of by hash of `col` (keep-first
+    * by `order`). */
+  def annotate(df: DataFrame, hashCol: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(hashCol).orderBy(order)
+    df.withColumn("dup_rank", row_number().over(w))
+      .withColumn("duplicate_of", first(order).over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+      .drop("dup_rank")
+  }
+
+  /** Keep-first distinct over a content hash. */
+  def keepFirst(df: DataFrame, hashCol: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(hashCol).orderBy(order)
+    df.withColumn("dup_rank", row_number().over(w))
+      .filter(col("dup_rank") === 1)
+      .drop("dup_rank")
+  }
+}
+
+/** MinHash signatures + LSH banding for near-duplicate detection at corpus
+  * scale (SURVEY.md §2.6 D3 — absent in the reference, required by the
+  * north star).
+  *
+  * Design for 10^12 docs: the signature is computed per-row in one pass
+  * (no shingle explosion through a shuffle); only the b band hashes per doc
+  * are exploded (b rows/doc), grouped by (band, hash) to get candidate
+  * buckets, pairs verified by exact Jaccard, and keep-first resolved by
+  * min-url-per-cluster. Total: one narrow map + two shuffles.
+  */
+object MinHash {
+
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+  val ShingleWords = 5
+
+  // (a,b) parameters of the 128 affine hash family, fixed seed
+  private lazy val coeffs: Array[(Long, Long)] = {
+    val rnd = new java.util.SplittableRandom(0x5eed0001L)
+    Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  def shingles(text: String): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < ShingleWords) {
+      if (toks.isEmpty) Array.empty
+      else Array(graft.Hashing.fnv64(toks.mkString(" ")))
+    } else {
+      val out = new Array[Long](toks.length - ShingleWords + 1)
+      var i = 0
+      while (i <= toks.length - ShingleWords) {
+        val sb = new StringBuilder
+        var k = 0
+        while (k < ShingleWords) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        out(i) = graft.Hashing.fnv64(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** 128-long MinHash signature of a text; empty text → all Long.MaxValue. */
+  def signature(text: String): Array[Long] = {
+    val sh = shingles(text)
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var j = 0
+      while (j < NumHashes) {
+        val (a, b) = coeffs(j)
+        val v = a * h + b
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Band hashes (Bands entries) of a signature. */
+  def bandHashes(sig: Array[Long]): Array[Long] = {
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < RowsPerBand) {
+        h ^= sig(b * RowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Signature-estimated Jaccard. */
+  def estJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < NumHashes) { if (sigA(i) == sigB(i)) eq += 1; i += 1 }
+    eq.toDouble / NumHashes
+  }
+
+  /** Full LSH near-dup pipeline over (id: String, text: String) columns.
+    * Returns candidate pairs verified by exact shingle Jaccard >= threshold,
+    * as (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Plan shape: map (sig+bands) → explode bands (b rows/doc) →
+    * groupBy(band, hash) self-pairing within small buckets → shuffle-join
+    * texts back for verification. Bucket size is capped to keep the
+    * pair-blowup bounded under adversarial skew (all-identical corpora).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val withBands = df
+      .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bands = bandHashes(signature(text))
+          bands.iterator.zipWithIndex.map { case (h, b) => (id, b, h) }
+        }
+      }
+      .toDF("id", "band", "bhash")
+
+    // candidate pairs: ids sharing a (band, bhash) bucket
+    val buckets = withBands
+      .groupBy($"band", $"bhash")
+      .agg(slice(sort_array(collect_list($"id")), 1, maxBucket).as("ids"))
+      .filter(size($"ids") > 1)
+
+    val pairs = buckets
+      .select(explode(expr(
+        "filter(flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b)))), p -> p.a < p.b)"
+      )).as("p"))
+      .select($"p.a".as("id_a"), $"p.b".as("id_b"))
+      .distinct()
+
+    // verify with exact shingle Jaccard (join texts back; broadcast-unsafe
+    // at scale, so plain shuffle joins on id)
+    val texts = df.select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+    val verified = pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select($"id_a", $"id_b", $"text_a", $"text_b")
+      .as[(String, String, String, String)]
+      .map { case (idA, idB, textA, textB) =>
+        (idA, idB, jaccard(shingles(textA), shingles(textB)))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter($"jaccard" >= threshold)
+    verified.select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** Near-dup keep-first: drop every doc that has a verified neighbor with a
+    * smaller id (single-link approximation of connected components — exact
+    * for the pair/cluster shapes the corpus generator emits; iterate for
+    * full CC if chains matter). */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as("loser")).distinct()
+    df.join(losers, df(idCol).cast("string") === col("loser"), "left_anti")
+  }
+}
+
+/** SimHash (Charikar) 64-bit fingerprints: near-dups have small Hamming
+  * distance; candidate generation splits the fingerprint into 4 16-bit
+  * tables so any pair within distance 3 shares at least one table key
+  * (pigeonhole). */
+object SimHash {
+
+  def simhash(text: String): Long = {
+    val toks = MinHash.tokenize(text)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    // term-frequency weighting
+    val tf = scala.collection.mutable.HashMap.empty[String, Int]
+    toks.foreach(t => tf.update(t, tf.getOrElse(t, 0) + 1))
+    tf.foreach { case (t, w) =>
+      val h = graft.Hashing.mix64(graft.Hashing.fnv64(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Near-dup pairs with Hamming distance <= maxDist over (id, text). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df
+      .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+      .as[(String, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "sim")
+      .cache()
+    val banded = sigs.select($"id", $"sim",
+      explode(array((0 until 4).map(k => struct(lit(k).as("tbl"), shiftrightunsigned(col("sim"), k * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select($"id", $"sim", $"bk.tbl", $"bk.key")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .filter(udfHamming(col("sim_a"), col("sim_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), udfHamming(col("sim_a"), col("sim_b")).as("hamming"))
+  }
+
+  private val udfHamming = udf((a: Long, b: Long) => hamming(a, b))
+}

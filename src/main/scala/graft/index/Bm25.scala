@@ -1,0 +1,92 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TF-IDF/BM25 inverted index + retrieval join — the zero-egress replacement
+  * for the reference's remote-embedding + Chroma vector top-k
+  * (SURVEY.md §2.8 R2/R4; reference: src/utils/course_outline/rag_py.py:266-291,
+  * Chroma HNSW config convert_to_embeddings.py:524).
+  *
+  * Everything is built-in expressions — tokenize/explode/groupBy — so the
+  * whole build is two hash aggregates with map-side partials, and retrieval
+  * is a semi-join on term + one TakeOrderedAndProject.
+  *
+  * FROZEN scoring constants: k1 = 1.2, b = 0.75,
+  * idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (the Robertson/Sparck-Jones form
+  * used by Lucene; published formula, public knowledge).
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Lowercase alphanumeric tokenizer as a Column (matches
+    * MinHash.tokenize). */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Term frequencies per (doc, term): one explode + one aggregate. */
+  def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(tokensCol(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+
+  /** Document lengths (token counts). */
+  def docLen(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), size(tokensCol(col(textCol))).cast("long").as("dl"))
+
+  final case class Index(postings: DataFrame, docLens: DataFrame, nDocs: Long, avgdl: Double)
+
+  /** Build the index tables. postings: (term, df, postings ARRAY<STRUCT<doc,tf>>)
+    * materialization-ready (SURVEY.md §2.8 R4); docLens: (doc, dl). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val tf = termFreq(docs, idCol, textCol)
+    val dl = docLen(docs, idCol, textCol)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val postings = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
+    Index(postings, dl, stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** All matching docs with rounded BM25 scores (no top-k cutoff) — the
+    * oracle-comparable form: rounding avoids cross-engine ulp noise and no
+    * LIMIT means no boundary sensitivity. */
+  def scores(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame =
+    scoredAll(docs, idCol, textCol, query)
+      .select(col("doc"), round(col("score"), 4).as("score"))
+
+  /** Score all docs for a query string; returns (doc, score) top-k.
+    *
+    * Plan: tiny query-term table (broadcast) semi-joins the flat (doc, term,
+    * tf) relation — the 100-TB-scale shape: the big side is shuffled by term
+    * once at build time, the query side is <100 rows, and top-k is
+    * TakeOrderedAndProject (no global sort).
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String, query: String, k: Int): DataFrame =
+    scoredAll(docs, idCol, textCol, query)
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+      .select(col("doc"), round(col("score"), 4).as("score"))
+
+  private def scoredAll(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreq(docs, idCol, textCol)
+    val dl = docLen(docs, idCol, textCol)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val n = stats.getLong(0); val avgdl = stats.getDouble(1)
+
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
+    val df_ = tf.join(broadcast(qTerms), "term")
+      .groupBy("term").agg(countDistinct("doc").as("df"))
+    tf.join(broadcast(qTerms), "term")
+      .join(broadcast(df_), "term")
+      .join(dl, "doc")
+      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * (lit(K1) + 1.0)) /
+          (col("tf").cast("double") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("doc").agg(sum("score").as("score"))
+  }
+}

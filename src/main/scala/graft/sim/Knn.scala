@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) — brute-force
+  * cosine top-k baseline plus an LSH-bucketed scale path.
+  *
+  * The vector math stays in higher-order built-ins (zip_with/aggregate), so
+  * the whole scorer is Catalyst expressions — no UDF, no collect.
+  */
+object Knn {
+
+  /** Cosine similarity of two array<float/double> columns. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / greatest(na * nb, lit(1e-12d))
+  }
+
+  /** Brute-force top-k neighbors of one query vector.
+    * Scale shape: map + TakeOrderedAndProject — embarrassingly parallel,
+    * no shuffle of the corpus. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query.map(_.toDouble))
+    df.select(col(idCol).as("id"),
+        round(cosineCol(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("id"))
+      .limit(k)
+  }
+
+  /** All-pairs k-NN join via sign-random-projection LSH buckets: vectors
+    * agreeing on `bits` hyperplane signs land in the same bucket; only
+    * within-bucket pairs are scored. The multi-probe union over `tables`
+    * independent sign sets trades recall for cost the standard way. */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 bits: Int = 12, tables: Int = 3, dim: Int = 64): DataFrame = {
+    val planes: Array[Array[Array[Double]]] = {
+      val rnd = new java.util.SplittableRandom(0x51417eedL)
+      Array.fill(tables, bits, dim)(rnd.nextGaussian())
+    }
+    val planesLit = typedLit(planes.map(_.map(_.toSeq).toSeq).toSeq)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("bucket",
+        aggregate(
+          zip_with(planesLit(col("tbl")), sequence(lit(0), lit(bits - 1)),
+            (plane, _) => when(aggregate(zip_with(plane, col("vec"), (p, x) => p * x), lit(0.0d), (a, b) => a + b) > 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, bit) => acc * 2 + bit))
+  }
+
+  /** Approximate nearest neighbor per query id against the corpus: bucketed
+    * candidates, exact cosine on candidates only, top-k per query. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              bits: Int = 10, tables: Int = 3, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, bits, tables, dim)
+    val a = b.select(col("id").as("id_a"), col("vec").as("vec_a"), col("tbl"), col("bucket"))
+    val c = b.select(col("id").as("id_b"), col("vec").as("vec_b"), col("tbl"), col("bucket"))
+    val pairs = a.join(c, Seq("tbl", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine"))
+      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+    val w = Window.partitionBy("id_a").orderBy(desc("cosine"), asc("id_b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: language-ID,
+  * quality scoring, token counting, fingerprinting. All built-in
+  * (codegen'd) expressions — no UDFs in the hot path.
+  *
+  * The language heuristic generalizes the reference's
+  * "≥3 of 8 common English words present → english"
+  * (src/services/RAG/metadata_extractor.py:211-213) to five languages with
+  * the same common-word-count trick.
+  */
+object TextAnalysis {
+
+  /** Common-word marker sets (public stopword lists, truncated to 8). */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    words.map(w => when(text.rlike("(?i)(^|[^a-z0-9])" + java.util.regex.Pattern.quote(w) + "($|[^a-z0-9])"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Reference C5 semantics, english-only: >= 3 marker hits → "english". */
+  def englishIdCol(text: Column): Column =
+    when(markerHits(text, Markers("en")) >= 3, lit("english")).otherwise(lit("unknown"))
+
+  /** Multi-language n-gram/common-word heuristic: argmax of marker hits.
+    * Deterministic tie-break by language code order. */
+  def langIdCol(text: Column): Column = {
+    val scored = Markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(markerHits(text, ws).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") >= 2, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count (BIGINT). */
+  def wsTokenCountCol(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  /** BPE-ish subword-unit count: alphanumeric runs + individual punctuation
+    * marks, the shape a byte-pair tokenizer's pre-tokenizer produces. */
+  def bpeishTokenCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** ~4 chars/token estimator, the reference's fallback
+    * (src/services/RAG/convert_to_embeddings.py:106-118: max(1, len//4)). */
+  def approxTokenCountCol(text: Column): Column =
+    greatest(lit(1L), (length(text) / 4).cast("long"))
+
+  /** Quality score 0..100 from length, punctuation ratio, stopword ratio —
+    * the web-text analog of the reference's completeness/readability scores
+    * (src/services/RAG/metadata_extractor.py:214-268). Weights frozen. */
+  def qualityScoreCol(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(lit(40.0), len / 50.0) // 2000+ chars → full 40
+    val words = wsTokenCountCol(text).cast("double")
+    val stop = markerHits(text, Markers("en")).cast("double")
+    val stopScore = least(lit(30.0), stop * 5.0) // >=6 distinct markers → full 30
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double")
+    val punctRatio = punct / greatest(words, lit(1.0))
+    val punctScore = lit(30.0) * greatest(lit(0.0), lit(1.0) - abs(punctRatio - lit(0.1)) * lit(5.0))
+    round(least(lit(100.0), lenScore + stopScore + punctScore), 2)
+  }
+
+  /** Readability proxy, exactly the reference formula
+    * (src/services/RAG/metadata_extractor.py:214-222):
+    * 100 - (avg_sentence_len_words*0.5 + avg_word_len_chars*2), clamped. */
+  def readabilityCol(text: Column): Column = {
+    val words = wsTokenCountCol(text).cast("double")
+    val sentences = greatest(size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)).cast("double"), lit(1.0))
+    val wordChars = length(regexp_replace(text, "\\s+", "")).cast("double")
+    val avgSentLen = words / sentences
+    val avgWordLen = wordChars / greatest(words, lit(1.0))
+    round(greatest(lit(0.0), least(lit(100.0), lit(100.0) - (avgSentLen * 0.5 + avgWordLen * 2.0))), 2)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the SQL-expressible exact-dedup key. */
+  def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
+    * rolling hashes, min per window — robust to local edits. Scala-side
+    * (not SQL-expressible); used by the near-dup tooling and tests. */
+  def winnow(text: String, k: Int = 8, window: Int = 4): Vector[Long] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) return if (s.isEmpty) Vector.empty else Vector(graft.Hashing.fnv64(s))
+    val hashes = new Array[Long](s.length - k + 1)
+    var i = 0
+    while (i <= s.length - k) { hashes(i) = graft.Hashing.fnv64(s.substring(i, i + k)); i += 1 }
+    val out = Vector.newBuilder[Long]
+    var last = Long.MinValue
+    var w = 0
+    while (w <= hashes.length - window) {
+      var m = hashes(w); var j = 1
+      while (j < window) { if (hashes(w + j) < m) m = hashes(w + j); j += 1 }
+      if (m != last || w == 0) { out += m; last = m }
+      w += 1
+    }
+    out.result().distinct
+  }
+}

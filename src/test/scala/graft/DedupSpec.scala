@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{ExactDedup, MinHash, SimHash}
+
+class DedupSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("exact dedup: keep-first by order, losers point at winner") {
+    val df = Seq(
+      ("u1", "same content"), ("u2", "same content"), ("u3", "other content"),
+      ("u4", "same content")).toDF("url", "text")
+    val ann = ExactDedup.annotate(df, md5(col("text").cast("binary")), col("url"))
+      .orderBy("url").collect()
+    assert(ann.map(r => (r.getAs[String]("url"), r.getAs[Boolean]("is_duplicate"), r.getAs[String]("duplicate_of"))).toSeq ==
+      Seq(("u1", false, "u1"), ("u2", true, "u1"), ("u3", false, "u3"), ("u4", true, "u1")))
+    val kept = ExactDedup.keepFirst(df, md5(col("text").cast("binary")), col("url"))
+    assert(kept.select("url").as[String].collect().sorted.toSeq == Seq("u1", "u3"))
+  }
+
+  test("MinHash estimate tracks exact Jaccard within epsilon") {
+    val a = corpus.PageGen.prose(7, 1, 300, 1)
+    // mutate ~10% of words
+    val words = a.split(" ")
+    val b = words.zipWithIndex.map { case (w, i) => if (i % 10 == 0) w + "x" else w }.mkString(" ")
+    val exact = MinHash.jaccard(MinHash.shingles(a), MinHash.shingles(b))
+    val est = MinHash.estJaccard(MinHash.signature(a), MinHash.signature(b))
+    assert(math.abs(exact - est) < 0.15, s"exact=$exact est=$est")
+    // identical text → estimate 1.0
+    assert(MinHash.estJaccard(MinHash.signature(a), MinHash.signature(a)) == 1.0)
+  }
+
+  test("MinHash-LSH finds planted near-dup pairs and skips unrelated docs") {
+    val base = (0 until 30).map(i => (s"d$i", corpus.PageGen.prose(11, i.toLong, 120, i)))
+    val nearDups = Seq(("n0", base(0)._2 + " tail marker"), ("n5", base(5)._2 + " extra end"))
+    val df = (base ++ nearDups).toDF("id", "text")
+    val pairs = MinHash.nearDupPairs(df, "id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("d0", "n0")))
+    assert(pairs.contains(("d5", "n5")))
+    // unrelated random-prose docs don't collide at 0.8
+    assert(pairs.forall { case (x, y) => Set(("d0", "n0"), ("d5", "n5")).contains((x, y)) }, pairs.toString)
+  }
+
+  test("dropNearDups removes the planted copies only") {
+    val base = (0 until 20).map(i => (s"d$i", corpus.PageGen.prose(13, i.toLong, 100, i)))
+    val withDup = base ++ Seq(("z9", base(3)._2 + " appended"))
+    val out = MinHash.dropNearDups(withDup.toDF("id", "text"), "id", "text", 0.8)
+      .select("id").as[String].collect().toSet
+    assert(out == base.map(_._1).toSet)
+  }
+
+  test("SimHash: identical text distance 0; small edit small distance; unrelated far") {
+    val a = corpus.PageGen.prose(17, 1, 200, 1)
+    val words = a.split(" ")
+    val b = words.updated(5, "changedword").mkString(" ")
+    val c = corpus.PageGen.prose(17, 2, 200, 99)
+    assert(SimHash.hamming(SimHash.simhash(a), SimHash.simhash(a)) == 0)
+    assert(SimHash.hamming(SimHash.simhash(a), SimHash.simhash(b)) <= 8)
+    assert(SimHash.hamming(SimHash.simhash(a), SimHash.simhash(c)) > 8)
+  }
+
+  test("SimHash pair join finds the exact-dup pair") {
+    val docs = (0 until 15).map(i => (s"d$i", corpus.PageGen.prose(19, i.toLong, 80, i))) :+
+      (("dup", corpus.PageGen.prose(19, 3L, 80, 3)))
+    val pairs = SimHash.nearDupPairs(docs.toDF("id", "text"), "id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("d3", "dup")))
+  }
+}
