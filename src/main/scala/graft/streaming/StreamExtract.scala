@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import graft.PageRow
+import graft.extract.Extract
+import graft.chunk.Chunker
+
+/** Structured Streaming surfaces.
+  *
+  * The reference is strictly batch-with-resume (SURVEY.md §2.9) — its
+  * incremental machinery maps to the lake layer's snapshot anti-join, run as
+  * `Trigger.AvailableNow` micro-batch. These entry points cover the
+  * streaming shape for continuous ingest of the same pipeline:
+  *
+  *  - `extractStream`: pages stream → the identical extraction/chunk logic
+  *    (same code path as batch — one pipeline, two triggers);
+  *  - `eventCounts`: event-time windowed aggregation with a watermark over
+  *    the `events` table schema (ts, event_type, value).
+  */
+object StreamExtract {
+
+  /** Streaming extraction: same typed stages as the batch job. Works on any
+    * streaming Dataset[PageRow] source (file source over the pages table
+    * directory, or MemoryStream in tests). */
+  def extractStream(pages: Dataset[PageRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = pages.mapPartitions(_.map(p => Extract.extractOne(p.url, p.html)))
+    docs.flatMap { d =>
+      if (d.err.isEmpty && d.text.nonEmpty)
+        Chunker.chunkDocument(d.url, graft.Hashing.sha256Hex(d.text), d.text)
+      else Nil
+    }.toDF()
+  }
+
+  /** Event-time tumbling-window counts with a watermark (late data beyond
+    * 10 minutes dropped; state bounded — the 100-TB-stream shape). */
+  def eventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"), col("total"))
+
+  /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
+    * pages directory once and stops — the streaming-native equivalent of the
+    * reference's resume loop (checkpointed source offsets replace the
+    * progress ledger). */
+  def availableNowWriter(chunks: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    chunks.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+}

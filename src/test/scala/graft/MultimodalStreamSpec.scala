@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.mm.Multimodal
+import graft.mm.Multimodal.MediaRow
+import graft.streaming.StreamExtract
+import graft.corpus.PageGen
+
+class MultimodalStreamSpec extends SparkSuiteBase {
+  import spark.implicits._
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("image features: schema, determinism, histogram normalization") {
+    val media = spark.createDataset((0L until 50L).map(i => Multimodal.fakeImage(i, 32, 24)))
+    val feats = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 50)
+    assert(feats.forall(_.err == ""))
+    assert(feats.forall(f => math.abs(f.histogram.sum - 1.0) < 1e-9))
+    assert(feats.forall(f => f.mean_luma > 0 && f.mean_luma < 255))
+    // deterministic: second run identical
+    val again = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.mean_luma).toSeq == again.map(_.mean_luma).toSeq)
+  }
+
+  test("corrupt media yields err rows, not task failures") {
+    val bad = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3), 10, 10, "gimg"),
+      MediaRow(2L, "image", "JUNKPAYLOADBYTES".getBytes, 10, 10, "gimg"),
+      MediaRow(3L, "image", Multimodal.fakeImage(3, 8, 8).bytes.take(20), 8, 8, "gimg"))
+    val feats = Multimodal.imageFeatures(spark.createDataset(bad)).collect().sortBy(_.media_id)
+    assert(feats.map(_.err).toSeq == Seq("truncated_header", "bad_magic", "truncated_payload"))
+  }
+
+  test("frame sampling is a generator: 1 video row -> N frame rows") {
+    val vid = Multimodal.fakeImage(9L, 4, 4).copy(kind = "video")
+    val frames = Multimodal.sampleFrames(spark.createDataset(Seq(vid)), strideMs = 100, durationMs = 1000)
+      .collect()
+    assert(frames.length == 10)
+    assert(frames.map(_.frame_idx).sorted.toSeq == (0 until 10))
+  }
+
+  test("resize metadata keeps aspect, caps max dim") {
+    val media = spark.createDataset(Seq(
+      Multimodal.fakeImage(1, 64, 32), Multimodal.fakeImage(2, 16, 16)))
+    val out = Multimodal.resizeMeta(media, 32).collect().sortBy(_.media_id)
+    assert(out(0).width == 32 && out(0).height == 16) // scaled
+    assert(out(1).width == 16 && out(1).height == 16) // untouched
+  }
+
+  test("streaming extraction: MemoryStream pages -> chunk rows per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[PageRow]
+    val chunks = StreamExtract.extractStream(stream.toDS())
+    val q = chunks.writeStream.format("memory").queryName("chunks_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((0L until 30L).map(i => PageGen.row(42L, i)))
+      q.processAllAvailable()
+      val n1 = spark.sql("SELECT count(*) FROM chunks_out").head().getLong(0)
+      assert(n1 > 0)
+      stream.addData((30L until 60L).map(i => PageGen.row(42L, i)))
+      q.processAllAvailable()
+      val n2 = spark.sql("SELECT count(*) FROM chunks_out").head().getLong(0)
+      assert(n2 > n1)
+      // streamed results == batch results over the same input
+      val batch = (0L until 60L).flatMap { i =>
+        val p = PageGen.row(42L, i)
+        val d = graft.extract.Extract.extractOne(p.url, p.html)
+        if (d.err.isEmpty && d.text.nonEmpty)
+          graft.chunk.Chunker.chunkDocument(d.url, Hashing.sha256Hex(d.text), d.text) else Nil
+      }
+      assert(n2 == batch.length)
+      val streamedIds = spark.sql("SELECT id FROM chunks_out").as[String].collect().toSet
+      assert(streamedIds == batch.map(_.id).toSet)
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark aggregate by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDS().toDF("ts", "event_type", "value")
+    val agg = StreamExtract.eventCounts(df)
+    val q = agg.writeStream.format("memory").queryName("ev_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(3600000L * 10 + min * 60000L)
+      stream.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      stream.addData((ts(60), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt, total FROM ev_out ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+}
