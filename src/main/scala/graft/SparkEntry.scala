@@ -226,6 +226,12 @@ object SparkEntry {
         .filter(wsTokenCountCol(col("text")) >= 20)
         .select(col("doc_id"))
     }),
+    // --- A6 embedding-dim inference
+    "q_emb_dim" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .agg(max(size(col("embedding"))).cast("long").as("dim"),
+          count(lit(1)).as("n_vecs"))
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -343,6 +349,8 @@ object SparkEntry {
       "q_min_words" ->
         """SELECT doc_id FROM documents
           | WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) >= 20""".stripMargin,
+      "q_emb_dim" ->
+        "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
       "q_bm25" ->
         """WITH toks AS (
           |  SELECT doc_id AS doc,

@@ -112,14 +112,16 @@ object Extract {
                (implicit spark: SparkSession): Dataset[ExtractedDoc] = {
     import spark.implicits._
     pages.select(col("url"), col("html")).as[(String, Array[Byte])]
-      .repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+      .repartition(partitions, col("url"))
       .mapPartitions(_.map { case (url, html) => extractOne(url, html) })
   }
 
   /** Salted repartition before extraction (north rule: defuse large-doc
-    * skew): spreads rows uniformly by url hash, decoupling extraction
-    * parallelism from however the input files were laid out. Prefer
-    * [[runSalted]], which prunes columns before this shuffle. */
+    * skew): hash-partition directly on the high-cardinality url (NOT on a
+    * precomputed `hash % n` column — repartition hashes its keys again, and
+    * re-hashing n distinct values into n partitions leaves ~1/e of them
+    * empty). Prefer [[runSalted]], which prunes columns before this
+    * shuffle. */
   def salted(pages: Dataset[PageRow], partitions: Int): Dataset[PageRow] =
-    pages.repartition(partitions, pmod(xxhash64(col("url")), lit(partitions)))
+    pages.repartition(partitions, col("url"))
 }

@@ -47,12 +47,16 @@ object ExtractJob {
     // salted repartition: decouple extraction parallelism from input layout
     val parts = spark.sparkContext.defaultParallelism
     val salted = bucketed
-      .repartition(parts, pmod(xxhash64(col("url")), lit(parts)))
+      .repartition(parts, col("url"))
       .as[(String, Array[Byte], Int)]
 
+    // Extraction feeds two consumers (chunk write + lineage/metrics agg);
+    // persist so the expensive parse runs once. At production scale the
+    // equivalent is materializing the extracted-docs table itself as a
+    // snapshot and deriving chunks/lineage from that scan.
     val extracted: Dataset[(ExtractedDoc, Int)] = salted.mapPartitions { it =>
       it.map { case (url, html, bucket) => (Extract.extractOne(url, html), bucket) }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val chunks = extracted.flatMap { case (d, bucket) =>
       if (d.err.isEmpty && d.text.nonEmpty)
@@ -64,11 +68,18 @@ object ExtractJob {
       "is_duplicate", "duplicate_of_index", "bucket")
 
     // per-bucket lineage (the reference's per-file ledger rows,
-    // progress_store.py:33-61) computed from the same pass via observe-style
-    // aggregation on the extracted docs
+    // progress_store.py:33-61) + an observe() metric on the same pass —
+    // the Catalyst-native billing accumulator (SURVEY.md §2.7 A1,
+    // reference: billing.py:53-72): collected by the listener during the
+    // lineage aggregation, no extra job
+    val observation = new org.apache.spark.sql.Observation(s"extract_v${lake.currentVersion + 1}")
     val docStats = extracted
       .map { case (d, b) => (b, d.url, if (d.err.nonEmpty) 1 else 0, d.n_chars.toLong) }
       .toDF("bucket", "url", "is_err", "n_chars")
+      .observe(observation,
+        count(lit(1)).as("obs_docs"),
+        sum("is_err").as("obs_errs"),
+        sum(ceil(col("n_chars") / 4)).as("obs_tokens_est"))
     val lineageRows = docStats.groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("is_err").as("n_err"),
         min("url").as("url_lo"), max("url").as("url_hi"), sum("n_chars").as("chars"))
@@ -91,11 +102,21 @@ object ExtractJob {
     val nErrs = lineageRows.map(_("n_err").toLong).sum
     val nChunks = spark.read.parquet(outDir).count()
     val files = lake.listParquet(outDir)
-    val coveredBuckets = lineageRows.map(_("bucket"))
+    // token estimate from observe(): the reference's billing tokens
+    // (max(1, len//4), convert_to_embeddings.py:106-118), free-riding on the
+    // lineage aggregation job
+    val obs = observation.get
+    val tokensEst: Double = obs.get("obs_tokens_est") match {
+      case Some(l: java.lang.Long) => l.toDouble
+      case Some(d: java.lang.Double) => d.toDouble
+      case _ => 0.0
+    }
     // commit ALL planned buckets (some may be empty of rows — still done)
     val keys = todo.map(_.toString)
     lake.commit(files, keys, lineageRows,
-      Map("docs" -> nDocs.toDouble, "chunks" -> nChunks.toDouble, "errs" -> nErrs.toDouble))
+      Map("docs" -> nDocs.toDouble, "chunks" -> nChunks.toDouble,
+          "errs" -> nErrs.toDouble, "tokens_est" -> tokensEst))
+    extracted.unpersist()
     Result(v, nDocs, nChunks, nErrs, todo)
   }
 

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.jobs.{ExtractJob, IndexJob}
+import graft.corpus.PageGen
+import graft.chunk.{Chunker, ChunkerSql}
+import graft.functions.GraftFunctions
+import graft.dedup.SimHash
+import graft.extract.Extract
+import graft.lake.LakeTable
+
+class IndexExprSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("IndexJob: build from chunk table (dups filtered), search over materialized postings") {
+    val root = Files.createTempDirectory("graft-idx-src").toString
+    val idxRoot = Files.createTempDirectory("graft-idx").toString
+    val pages = spark.range(150).map(i => PageGen.row(42L, i))
+    ExtractJob.run(spark, pages, root, nBuckets = 4)
+    val chunks = ExtractJob.readChunks(spark, root)
+    val v = IndexJob.build(spark, chunks, idxRoot)
+    assert(v == 1)
+    val m = new LakeTable(idxRoot).readManifest(1)
+    assert(m.metrics("n_docs") > 0 && m.metrics("avgdl") > 0)
+
+    // search over the materialized index == fresh Bm25.search on same docs
+    val docs = chunks.filter(!col("is_duplicate")).select(col("id").as("doc"), col("text"))
+    val fresh = graft.index.Bm25.search(docs, "doc", "text", "convergence analysis", 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val mat = IndexJob.search(spark, idxRoot, "convergence analysis", 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(fresh == mat)
+  }
+
+  test("observe() metrics committed with the snapshot (tokens_est ~ chars/4)") {
+    val root = Files.createTempDirectory("graft-obs").toString
+    val pages = spark.range(80).map(i => PageGen.row(42L, i))
+    ExtractJob.run(spark, pages, root, nBuckets = 2)
+    val m = new LakeTable(root).readManifest(1)
+    assert(m.metrics.contains("tokens_est"))
+    assert(m.metrics("tokens_est") > 0)
+    val chars = m.lineage.map(_("chars").toLong).sum
+    assert(math.abs(m.metrics("tokens_est") - chars / 4.0) / math.max(chars / 4.0, 1) < 0.05)
+  }
+
+  test("native expressions: simhash64/hamming match the Scala implementation, usable from SQL") {
+    GraftFunctions.register(spark)
+    val df = Seq(("a", "the quick brown fox jumps"), ("b", "the quick brown fox jumped"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("t_expr")
+    val viaSql = spark.sql(
+      "SELECT id, simhash64(text) AS sh FROM t_expr ORDER BY id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql("a") == SimHash.simhash("the quick brown fox jumps"))
+    assert(viaSql("b") == SimHash.simhash("the quick brown fox jumped"))
+    val d = spark.sql(
+      "SELECT hamming(simhash64(a.text), simhash64(b.text)) FROM t_expr a, t_expr b WHERE a.id='a' AND b.id='b'")
+      .head().getInt(0)
+    assert(d == SimHash.hamming(viaSql("a"), viaSql("b")))
+    // column API form
+    val viaCol = df.select(GraftFunctions.simhash64(col("text"))).collect().map(_.getLong(0)).toSet
+    assert(viaCol == viaSql.values.toSet)
+  }
+
+  test("extensions class applies cleanly (full static-conf wiring needs a fresh context)") {
+    // spark.sql.extensions is a STATIC conf: with the suite's shared
+    // SparkContext it cannot take effect, so end-to-end SQL coverage runs
+    // through GraftFunctions.register (previous test). Here: the extensions
+    // entry point itself must construct and inject without error.
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(e)
+    // and the injected builders produce working expressions
+    val expr = graft.functions.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc def ghi")))
+    assert(expr.eval(null) == SimHash.simhash("abc def ghi"))
+  }
+
+  test("ChunkerSql (window over span rows) == Chunker when no K2 merge fires") {
+    // paragraphs all > (MaxChars-2)/2 so the greedy K2 merge never fires
+    val paras = (0 until 5).map(i => PageGen.prose(23, i.toLong, 150, i)) // ~900 chars each
+    paras.foreach(p => assert(p.length > (Chunker.MaxChars - 2) / 2))
+    val text = paras.mkString("\n\n")
+    val docHash = Hashing.sha256Hex(text)
+    val scalaRows = Chunker.chunkDocument("u1", docHash, text)
+    val sqlRows = ChunkerSql.chunkParagraphs(
+        Seq(("u1", docHash, text)).toDF("url", "doc_hash", "text"),
+        "url", "doc_hash", "text")
+      .orderBy("chunk_index").collect()
+    assert(sqlRows.length == scalaRows.length)
+    sqlRows.zip(scalaRows).foreach { case (sq, sc) =>
+      assert(sq.getAs[String]("text") == sc.text, s"chunk ${sc.chunk_index} text")
+      assert(sq.getAs[String]("chunk_hash") == sc.chunk_hash)
+      assert(sq.getAs[String]("id") == sc.id)
+      assert(sq.getAs[Int]("total_chunks") == sc.total_chunks)
+    }
+  }
+
+  test("oversize cap: huge doc becomes err=oversize row, never a task failure") {
+    val big = new Array[Byte](Extract.MaxDocBytes + 1)
+    big(0) = '%'; big(1) = 'P'; big(2) = 'D'; big(3) = 'F'; big(4) = '-'
+    val d = Extract.extractOne("u", big)
+    assert(d.err == "oversize")
+    assert(d.kind == "pdf")
+  }
+
+  test("salting spreads documents near-uniformly across partitions") {
+    implicit val s = spark
+    val pages = spark.range(2000).map(i => PageGen.row(42L, i))
+    val parts = 16
+    val sizes = Extract.salted(pages, parts).rdd
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.length == parts)
+    val expected = 2000.0 / parts
+    sizes.foreach(n => assert(math.abs(n - expected) / expected < 0.35, s"skewed: ${sizes.toSeq}"))
+  }
+}
