@@ -27,7 +27,8 @@ object Chunker {
   val OverlapChars = 80
 
   def splitParagraphs(text: String): Vector[String] = {
-    val norm = text.replaceAll("\r\n?", "\n")
+    // fast path: no CR → skip the normalization regex entirely
+    val norm = if (text.indexOf('\r') < 0) text else text.replaceAll("\r\n?", "\n")
     val parts = norm.split("\n\\s*\n").iterator.map(_.trim).filter(_.nonEmpty).toVector
     if (parts.isEmpty) {
       val whole = norm.trim

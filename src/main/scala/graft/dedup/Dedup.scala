@@ -145,8 +145,6 @@ object MinHash {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val spark = df.sparkSession
     import spark.implicits._
 

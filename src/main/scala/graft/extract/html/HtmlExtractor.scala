@@ -103,6 +103,11 @@ object HtmlExtractor {
         if (html.startsWith("<!--", i)) {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val end = html.indexOf("]]>", i + 9)
+          val body = html.substring(i + 9, if (end < 0) n else end)
+          appendText(body) // CDATA is character data, markup-opaque
+          i = if (end < 0) n else end + 3
         } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           val end = html.indexOf('>', i)
           i = if (end < 0) n else end + 1

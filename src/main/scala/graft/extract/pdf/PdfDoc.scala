@@ -52,6 +52,10 @@ final class PdfDoc(buf: Array[Byte]) {
         if (lx.tryKeyword("trailer")) {
           val t = lx.parseDict()
           mergeTrailer(t)
+          // hybrid-reference files: classic trailer points at a parallel
+          // xref STREAM via /XRefStm (ISO 32000-1 §7.5.8.4) — load it too,
+          // classic entries keep precedence (already inserted first)
+          t.get("XRefStm").foreach { case PNum(d) => loadXrefSection(d.toLong); case _ => }
           return t.get("Prev").map { case PNum(d) => d.toLong; case _ => -1L }.getOrElse(-1L)
         }
         val next = lx.peekKeyword()

@@ -53,24 +53,37 @@ final case class ChunkRow(
     duplicate_of_index: Int)
 
 object Hashing {
+  // one digest instance per thread (getInstance + provider lookup per call
+  // is measurable at chunk granularity); reset() via digest() semantics
+  private val sha1Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-1"))
+  private val sha256Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+
   /** Lowercase hex SHA-1, the reference's chunk-hash primitive
     * (reference: src/services/RAG/chunking.py:45-47). */
   def sha1Hex(s: String): String =
-    hex(java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    hex(sha1Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Lowercase hex SHA-256 (reference: src/services/RAG/cache_utils.py:10-15). */
   def sha256Hex(b: Array[Byte]): String =
-    hex(java.security.MessageDigest.getInstance("SHA-256").digest(b))
+    hex(sha256Local.get().digest(b))
 
   def sha256Hex(s: String): String =
     sha256Hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private def hex(d: Array[Byte]): String = {
-    val sb = new StringBuilder(d.length * 2)
+    val out = new Array[Char](d.length * 2)
     var i = 0
-    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      out(i * 2) = HexChars(v >>> 4)
+      out(i * 2 + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Stable 64-bit FNV-1a over UTF-8 bytes. Used wherever the engine needs a
