@@ -1,0 +1,44 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.{ExactDedup, MinHash}
+
+/** Corpus-wide dedup stage between extraction and indexing: exact
+  * keep-first on content hash (D2/F3 — the reference's seen_files registry,
+  * src/services/RAG/convert_to_embeddings.py:559-570), then MinHash-LSH
+  * near-dup removal (D3, north-star requirement).
+  *
+  * Input: the extracted-docs relation (url, text). Output: the cleaned
+  * relation plus a `dropped` relation carrying (url, reason, duplicate_of)
+  * so lineage survives — losers are recorded, not silently erased,
+  * mirroring the reference's metadata-only dup rows.
+  */
+object DedupJob {
+
+  final case class Result(clean: DataFrame, dropped: DataFrame)
+
+  def run(spark: SparkSession, docs: DataFrame,
+          urlCol: String = "url", textCol: String = "text",
+          jaccardThreshold: Double = 0.8): Result = {
+    // D2: exact content dedup, keep-first by url
+    val hashed = docs.withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
+    val annotated = ExactDedup.annotate(hashed, col("content_hash"), col(urlCol))
+    val exactClean = annotated.filter(!col("is_duplicate"))
+      .drop("is_duplicate", "duplicate_of", "content_hash")
+    val exactDropped = annotated.filter(col("is_duplicate"))
+      .select(col(urlCol).as("url"), lit("exact_duplicate").as("reason"),
+        col("duplicate_of").cast("string").as("duplicate_of"))
+
+    // D3: near-dup over the exact-clean survivors
+    val pairs = MinHash.nearDupPairs(exactClean, urlCol, textCol, jaccardThreshold)
+    val losers = pairs.select(col("id_b").as("loser"), col("id_a").as("winner"))
+      .groupBy("loser").agg(min("winner").as("duplicate_of"))
+    val nearClean = exactClean.join(losers,
+      exactClean(urlCol).cast("string") === losers("loser"), "left_anti")
+    val nearDropped = losers.select(col("loser").as("url"),
+      lit("near_duplicate").as("reason"), col("duplicate_of"))
+
+    Result(nearClean, exactDropped.unionByName(nearDropped))
+  }
+}

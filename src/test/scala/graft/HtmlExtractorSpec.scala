@@ -91,4 +91,31 @@ class HtmlExtractorSpec extends AnyFunSuite {
     val withNul = Array[Byte](1, 0, 5, 60, 100)
     assert(Sniffer.sniff(withNul) == "unknown")
   }
+
+  test("robustness: uppercase tags, unquoted attrs, unterminated markup") {
+    val r = HtmlExtractor.extract(
+      "<HTML><BODY><P CLASS=lead>Upper case markup with unquoted attributes " +
+        "still extracts the paragraph body text correctly here</P>" +
+        "<p>second paragraph closes the document without any closing tags at the very end")
+    assert(r.text.contains("Upper case markup with unquoted attributes"))
+    assert(r.text.contains("second paragraph closes the document"))
+  }
+
+  test("robustness: raw-text tags case-insensitive, stray ampersands/brackets") {
+    val r = HtmlExtractor.extract(
+      "<html><body><SCRIPT>var x = '<p>never shown</p>';</SCRIPT>" +
+        "<p>a & b < c but 5 > 4 stays literal and this sentence pads out " +
+        "the fifty character effective minimum easily</p></body></html>")
+    assert(!r.text.contains("never shown"))
+    assert(r.text.contains("a & b"))
+  }
+
+  test("robustness: deeply nested divs do not blow the stack") {
+    val depth = 5000
+    val html = "<html><body>" + ("<div>" * depth) +
+      "<p>deep nesting payload paragraph with enough words to pass the " +
+      "effective character threshold gate</p>" + ("</div>" * depth) + "</body></html>"
+    val r = HtmlExtractor.extract(html)
+    assert(r.text.contains("deep nesting payload paragraph"))
+  }
 }
