@@ -224,6 +224,8 @@ final class PdfDoc(buf: Array[Byte]) {
       data = f match {
         case "FlateDecode" | "Fl" => predictor(inflate(data), parm)
         case "ASCIIHexDecode" | "AHx" => asciiHex(data)
+        case "ASCII85Decode" | "A85" => ascii85(data)
+        case "LZWDecode" | "LZW" => predictor(lzw(data), parm)
         case other => throw new PdfParseException(s"unsupported filter $other")
       }
     }
@@ -309,6 +311,87 @@ final class PdfDoc(buf: Array[Byte]) {
       i += 1
     }
     if (hi >= 0) out.write(hi * 16)
+    out.toByteArray
+  }
+
+  /** ASCII85 (btoa) decode, PDF variant: groups of 5 chars '!'..'u' encode
+    * 4 bytes base-85; 'z' = four zero bytes; '~>' terminates
+    * (ISO 32000-1 §7.4.3). */
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var tuple = 0L
+    var count = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && count == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        count += 1
+        if (count == 5) {
+          out.write(((tuple >> 24) & 0xff).toInt); out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+          tuple = 0; count = 0
+        }
+      } // whitespace and other bytes ignored
+      i += 1
+    }
+    if (count > 0) {
+      // partial group: pad with 'u' (84), emit count-1 bytes
+      var k = count
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val bytes = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
+        ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
+      out.write(bytes, 0, count - 1)
+    }
+    out.toByteArray
+  }
+
+  /** LZW decode, PDF/TIFF variant: 8-bit codes growing 9→12 bits, clear
+    * code 256, EOD 257, early code-size change (ISO 32000-1 §7.4.4.2). */
+  private def lzw(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += Array.emptyByteArray // 256 clear
+      dict += Array.emptyByteArray // 257 EOD
+    }
+    resetDict()
+    var codeBits = 9
+    var bitBuf = 0L
+    var bitCount = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      bitBuf = (bitBuf << 8) | (data(i) & 0xffL)
+      bitCount += 8
+      i += 1
+      while (bitCount >= codeBits && !done) {
+        val code = ((bitBuf >> (bitCount - codeBits)) & ((1 << codeBits) - 1)).toInt
+        bitCount -= codeBits
+        if (code == 256) { resetDict(); codeBits = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < dict.length) dict(code)
+            else if (prev != null) prev :+ prev(0)
+            else throw new PdfParseException("bad LZW code")
+          out.write(entry)
+          if (prev != null) {
+            dict += (prev :+ entry(0))
+            // early change: size grows when next code would not fit
+            if (dict.length + 1 >= (1 << codeBits) && codeBits < 12) codeBits += 1
+          }
+          prev = entry
+        }
+      }
+    }
     out.toByteArray
   }
 

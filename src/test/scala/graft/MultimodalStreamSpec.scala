@@ -96,4 +96,46 @@ class MultimodalStreamSpec extends SparkSuiteBase {
       assert(rows.contains(("view", 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("AvailableNow file-stream drains the pages table once and resumes via checkpoint") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-stream").toString
+    val pagesDir = s"$base/pages"
+    val outDir = s"$base/chunks"
+    val ckpt = s"$base/ckpt"
+
+    // first batch of pages on disk
+    spark.range(40).map(i => PageGen.row(42L, i))
+      .write.mode("overwrite").parquet(pagesDir)
+
+    def runOnce(): Long = {
+      val pagesStream = spark.readStream
+        .schema(spark.read.parquet(pagesDir).schema)
+        .parquet(pagesDir)
+        .as[PageRow]
+      val chunks = StreamExtract.extractStream(pagesStream)
+      val q = StreamExtract.availableNowWriter(chunks, outDir, ckpt).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+
+    val n1 = runOnce()
+    assert(n1 > 0)
+    // re-run with NO new files: checkpoint says everything is processed
+    val n1b = runOnce()
+    assert(n1b == n1, "rerun without new data must not reprocess")
+    // append more pages -> only the new files are processed
+    spark.range(40, 80).map(i => PageGen.row(42L, i))
+      .write.mode("append").parquet(pagesDir)
+    val n2 = runOnce()
+    assert(n2 > n1)
+    // streamed total == batch over all 80 pages (exactly-once, no dupes)
+    val batch = (0L until 80L).flatMap { i =>
+      val p = PageGen.row(42L, i)
+      val d = graft.extract.Extract.extractOne(p.url, p.html)
+      if (d.err.isEmpty && d.text.nonEmpty)
+        graft.chunk.Chunker.chunkDocument(d.url, Hashing.sha256Hex(d.text), d.text) else Nil
+    }
+    assert(n2 == batch.length)
+  }
 }
