@@ -24,7 +24,11 @@ object IndexJob {
     val idx = Bm25.build(docs, "doc", "text")
     val lake = new LakeTable(indexRoot)
     val v = lake.currentVersion + 1
-    idx.postings.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
+    // term-range layout: repartition by term and sort within partitions so
+    // retrieval's term semi-join prunes via parquet min/max stats instead of
+    // scanning every posting file (the 100-TB layout lever)
+    idx.postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
     idx.docLens.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"index-v$v"), Nil,

@@ -65,4 +65,22 @@ object Knn {
     val w = Window.partitionBy("id_a").orderBy(desc("cosine"), asc("id_b"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Embedding-cosine near-duplicate removal: ANN candidate pairs above
+    * `simThreshold` → keep-first by id (the vector-space member of the
+    * dedup family: exact-hash / MinHash / SimHash / n-gram / embedding). */
+  def dropEmbeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                            simThreshold: Double = 0.995,
+                            bits: Int = 10, tables: Int = 3, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, bits, tables, dim)
+    val a = b.select(col("id").as("id_a"), col("vec").as("vec_a"), col("tbl"), col("bucket"))
+    val c = b.select(col("id").as("id_b"), col("vec").as("vec_b"), col("tbl"), col("bucket"))
+    val losers = a.join(c, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineCol(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= simThreshold)
+      .select(col("id_b").as("loser"))
+      .distinct()
+    df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")
+  }
 }

@@ -81,4 +81,16 @@ class Bm25Spec extends SparkSuiteBase {
       .filter($"id_a" === 7L).select("id_b").as[String].collect()
     assert(ann.headOption.contains("99"))
   }
+
+  test("embedding-cosine near-dup removal drops the planted twin, keeps the rest") {
+    val base = (0 until 25).map { i =>
+      val rnd = new java.util.SplittableRandom(500 + i)
+      (i.toLong, Array.fill(64)(rnd.nextDouble().toFloat))
+    }
+    val twin = Seq((99L, base(4)._2)) // identical vector, larger id
+    val df = (base ++ twin).toDF("vec_id", "embedding")
+    val kept = Knn.dropEmbeddingNearDups(df, "vec_id", "embedding", simThreshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == base.map(_._1).toSet) // twin 99 dropped, all originals kept
+  }
 }
