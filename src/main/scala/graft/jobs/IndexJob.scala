@@ -11,16 +11,27 @@ import graft.lake.LakeTable
   * rag_py.py:266-291).
   *
   * Build: chunk table → drop duplicate rows (F6: `filter(!is_duplicate)`,
-  * reference chroma_store.py:42-43) → postings/doclen/stats parquet +
-  * atomic snapshot commit. Query: read materialized postings, broadcast the
-  * query terms, score, top-k — no re-tokenization of the corpus at query
-  * time, which is the whole point of materializing the index at 100 TB.
+  * reference chroma_store.py:42-43) → postings/doclen parquet + atomic
+  * snapshot commit. Builds are **append-only segments** (the standard
+  * inverted-index growth strategy): each commit adds a segment; retrieval
+  * unions segment postings and recomputes global df / avgdl from the
+  * union, so incremental corpus growth never rewrites existing segments —
+  * the 100-TB maintenance property. Query: broadcast the query terms,
+  * score, top-k; no corpus re-tokenization at query time.
   */
 object IndexJob {
 
+  /** Append one segment built from a chunk table. Returns the committed
+    * snapshot version (= segment id). */
   def build(spark: SparkSession, chunks: DataFrame, indexRoot: String): Int = {
+    // chunk ids are content-derived (sha1(dochash:idx:chunkhash)), so
+    // byte-identical documents under different urls yield identical ids —
+    // indexing the same content id twice double-counts tf/dl. Dedup by id
+    // within the segment; CROSS-segment content dedup is the upstream
+    // DedupJob's responsibility (run it before chunking).
     val docs = chunks.filter(!col("is_duplicate"))
       .select(col("id").as("doc"), col("text"))
+      .dropDuplicates("doc")
     val idx = Bm25.build(docs, "doc", "text")
     val lake = new LakeTable(indexRoot)
     val v = lake.currentVersion + 1
@@ -31,27 +42,39 @@ object IndexJob {
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
     idx.docLens.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
-    lake.commit(files, Seq(s"index-v$v"), Nil,
+    lake.commit(files, Seq(s"segment-v$v"), Nil,
       Map("n_docs" -> idx.nDocs.toDouble, "avgdl" -> idx.avgdl))
     v
   }
 
-  /** Retrieval join over the materialized index (R2): query terms ⨝
-    * postings on term → explode postings → per-doc BM25 sum → top-k. */
-  def search(spark: SparkSession, indexRoot: String, query: String, k: Int): DataFrame = {
-    import spark.implicits._
+  private def segments(spark: SparkSession, indexRoot: String): (DataFrame, DataFrame) = {
     val lake = new LakeTable(indexRoot)
     val v = lake.currentVersion
     require(v > 0, s"no committed index at $indexRoot")
-    val m = lake.readManifest(v)
-    val n = m.metrics("n_docs")
-    val avgdl = m.metrics("avgdl")
-    val postings = spark.read.parquet(s"$indexRoot/data/v$v/postings")
-    val doclen = spark.read.parquet(s"$indexRoot/data/v$v/doclen")
+    val postings = (1 to v).map(i => spark.read.parquet(s"$indexRoot/data/v$i/postings"))
+      .reduce(_ unionByName _)
+    val doclen = (1 to v).map(i => spark.read.parquet(s"$indexRoot/data/v$i/doclen"))
+      .reduce(_ unionByName _)
+    (postings, doclen)
+  }
+
+  /** Retrieval join over all committed segments (R2): query terms ⨝
+    * postings on term → merge per-term df across segments → explode
+    * postings → per-doc BM25 sum → top-k. Global stats (N, avgdl) are
+    * recomputed from the doclen union, so scores are identical to a fresh
+    * single-segment build over the whole corpus (asserted in spec). */
+  def search(spark: SparkSession, indexRoot: String, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val (postingsAll, doclen) = segments(spark, indexRoot)
+    val stats = doclen.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl")).head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
 
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
-    postings
+    postingsAll
       .join(broadcast(qTerms), "term")
+      // merge segment-local df into global df per term
+      .withColumn("df", sum(col("df")).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .select(col("term"), col("df"), explode(col("postings")).as("p"))
       .select(col("term"), col("df"), col("p.doc").as("doc"), col("p.tf").as("tf"))
       .join(doclen, "doc")

@@ -25,7 +25,9 @@ class IndexExprSpec extends SparkSuiteBase {
     assert(m.metrics("n_docs") > 0 && m.metrics("avgdl") > 0)
 
     // search over the materialized index == fresh Bm25.search on same docs
-    val docs = chunks.filter(!col("is_duplicate")).select(col("id").as("doc"), col("text"))
+    // (same content-id dedup the build applies)
+    val docs = chunks.filter(!col("is_duplicate"))
+      .select(col("id").as("doc"), col("text")).dropDuplicates("doc")
     val fresh = graft.index.Bm25.search(docs, "doc", "text", "convergence analysis", 5)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     val mat = IndexJob.search(spark, idxRoot, "convergence analysis", 5)
@@ -114,5 +116,31 @@ class IndexExprSpec extends SparkSuiteBase {
     assert(sizes.length == parts)
     val expected = 2000.0 / parts
     sizes.foreach(n => assert(math.abs(n - expected) / expected < 0.35, s"skewed: ${sizes.toSeq}"))
+  }
+
+  test("segmented index: two appended segments search-identical to one full rebuild") {
+    val srcRoot = Files.createTempDirectory("graft-seg-src").toString
+    val segRoot = Files.createTempDirectory("graft-seg").toString
+    val fullRoot = Files.createTempDirectory("graft-full").toString
+    val pages = spark.range(200).map(i => PageGen.row(42L, i))
+    ExtractJob.run(spark, pages, srcRoot, nBuckets = 4)
+    val chunks = ExtractJob.readChunks(spark, srcRoot).cache()
+
+    // split the chunk table in half BY CONTENT ID (duplicate pages share
+    // content-derived ids; an id must live in exactly one segment)
+    val half1 = chunks.filter(pmod(xxhash64(col("id")), lit(2)) === 0)
+    val half2 = chunks.filter(pmod(xxhash64(col("id")), lit(2)) === 1)
+    assert(IndexJob.build(spark, half1, segRoot) == 1)
+    assert(IndexJob.build(spark, half2, segRoot) == 2)
+    // and once as a single full segment
+    IndexJob.build(spark, chunks, fullRoot)
+
+    val q = "convergence variance analysis"
+    val seg = IndexJob.search(spark, segRoot, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val full = IndexJob.search(spark, fullRoot, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(seg == full, s"segmented != full:\n$seg\n$full")
+    chunks.unpersist()
   }
 }
