@@ -226,6 +226,19 @@ object SparkEntry {
         .filter(wsTokenCountCol(col("text")) >= 20)
         .select(col("doc_id"))
     }),
+    // --- url-facet extraction (reference path_meta facets, web domain)
+    "q_url_facets" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic synthetic urls derived from doc rows
+      t(s, dir, "documents").select($"doc_id",
+          concat(lit("https://host"), ($"doc_id" % 97).cast("string"),
+            lit(".example/"), $"source", lit("/item"), $"doc_id").as("url"))
+        .select($"doc_id",
+          urlHostCol($"url").as("host"),
+          urlTopDirCol($"url").as("top_dir"),
+          urlLeafCol($"url").as("leaf"),
+          urlDepthCol($"url").as("depth"))
+    }),
     // --- A6 embedding-dim inference
     "q_emb_dim" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -349,6 +362,16 @@ object SparkEntry {
       "q_min_words" ->
         """SELECT doc_id FROM documents
           | WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) >= 20""".stripMargin,
+      "q_url_facets" ->
+        """WITH u AS (SELECT doc_id,
+          |  'https://host' || (doc_id % 97)::VARCHAR || '.example/' || source || '/item' || doc_id::VARCHAR AS url
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+          |  regexp_extract(url, '^[a-z]+://[^/]+/([^/]+)', 1) AS top_dir,
+          |  regexp_extract(url, '/([^/]+)$', 1) AS leaf,
+          |  len(list_filter(regexp_split_to_array(regexp_replace(url, '^[a-z]+://[^/]*', ''), '/'), s -> len(s) > 0))::BIGINT AS depth
+          |FROM u""".stripMargin,
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
       "q_bm25" ->

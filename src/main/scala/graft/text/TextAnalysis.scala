@@ -86,6 +86,24 @@ object TextAnalysis {
   def fingerprintCol(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Url-derived facets — the web-domain analog of the reference's
+    * path-derived metadata (src/utils/path_meta.py:18-56: DEPARTMENT/
+    * LEVEL/.../FILENAME parsed from directory structure): host, top path
+    * segment, leaf segment, path depth, all from one regex family so the
+    * same facets are derivable in any SQL engine. */
+  def urlHostCol(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+
+  def urlTopDirCol(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://[^/]+/([^/]+)", 1)
+
+  def urlLeafCol(url: Column): Column =
+    regexp_extract(url, "/([^/]+)$", 1)
+
+  def urlDepthCol(url: Column): Column =
+    (size(filter(split(regexp_replace(url, "^[a-z]+://[^/]*", ""), "/"),
+      s => length(s) > 0))).cast("long")
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
     * rolling hashes, min per window — robust to local edits. Scala-side
     * (not SQL-expressible); used by the near-dup tooling and tests. */
