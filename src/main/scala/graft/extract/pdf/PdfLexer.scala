@@ -189,7 +189,23 @@ final class PdfLexer(val buf: Array[Byte], var pos: Int) {
   def parseNumber(): PNum = {
     skipWs()
     val start = pos
-    if (at(pos) == '+' || at(pos) == '-') pos += 1
+    var neg = false
+    if (at(pos) == '+') pos += 1
+    else if (at(pos) == '-') { neg = true; pos += 1 }
+    // integer fast path (coordinates/offsets are overwhelmingly integers):
+    // exact long accumulation, no substring/parseDouble allocation
+    var intVal = 0L
+    var nDigits = 0
+    while (at(pos) >= '0' && at(pos) <= '9' && nDigits < 18) {
+      intVal = intVal * 10 + (at(pos) - '0')
+      nDigits += 1
+      pos += 1
+    }
+    val afterInt = at(pos)
+    if (nDigits > 0 && nDigits < 18 && afterInt != '.' && !(afterInt >= '0' && afterInt <= '9'))
+      return PNum(if (neg) -intVal.toDouble else intVal.toDouble)
+    // general path: fractions / very long numerals via parseDouble for
+    // correctly-rounded decimal→binary conversion
     while (pos < buf.length && ((at(pos) >= '0' && at(pos) <= '9') || at(pos) == '.')) pos += 1
     if (pos == start) throw new PdfParseException(s"expected number at $pos")
     val s = new String(buf, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
