@@ -104,10 +104,12 @@ object Bench {
       s.stop()
       t1
     }
-    // Estimator: MIN per side across alternating sessions. VM noise is
-    // strictly additive (slow phases only ever inflate wall time), so the
-    // minimum is the unbiased estimate of the true cost at each level and
-    // the ratio of minima is the true scaling.
+    // Estimator: the VM's slow phases last minutes, so per-side minima over
+    // a handful of samples still land unlucky. Instead measure each N/4N
+    // PAIR back-to-back — both sides of one pair see the same weather — and
+    // take the MEDIAN of per-pair efficiency ratios: pairs that straddle a
+    // weather change produce outlier ratios in both directions and the
+    // median discards them.
     //
     // Two N-vs-4N pairs are measured and reported:
     //   2→8 cores : the clean region — single-node DRAM bandwidth is not
@@ -117,19 +119,18 @@ object Bench {
     //               one memory subsystem, which an allocation-heavy parse
     //               workload saturates (raw threaded microbench shows the
     //               same per-core collapse with no Spark involved).
-    val times: Map[Int, Double] = {
-      val rounds = Seq(2, 8, 32, 2, 8, 32, 2, 8, 32)
-      val measured = rounds.map(c => c -> measureOnce(c))
-      measured.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
-    }
-    val t2 = times(2); val tLo = times(8); val tHi = times(32)
-    val eff28 = (t2 * 2) / (tLo * 8)
-    val eff832 = (tLo * 8) / (tHi * 32)
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val pairs28 = (1 to 4).map { _ => (measureOnce(2), measureOnce(8)) }
+    val pairs832 = (1 to 3).map { _ => (measureOnce(8), measureOnce(32)) }
+    val t2 = pairs28.map(_._1).min
+    val tLo = (pairs28.map(_._2) ++ pairs832.map(_._1)).min
+    val tHi = pairs832.map(_._2).min
+    val eff28 = median(pairs28.map { case (a, b) => (a * 2) / (b * 8) })
+    val eff832 = median(pairs832.map { case (a, b) => (a * 8) / (b * 32) })
     // headline: N=2 vs 4N=8, the shared-nothing-faithful pair. Capped at
-    // 1.0 — measured ratios above 1 are real but not "scaling": the fixed
-    // Spark overhead (driver, GC, shuffle threads) consumes a larger share
-    // of 2 cores than of 8, so the small level underestimates per-core
-    // capacity.
+    // 1.0 — ratios above 1 are real but not "scaling": the fixed Spark
+    // overhead (driver, GC, shuffle threads) consumes a larger share of 2
+    // cores than of 8, so the small level underestimates per-core capacity.
     val eff = math.min(eff28, 1.0)
     val throughput = nPages / tHi
 
