@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object ChunkerSql {
 
+  /** Sliding-window sentence segmentation — the north star's phrase made
+    * literal: sentences become span rows (posexplode), each window of
+    * `windowSize` consecutive sentences starting every `stride` sentences
+    * becomes one segment, assembled with `collect_list` over a frame-bounded
+    * window. Pure expressions + one window shuffle; no UDF, no fold.
+    *
+    * Sentence boundary: split after [.!?] runs followed by whitespace
+    * (punctuation kept with its sentence). */
+  def slidingSentences(df: DataFrame, urlCol: String, textCol: String,
+                       windowSize: Int = 3, stride: Int = 2): DataFrame = {
+    require(windowSize >= 1 && stride >= 1)
+    val sentences = df.select(
+        col(urlCol).as("url"),
+        posexplode(
+          filter(
+            transform(split(col(textCol), "(?<=[.!?])\\s+"), s => trim(s)),
+            s => length(s) > 0)).as(Seq("sent_idx", "sentence")))
+
+    val w = Window.partitionBy("url").orderBy("sent_idx")
+      .rowsBetween(Window.currentRow, windowSize - 1)
+    val wAll = Window.partitionBy("url")
+    sentences
+      .withColumn("n_sents", count(lit(1)).over(wAll))
+      .withColumn("window_sents", collect_list(col("sentence")).over(w))
+      // a window starts at every stride-th sentence; the last full window
+      // (or a shorter tail when fewer sentences remain) is kept
+      .filter(col("sent_idx") % stride === 0)
+      .withColumn("text", concat_ws(" ", col("window_sents")))
+      .withColumn("segment_index", (col("sent_idx") / stride).cast("int"))
+      .select(col("url"), col("segment_index"), col("sent_idx").as("start_sentence"),
+        size(col("window_sents")).as("n_sentences"), col("text"))
+  }
+
   /** Input: (urlCol, docHashCol, textCol). Output: url, chunk_index,
     * total_chunks, text, chunk_hash, id — one row per paragraph chunk. */
   def chunkParagraphs(df: DataFrame, urlCol: String, docHashCol: String, textCol: String): DataFrame = {

@@ -143,4 +143,20 @@ class IndexExprSpec extends SparkSuiteBase {
     assert(seg == full, s"segmented != full:\n$seg\n$full")
     chunks.unpersist()
   }
+
+  test("sliding sentence windows: window-over-span-rows segmentation") {
+    val text = "One is first. Two follows! Three here? Four now. Five mid. Six nears. Seven ends."
+    val df = Seq(("u1", text)).toDF("url", "text")
+    val segs = ChunkerSql.slidingSentences(df, "url", "text", windowSize = 3, stride = 2)
+      .orderBy("segment_index").collect()
+    val texts = segs.map(_.getAs[String]("text")).toSeq
+    assert(texts == Seq(
+      "One is first. Two follows! Three here?",
+      "Three here? Four now. Five mid.",
+      "Five mid. Six nears. Seven ends.",
+      "Seven ends."))
+    assert(segs.map(_.getAs[Int]("n_sentences")).toSeq == Seq(3, 3, 3, 1))
+    // overlap property: consecutive windows share windowSize - stride sentences
+    assert(texts(0).endsWith("Three here?") && texts(1).startsWith("Three here?"))
+  }
 }
