@@ -167,6 +167,10 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       Bm25.scores(t(s, dir, "documents"), "doc_id", "text", "spark filter join table")
     }),
+    // --- TF-IDF scoring variant (same corpus/query family as q_bm25)
+    "q_tfidf" -> ((s, dir) => {
+      Bm25.tfidfScores(t(s, dir, "documents"), "doc_id", "text", "spark filter join table")
+    }),
     // --- similarity search: brute-force cosine vs the vec_id=0 query vector
     "q_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -388,6 +392,18 @@ object SparkEntry {
           |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
           |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
           |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
+          |GROUP BY doc""".stripMargin,
+      "q_tfidf" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+          | n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+          | df AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1)
+          |SELECT doc, round(sum(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score
+          |FROM tf JOIN q USING(term) JOIN df USING(term) CROSS JOIN n
           |GROUP BY doc""".stripMargin,
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

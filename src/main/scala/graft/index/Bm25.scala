@@ -49,6 +49,24 @@ object Bm25 {
     Index(postings, dl, stats.getLong(0), stats.getDouble(1))
   }
 
+  /** Classic TF-IDF scoring (the north star's other scorer): score =
+    * Σ_q tf · ln((N+1)/(df+1)). Same plan shape as BM25 — broadcast query
+    * terms, window df, one aggregate. Rounded for oracle parity. */
+  def tfidfScores(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreq(docs, idCol, textCol)
+    val n = docs.select(col(idCol)).distinct().count()
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    tf.join(broadcast(qTerms), "term")
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("w", col("tf").cast("double") *
+        log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)))
+      .groupBy(col("doc"))
+      .agg(round(sum("w"), 4).as("score"))
+  }
+
   /** All matching docs with rounded BM25 scores (no top-k cutoff) — the
     * oracle-comparable form: rounding avoids cross-engine ulp noise and no
     * LIMIT means no boundary sensitivity. */
