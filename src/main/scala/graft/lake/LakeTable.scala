@@ -63,7 +63,12 @@ final class LakeTable(val root: String) {
     Files.createDirectories(metaDir)
     val v = currentVersion + 1
     val json = manifestJson(Manifest(v, v - 1, files, keys, lineage, metrics))
-    Files.write(manifestPath(v), json.getBytes(UTF_8))
+    // CREATE_NEW: optimistic concurrency — a racing committer loses with an
+    // explicit FileAlreadyExistsException instead of silently clobbering
+    // (single-writer is the design, as in the reference's driver loop; this
+    // guard turns a violated assumption into a loud failure)
+    Files.write(manifestPath(v), json.getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
     val tmp = metaDir.resolve(s".hint.$v.tmp")
     Files.write(tmp, v.toString.getBytes(UTF_8))
     Files.move(tmp, hintFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
