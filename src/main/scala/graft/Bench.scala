@@ -120,8 +120,17 @@ object Bench {
     //               workload saturates (raw threaded microbench shows the
     //               same per-core collapse with no Spark involved).
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
-    val pairs28 = (1 to 4).map { _ => (measureOnce(2), measureOnce(8)) }
-    val pairs832 = (1 to 3).map { _ => (measureOnce(8), measureOnce(32)) }
+    // Time budget: if the environment enforces a tight wall clock, degrade
+    // the sample count instead of dying without printing the JSON line.
+    val benchStart = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "330").toInt
+    def withinBudget: Boolean = (System.nanoTime() - benchStart) / 1e9 < budgetSec
+    val pairs28 = (1 to 4).flatMap { i =>
+      if (i == 1 || withinBudget) Some((measureOnce(2), measureOnce(8))) else None
+    }
+    val pairs832 = (1 to 3).flatMap { i =>
+      if (i == 1 || withinBudget) Some((measureOnce(8), measureOnce(32))) else None
+    }
     val t2 = pairs28.map(_._1).min
     val tLo = (pairs28.map(_._2) ++ pairs832.map(_._1)).min
     val tHi = pairs832.map(_._2).min
