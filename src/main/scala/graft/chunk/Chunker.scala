@@ -11,8 +11,12 @@ import scala.collection.mutable.ArrayBuffer
   *  - K2 merge  (chunking.py:13-26): greedily accumulate paragraphs while
   *    the buffer is below `min` (200) or the next paragraph still fits
   *    `max` (1600) including the "\n\n" joiner.
-  *  - K3 overlap (chunking.py:29-42): prepend the previous chunk's last 80
-  *    chars, trimmed forward to a word boundary, joined with one space.
+  *  - K3 overlap (chunking.py:29-42): tail = previous chunk's last 80 chars;
+  *    iff the tail's FIRST space is at index > 0, cut forward past it (a
+  *    leading-space tail is kept whole, spaces and all); join tail + " " +
+  *    chunk unconditionally — no trimming. Exact reference semantics,
+  *    including the leading space the join produces when the tail starts
+  *    with (or trims to) a space.
   *  - K5 ids    (convert_to_embeddings.py:383,390-391,413): chunk_hash =
   *    sha1(chunk text); id = sha1("{doc_hash}:{idx}:{chunk_hash}"); duplicate
   *    rows id = sha1("{doc_hash}:{idx}:{orig_hash}:dup").
@@ -52,24 +56,18 @@ object Chunker {
     out.result()
   }
 
-  /** 80-char overlap prefix trimmed forward to a word boundary. */
+  /** Last-80-chars overlap prefix, reference chunking.py:36-39 verbatim:
+    * cut forward past the first space iff it sits at index > 0. */
   def overlapTail(prev: String, overlap: Int = OverlapChars): String = {
-    if (prev.isEmpty) return ""
-    var tail = prev.substring(math.max(0, prev.length - overlap))
-    if (tail.length == overlap && prev.length > overlap) {
-      val sp = tail.indexOf(' ')
-      if (sp >= 0) tail = tail.substring(sp + 1)
-    }
-    tail.trim
+    val tail = prev.substring(math.max(0, prev.length - overlap))
+    val sp = tail.indexOf(' ')
+    if (sp > 0) tail.substring(sp + 1) else tail
   }
 
   def withOverlap(chunks: Vector[String]): Vector[String] =
-    chunks.zipWithIndex.map { case (c, i) =>
-      if (i == 0) c
-      else {
-        val tail = overlapTail(chunks(i - 1))
-        if (tail.isEmpty) c else tail + " " + c
-      }
+    if (chunks.length <= 1) chunks
+    else chunks.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c else overlapTail(chunks(i - 1)) + " " + c
     }
 
   /** Full per-document pipeline: split → merge → overlap → enumerate →

@@ -74,16 +74,16 @@ object ChunkerSql {
     val w = Window.partitionBy("url").orderBy("para_idx")
     val overlapped = spans
       .withColumn("prev", lag(col("para"), 1).over(w))
-      // K3: tail = last 80 chars of prev; if a full 80 landed mid-word, cut
-      // forward past the first space; join with one space
+      // K3, reference chunking.py:36-39 verbatim: tail = last 80 chars of
+      // prev; iff the first space sits at index > 0 (instr > 1), cut forward
+      // past it; join tail + " " + para unconditionally — no trim
       .withColumn("tail0", when(col("prev").isNull, lit(""))
         .when(length(col("prev")) <= Chunker.OverlapChars, col("prev"))
         .otherwise(substring(col("prev"), -Chunker.OverlapChars, Chunker.OverlapChars)))
-      .withColumn("tail", trim(when(
-          length(col("prev")) > Chunker.OverlapChars and instr(col("tail0"), " ") > 0,
+      .withColumn("tail", when(instr(col("tail0"), " ") > 1,
           expr(s"substring(tail0, instr(tail0, ' ') + 1)"))
-        .otherwise(col("tail0"))))
-      .withColumn("text", when(col("tail") === "" or col("prev").isNull, col("para"))
+        .otherwise(col("tail0")))
+      .withColumn("text", when(col("prev").isNull, col("para"))
         .otherwise(concat(col("tail"), lit(" "), col("para"))))
 
     val wAll = Window.partitionBy("url")

@@ -38,16 +38,25 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.mergeParagraphs(Vector(p300, p300)) == Vector(p300 + "\n\n" + p300))
   }
 
-  test("overlap: last 80 chars trimmed to word boundary, joined with one space") {
+  test("overlap matches reference chunking.py:36-39 exactly") {
+    // mid-word 80-char cut: first space at index > 0 → cut forward past it
+    assert(Chunker.overlapTail("aaa bbb", 5) == "bbb") // tail "a bbb", sp=1
+    // first space at index 0 → tail kept whole, leading space and all
+    assert(Chunker.overlapTail("aaaa bbbb", 5) == " bbbb")
+    // no space in tail → kept whole (even when prev is longer than overlap)
+    assert(Chunker.overlapTail("abcdefghij", 5) == "fghij")
+    // prev shorter than overlap still trims (reference has no length guard)
+    assert(Chunker.overlapTail("xy z", 80) == "z")
+    // trailing-space prev can trim to "" → joined chunk gets a leading space
+    assert(Chunker.overlapTail("abc ", 4) == "")
+    assert(Chunker.withOverlap(Vector("abc ", "next")) == Vector("abc ", " next"))
+    // unconditional one-space join
     val prev = ("w" * 100) + " alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val tail = Chunker.overlapTail(prev)
     assert(tail.length <= 80)
-    assert(!tail.startsWith(" "))
-    // must start at a word boundary: the char before the tail in prev is a space
-    assert(prev.endsWith(tail))
-    assert(prev.charAt(prev.length - tail.length - 1) == ' ')
-    val chunks = Chunker.withOverlap(Vector(prev, "next chunk"))
-    assert(chunks(1) == tail + " " + "next chunk")
+    assert(Chunker.withOverlap(Vector(prev, "next chunk"))(1) == tail + " " + "next chunk")
+    // single-chunk docs get no overlap pass (reference: len(base) <= 1 short-circuit)
+    assert(Chunker.withOverlap(Vector("only")) == Vector("only"))
   }
 
   test("chunkDocument: ids, enumeration, in-doc dedup keep-first") {
