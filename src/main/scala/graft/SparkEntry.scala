@@ -13,9 +13,10 @@ import graft.text.TextAnalysis._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-runnable oracle SQL wherever the operator is
-  * SQL-expressible. Non-SQL-expressible operators (MinHash-LSH, SimHash,
-  * ANN buckets, the full pipeline) are rows-only entries backed by sbt
-  * golden-fixture tests instead. */
+  * SQL-expressible. The MinHash/SimHash near-dup operators hash with
+  * md5-top-64 precisely so their oracles can replicate the whole pipeline in
+  * SQL (see minhashOracleSql/simhashOracleSql); the only rows-only entry
+  * left is q_ann (approximate by design, backed by KnnSpec recall tests). */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -262,6 +263,90 @@ object SparkEntry {
 
   // -------------------------------------------------------------- oracleSql
 
+  /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
+  private val DocsWithNearDupsSql =
+    """docs AS (
+      |  SELECT doc_id::VARCHAR AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT (doc_id + 1000000)::VARCHAR AS id, text || ' appended trailing marker' FROM documents)""".stripMargin
+
+  /** One FNV-1a step over 64-bit values in DuckDB HUGEINT arithmetic:
+    * h' = ((h xor v) * prime) mod 2^64. */
+  private def fnvStep(h: String, v: String): String =
+    s"((xor(($h)::UBIGINT, ($v)::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616)"
+
+  /** DuckDB replica of [[MinHash.nearDupPairs]] — identical by construction:
+    * md5-top-64 shingle hashes, the same 128 affine (a,b) constants masked to
+    * 63 bits, the same FNV band hashes, the same sorted-and-capped buckets,
+    * and the same exact-Jaccard verification. Any divergence between this SQL
+    * and the Scala operator is a real bug in one of them. */
+  private def minhashOracleSql(threshold: Double, maxBucket: Int): String = {
+    val coefRows = MinHash.coeffs.zipWithIndex
+      .map { case ((a, b), j) => s"($j,$a,$b)" }.mkString(",")
+    val bandChain = {
+      var h = "14695981039346656037"
+      for (r <- 0 until MinHash.RowsPerBand) h = fnvStep(h, s"v$r")
+      h
+    }
+    val vCols = (0 until MinHash.RowsPerBand)
+      .map(r => s"max(CASE WHEN r = $r THEN v END) AS v$r").mkString(", ")
+    s"""WITH $DocsWithNearDupsSql,
+       | toks AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM docs),
+       | shing AS (SELECT id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+       |     WHEN len(toks) < ${MinHash.ShingleWords} THEN [array_to_string(toks, ' ')]
+       |     ELSE list_transform(range(1, len(toks) - ${MinHash.ShingleWords - 2}), i -> array_to_string(toks[i:i+${MinHash.ShingleWords - 1}], ' ')) END) AS sh
+       |   FROM toks),
+       | shd AS (SELECT DISTINCT id, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h FROM shing),
+       | coef(j, a, b) AS (VALUES $coefRows),
+       | sigs AS (SELECT d.id, c.j,
+       |     coalesce(min((c.a::HUGEINT * s.h::HUGEINT + c.b) % 9223372036854775808), 9223372036854775807) AS v
+       |   FROM (SELECT DISTINCT id FROM docs) d CROSS JOIN coef c
+       |   LEFT JOIN shd s ON s.id = d.id GROUP BY 1, 2),
+       | b4 AS (SELECT id, j // ${MinHash.RowsPerBand} AS band, j % ${MinHash.RowsPerBand} AS r, v FROM sigs),
+       | bh AS (SELECT id, band, $bandChain AS bhash
+       |   FROM (SELECT id, band, $vCols FROM b4 GROUP BY 1, 2)),
+       | mem AS (SELECT id, band, bhash, row_number() OVER (PARTITION BY band, bhash ORDER BY id) AS rn FROM bh),
+       | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |   FROM (SELECT * FROM mem WHERE rn <= $maxBucket) a
+       |   JOIN (SELECT * FROM mem WHERE rn <= $maxBucket) b
+       |     ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+       | ssz AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+       | inter AS (SELECT c.id_a, c.id_b, count(y.h) AS i
+       |   FROM cand c
+       |   LEFT JOIN shd x ON x.id = c.id_a
+       |   LEFT JOIN shd y ON y.id = c.id_b AND y.h = x.h
+       |   GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b
+       |FROM inter i
+       |LEFT JOIN ssz na ON na.id = i.id_a
+       |LEFT JOIN ssz nb ON nb.id = i.id_b
+       |WHERE (CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - i.i <= 0 THEN 1.0
+       |       ELSE i.i::DOUBLE / (coalesce(na.n, 0) + coalesce(nb.n, 0) - i.i) END) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB replica of [[SimHash.nearDupPairs]]: identical md5-top-64 feature
+    * hashes, tf weights, 4x16-bit band keys, sorted-and-capped buckets, and
+    * bit_count(xor) Hamming filter. */
+  private def simhashOracleSql(maxDist: Int, maxBucket: Int): String = {
+    s"""WITH $DocsWithNearDupsSql,
+       | toks AS (SELECT id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term FROM docs),
+       | tf AS (SELECT id, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
+       | bits AS (SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS acc
+       |   FROM tf CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY 1, 2),
+       | sh0 AS (SELECT id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS sim FROM bits GROUP BY 1),
+       | sh AS (SELECT d.id, coalesce(s.sim, 0)::UBIGINT AS sim
+       |   FROM (SELECT DISTINCT id FROM docs) d LEFT JOIN sh0 s ON s.id = d.id),
+       | banded AS (SELECT id, sim, k, (sim >> (16 * k)) & 65535 AS key
+       |   FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       | mem AS (SELECT id, sim, k, key, row_number() OVER (PARTITION BY k, key ORDER BY id) AS rn FROM banded),
+       | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+       |   FROM (SELECT * FROM mem WHERE rn <= $maxBucket) a
+       |   JOIN (SELECT * FROM mem WHERE rn <= $maxBucket) b
+       |     ON a.k = b.k AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $maxDist""".stripMargin
+  }
+
   /** DuckDB SQL equivalents over the same parquet tables. Column names and
     * types must match the Spark results exactly (the driver sorts columns
     * by name before hashing). */
@@ -405,6 +490,17 @@ object SparkEntry {
           |SELECT doc, round(sum(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score
           |FROM tf JOIN q USING(term) JOIN df USING(term) CROSS JOIN n
           |GROUP BY doc""".stripMargin,
+      // q_pipeline generates its own 400 pages from PageGen(seed=42)
+      // regardless of the sf dir, so its per-(kind,method) counts are
+      // seed-pinned constants of the frozen generator + extractor — the
+      // oracle is the pinned table itself (recompute via
+      // `Verify` if a frozen heuristic legitimately changes).
+      "q_pipeline" ->
+        """SELECT kind, method, cnt::BIGINT AS count FROM (VALUES
+          | ('html', 'body', 41), ('html', 'lenient', 1), ('html', 'strict', 270),
+          | ('pdf', 'text_layer', 72), ('unknown', 'err', 16)) t(kind, method, cnt)""".stripMargin,
+      "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
+      "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(

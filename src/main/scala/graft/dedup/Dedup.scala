@@ -54,17 +54,25 @@ object MinHash {
   val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
   val ShingleWords = 5
 
-  // (a,b) parameters of the 128 affine hash family, fixed seed
-  private lazy val coeffs: Array[(Long, Long)] = {
-    val rnd = new java.util.SplittableRandom(0x5eed0001L)
-    Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  /** (a,b) parameters of the 128 affine hash family. Deliberately
+    * oracle-replicable: a is a 32-bit odd constant and values are masked to
+    * 63 bits, so DuckDB can reproduce `(a*h+b) mod 2^63` in HUGEINT
+    * arithmetic without 128-bit overflow (a*h < 2^96). Derived from
+    * splitmix64 of the index — pure, seed-free, reproducible anywhere. */
+  lazy val coeffs: Array[(Long, Long)] = Array.tabulate(NumHashes) { j =>
+    val a = (graft.Hashing.mix64(0x5eed0001L + j) & 0xffffffffL) | 1L
+    val b = graft.Hashing.mix64(0x5eed0002L + j) & Long.MaxValue
+    (a, b)
   }
 
+  /** Word 5-gram shingle hashes: md5-top-64 of the space-joined shingle
+    * (DuckDB: ('0x'||substr(md5(s),1,16))::UBIGINT). Texts shorter than one
+    * shingle hash the whole token string; empty → no shingles. */
   def shingles(text: String): Array[Long] = {
     val toks = tokenize(text)
     if (toks.length < ShingleWords) {
       if (toks.isEmpty) Array.empty
-      else Array(graft.Hashing.fnv64(toks.mkString(" ")))
+      else Array(graft.Hashing.md5Long(toks.mkString(" ")))
     } else {
       val out = new Array[Long](toks.length - ShingleWords + 1)
       var i = 0
@@ -72,7 +80,7 @@ object MinHash {
         val sb = new StringBuilder
         var k = 0
         while (k < ShingleWords) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
-        out(i) = graft.Hashing.fnv64(sb.toString)
+        out(i) = graft.Hashing.md5Long(sb.toString)
         i += 1
       }
       out
@@ -82,7 +90,10 @@ object MinHash {
   def tokenize(text: String): Array[String] =
     text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
-  /** 128-long MinHash signature of a text; empty text → all Long.MaxValue. */
+  /** 128-long MinHash signature of a text; empty text → all Long.MaxValue.
+    * Each slot is min_j over shingles of (a_j*h + b_j) mod 2^63 — the 63-bit
+    * mask keeps signed Long comparison == unsigned comparison and the empty
+    * identity Long.MaxValue == the domain maximum. */
   def signature(text: String): Array[Long] = {
     val sh = shingles(text)
     val sig = Array.fill(NumHashes)(Long.MaxValue)
@@ -92,7 +103,7 @@ object MinHash {
       var j = 0
       while (j < NumHashes) {
         val (a, b) = coeffs(j)
-        val v = a * h + b
+        val v = (a * h + b) & Long.MaxValue
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -206,6 +217,9 @@ object MinHash {
   * (pigeonhole). */
 object SimHash {
 
+  /** Charikar fingerprint with term-frequency weights. The feature hash is
+    * md5-top-64 (graft.Hashing.md5Long), so the DuckDB oracle can recompute
+    * the identical fingerprint in SQL. */
   def simhash(text: String): Long = {
     val toks = MinHash.tokenize(text)
     if (toks.isEmpty) return 0L
@@ -214,7 +228,7 @@ object SimHash {
     val tf = scala.collection.mutable.HashMap.empty[String, Int]
     toks.foreach(t => tf.update(t, tf.getOrElse(t, 0) + 1))
     tf.foreach { case (t, w) =>
-      val h = graft.Hashing.mix64(graft.Hashing.fnv64(t))
+      val h = graft.Hashing.md5Long(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
@@ -229,26 +243,39 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Near-dup pairs with Hamming distance <= maxDist over (id, text). */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  /** Near-dup pairs with Hamming distance <= maxDist over (id, text).
+    *
+    * Scale shape mirrors [[MinHash.nearDupPairs]]: band keys emitted in the
+    * same narrow map that computes the fingerprint (4 rows/doc, no vector
+    * payload), buckets capped at `maxBucket` members so a degenerate
+    * all-identical corpus generates O(n * cap) pairs instead of O(n^2), and
+    * the Hamming filter is the codegen'd native expression computed once. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df
+    graft.functions.GraftFunctions.register(spark)
+    val banded = df
       .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
       .as[(String, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "sim")
-      .cache()
-    val banded = sigs.select($"id", $"sim",
-      explode(array((0 until 4).map(k => struct(lit(k).as("tbl"), shiftrightunsigned(col("sim"), k * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      .select($"id", $"sim", $"bk.tbl", $"bk.key")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val s = simhash(t)
+        (0 until 4).iterator.map(k => (id, s, k, (s >>> (k * 16)) & 0xffffL))
+      })
+      .toDF("id", "sim", "tbl", "key")
+    val buckets = banded
+      .groupBy($"tbl", $"key")
+      .agg(slice(array_sort(collect_list(struct($"id", $"sim"))), 1, maxBucket).as("members"))
+      .filter(size($"members") > 1)
+    buckets
+      .select(explode(expr(
+        "filter(flatten(transform(members, (m, i) -> transform(slice(members, i + 2, size(members)), " +
+        "n -> struct(m.id as id_a, n.id as id_b, m.sim as sim_a, n.sim as sim_b)))), p -> p.id_a < p.id_b)"
+      )).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"), $"p.sim_a".as("sim_a"), $"p.sim_b".as("sim_b"))
       .distinct()
-      .filter(udfHamming(col("sim_a"), col("sim_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"), udfHamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .withColumn("hamming", graft.functions.GraftFunctions.hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
-
-  private val udfHamming = udf((a: Long, b: Long) => hamming(a, b))
 }

@@ -91,6 +91,11 @@ final class LakeTable(val root: String) {
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
+    // Brackets/braces are the readManifest field terminators (the lazy
+    // regexes stop at the first ']' / '}'): escaping them in string content
+    // makes the codec injective — a path or lineage value containing ']' can
+    // no longer truncate the files/keys array or garble a lineage row.
+    case c @ ('[' | ']' | '{' | '}') => f"\\u${c.toInt}%04x"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }

@@ -86,9 +86,24 @@ object Hashing {
     new String(out)
   }
 
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of MD5(UTF-8 bytes), big-endian, as a Long (bit pattern —
+    * interpret unsigned). The near-dup primitives (MinHash shingles, SimHash
+    * features) hash with THIS so the DuckDB oracle can reproduce them
+    * exactly: `('0x' || substr(md5(s), 1, 16))::UBIGINT` yields the same 64
+    * bits. */
+  def md5Long(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+    ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+    ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   /** Stable 64-bit FNV-1a over UTF-8 bytes. Used wherever the engine needs a
     * cheap deterministic 64-bit hash that must not depend on JVM/Spark
-    * internals (MinHash shingles, SimHash features, salting in unit tests). */
+    * internals (salting in unit tests, winnowing fingerprints). */
   def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

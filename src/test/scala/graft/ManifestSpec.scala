@@ -16,14 +16,19 @@ class ManifestSpec extends AnyFunSuite {
     val lineage = Seq(
       Map("bucket" -> "0", "url_lo" -> "https://a.example/x?q=\"1\"&b=\\2",
         "note" -> "line1\nline2\ttabbed", "uni" -> "emoji é中"),
-      Map("bucket" -> "1", "url_lo" -> "plain"))
+      Map("bucket" -> "1", "url_lo" -> "https://b.example/a}b{c]d[e", "note" -> "v}]"),
+      Map("bucket" -> "2", "url_lo" -> "plain"))
+    // ']' in a path and '}'/'{'/'[' in lineage values are the parser's field
+    // terminators — the codec must escape them or committed data goes invisible
+    val bracketFile = s"$root/part-[0]{x}.parquet"
     val metrics = Map("docs" -> 12.0, "neg" -> -3.5, "sci" -> 1.25e-7)
-    val v = lake.commit(Seq(nastyFile, "normal.parquet"), Seq("k\"1", "k\\2"), lineage, metrics)
+    val v = lake.commit(Seq(nastyFile, bracketFile, "normal.parquet"),
+      Seq("k\"1", "k\\2", "k]3", "k}4"), lineage, metrics)
     assert(v == 1)
 
     val m = new LakeTable(root).readManifest(1)
-    assert(m.files == Seq(nastyFile, "normal.parquet"))
-    assert(m.keys == Seq("k\"1", "k\\2"))
+    assert(m.files == Seq(nastyFile, bracketFile, "normal.parquet"))
+    assert(m.keys == Seq("k\"1", "k\\2", "k]3", "k}4"))
     assert(m.lineage == lineage)
     assert(m.metrics == metrics)
   }

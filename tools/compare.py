@@ -60,5 +60,12 @@ for name in sorted(glob.glob(f"{outdir}/*/")):
         for x in list(sa - sb)[:3]: print(f"    spark-only:  {x[:140]}")
         for x in list(sb - sa)[:3]: print(f"    oracle-only: {x[:140]}")
         fails += 1
+# A query that crashed on the Spark side writes no output dir and would
+# otherwise silently vanish from the gate: fail for every oracle-listed
+# query with no dump.
+seen = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{outdir}/*/")}
+for q in sorted(set(oracle) - seen):
+    print(f"✗ {q:24s} NO SPARK OUTPUT (query crashed in Verify?)")
+    fails += 1
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)
