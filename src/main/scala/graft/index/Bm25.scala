@@ -56,7 +56,10 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = termFreq(docs, idCol, textCol)
-    val n = docs.select(col(idCol)).distinct().count()
+    // N = row count (ids are unique by caller contract — same contract the
+    // build path's dedup enforces). count() over zero columns resolves from
+    // parquet footer stats: no tokenize pass, no distinct shuffle.
+    val n = docs.count()
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     tf.join(broadcast(qTerms), "term")

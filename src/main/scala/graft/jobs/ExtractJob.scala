@@ -9,56 +9,155 @@ import org.apache.spark.sql.functions._
 
 /** The end-to-end extraction job: the Spark shape of the reference's
   * `convert_to_embeddings` driver (SURVEY.md §3.1), with checkpoint resume,
-  * salted skew handling, per-bucket lineage, and atomic snapshot commit.
+  * change detection, failed-row retry, salted skew handling, per-bucket
+  * lineage, and atomic snapshot commit.
   *
-  * One run = one snapshot over the url-hash buckets not yet committed:
+  * One run = one snapshot over the url-hash buckets that need work:
   *
   *   read pages → bucket by xxhash64(url) % nBuckets
-  *             → anti-join committed buckets            (resume, F2/T1)
-  *             → repartition by bucket                  (salting, P5)
-  *             → mapPartitions extract                  (X1/X2)
-  *             → flatMap chunk                          (K1-K5, D1)
-  *             → write parquet → commit manifest with lineage + metrics
+  *             → fingerprint buckets (xxhash64(url, warc_ts) xor-combined)
+  *             → todo = buckets whose fingerprint is not the committed one
+  *               (covers both never-extracted and CHANGED buckets — the
+  *               reference re-processes a file whose size/mtime changed,
+  *               progress_store.py:54-61; warc_ts is the crawl's mtime)
+  *             → plus the retry set: urls whose latest attempt err'd
+  *               (the reference retries failed files every run,
+  *               convert_to_embeddings.py:552-558)
+  *             → repartition by url                      (salting, P5)
+  *             → mapPartitions extract                   (X1/X2)
+  *             → flatMap chunk                           (K1-K5, D1)
+  *             → write chunks partitioned by bucket + err ledger rows
+  *             → commit manifest with lineage + metrics
   *
-  * Resume granularity is the bucket, not the row: a crashed run leaves
-  * orphan data files but no committed manifest, so the rerun reprocesses
-  * exactly the uncommitted buckets and the table stays byte-identical to a
-  * single clean run (tested in LakeSpec).
+  * Read semantics (latest-wins per bucket): a bucket's live chunk files are
+  * those written at version >= the bucket's newest full commit — so a
+  * re-extracted bucket atomically supersedes its old files, while later
+  * retry successes (which write only the recovered urls' chunks) remain
+  * visible. Liveness is resolved purely from manifests (no directory
+  * listing), the object-store-friendly way.
   */
 object ExtractJob {
 
-  final case class Result(version: Int, docs: Long, chunks: Long, errs: Long, buckets: Seq[Int])
+  final case class Result(version: Int, docs: Long, chunks: Long, errs: Long,
+                          buckets: Seq[Int], retried: Long)
 
-  def run(spark: SparkSession, pages: Dataset[PageRow], tableRoot: String,
-          nBuckets: Int = 64, maxBucketsPerRun: Int = Int.MaxValue): Result = {
+  private val BucketKey = "b=(\\d+):fp=(-?\\d+)".r
+
+  /** Latest committed fingerprint per bucket (later snapshots win). */
+  def committedFps(lake: LakeTable): Map[Int, Long] =
+    (1 to lake.currentVersion).foldLeft(Map.empty[Int, Long]) { (acc, v) =>
+      acc ++ lake.readManifest(v).keys.collect { case BucketKey(b, fp) => b.toInt -> fp.toLong }
+    }
+
+  /** Version of the latest FULL commit per bucket (retry commits excluded). */
+  private def vFullMap(lake: LakeTable): Map[Int, Int] =
+    (1 to lake.currentVersion).foldLeft(Map.empty[Int, Int]) { (acc, v) =>
+      acc ++ lake.readManifest(v).keys.collect { case BucketKey(b, _) => b.toInt -> v }
+    }
+
+  /** Order-independent content fingerprint per bucket over (url, warc_ts) —
+    * the metadata-only analog of the reference's size/mtime check; the html
+    * payload is never read for planning. */
+  def bucketFingerprints(pages: Dataset[PageRow], nBuckets: Int): Map[Int, Long] =
+    pages.select(
+        pmod(xxhash64(col("url")), lit(nBuckets)).cast("int").as("bucket"),
+        xxhash64(col("url"), col("warc_ts")).as("h"))
+      .groupBy("bucket").agg(expr("bit_xor(h)").as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Live error-ledger rows (bucket, url, kind, err, v): attempts at or
+    * after each bucket's newest full commit. err = "" rows are resolution
+    * markers written by successful retries. */
+  def errLedger(spark: SparkSession, tableRoot: String): DataFrame = {
     import spark.implicits._
     val lake = new LakeTable(tableRoot)
-    val done: Set[String] = lake.committedKeys
-    val todo: Seq[Int] = (0 until nBuckets).filterNot(b => done.contains(b.toString)).take(maxBucketsPerRun)
-    if (todo.isEmpty) return Result(lake.currentVersion, 0, 0, 0, Nil)
+    val vf = vFullMap(lake)
+    val perV = (1 to lake.currentVersion).flatMap { v =>
+      val fs = lake.readManifest(v).files.filter(_.contains("/errs/"))
+      if (fs.isEmpty) None
+      else Some(spark.read.parquet(fs: _*).withColumn("v", lit(v)))
+    }
+    if (perV.isEmpty)
+      return Seq.empty[(Int, String, String, String, Int)]
+        .toDF("bucket", "url", "kind", "err", "v")
+    val vfDf = vf.toSeq.toDF("bucket", "vfull")
+    perV.reduce(_ unionByName _)
+      .join(broadcast(vfDf), "bucket")
+      .filter(col("v") >= col("vfull"))
+      .drop("vfull")
+  }
+
+  /** Urls whose LATEST attempt failed — the retry set for the next run. */
+  def pendingErrs(spark: SparkSession, tableRoot: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy(col("v").desc)
+    errLedger(spark, tableRoot)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("err") =!= "")
+      .select("bucket", "url", "err")
+  }
+
+  def run(spark: SparkSession, pages: Dataset[PageRow], tableRoot: String,
+          nBuckets: Int = 64, maxBucketsPerRun: Int = Int.MaxValue,
+          retryErrs: Boolean = true): Result = {
+    import spark.implicits._
+    val lake = new LakeTable(tableRoot)
+    val committed = committedFps(lake)
+    val fps = bucketFingerprints(pages, nBuckets)
+    val todo: Seq[Int] = (0 until nBuckets)
+      .filter(b => !committed.get(b).contains(fps.getOrElse(b, 0L)))
+      .take(maxBucketsPerRun)
+
+    // failed-row retry: urls whose latest attempt err'd, in buckets NOT
+    // being fully re-extracted this run (those re-attempt everything anyway)
+    val retryUrls: Seq[String] =
+      if (!retryErrs || lake.currentVersion == 0) Nil
+      else pendingErrs(spark, tableRoot)
+        .filter(!col("bucket").isin(todo: _*))
+        .select("url").as[String].collect().toSeq
+
+    if (todo.isEmpty && retryUrls.isEmpty)
+      return Result(lake.currentVersion, 0, 0, 0, Nil, 0)
 
     // prune to (url, html, bucket) BEFORE the salting shuffle — the scan's
     // ReadSchema and the exchange both drop warc_ts/text/lang
     val bucketed = pages
       .select(col("url"), col("html"),
         pmod(xxhash64(col("url")), lit(nBuckets)).cast("int").as("bucket"))
+    val todoPages = bucketed
       .filter(col("bucket").isin(todo: _*))
+      .withColumn("retry", lit(false))
+    val work =
+      if (retryUrls.isEmpty) todoPages
+      else todoPages.unionByName(
+        bucketed
+          .join(broadcast(retryUrls.toDF("url")), "url")
+          .filter(!col("bucket").isin(todo: _*))
+          .select(col("url"), col("html"), col("bucket"))
+          .withColumn("retry", lit(true)))
 
     // salted repartition: decouple extraction parallelism from input layout
     val parts = spark.sparkContext.defaultParallelism
-    val salted = bucketed
+    val salted = work
       .repartition(parts, col("url"))
-      .as[(String, Array[Byte], Int)]
+      .as[(String, Array[Byte], Int, Boolean)]
 
     // Extraction feeds two consumers (chunk write + lineage/metrics agg);
     // persist so the expensive parse runs once. At production scale the
     // equivalent is materializing the extracted-docs table itself as a
     // snapshot and deriving chunks/lineage from that scan.
-    val extracted: Dataset[(ExtractedDoc, Int)] = salted.mapPartitions { it =>
-      it.map { case (url, html, bucket) => (Extract.extractOne(url, html), bucket) }
+    val extracted: Dataset[(ExtractedDoc, Int, Boolean)] = salted.mapPartitions { it =>
+      it.map { case (url, html, bucket, retry) => (Extract.extractOne(url, html), bucket, retry) }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val chunks = extracted.flatMap { case (d, bucket) =>
+    val v = lake.currentVersion + 1
+    val outBase = s"$tableRoot/data/v$v"
+
+    // chunk rows, partitioned by bucket so per-bucket supersession is a
+    // pure file-path property; chunk count observed on the same write pass
+    // (no re-read of the just-written table)
+    val chunkObs = new org.apache.spark.sql.Observation(s"chunks_v$v")
+    val chunks = extracted.flatMap { case (d, bucket, _) =>
       if (d.err.isEmpty && d.text.nonEmpty)
         Chunker.chunkDocument(d.url, graft.Hashing.sha256Hex(d.text), d.text)
           .map(c => (c.id, c.url, c.chunk_index, c.total_chunks, c.text, c.chunk_hash,
@@ -66,15 +165,29 @@ object ExtractJob {
       else Nil
     }.toDF("id", "url", "chunk_index", "total_chunks", "text", "chunk_hash",
       "is_duplicate", "duplicate_of_index", "bucket")
+      .observe(chunkObs, count(lit(1)).as("n"))
+    chunks.write.partitionBy("bucket").mode("overwrite").parquet(s"$outBase/chunks")
+    val nChunks: Long = chunkObs.get("n") match {
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }
+
+    // error ledger: failures always; retry attempts always (err = "" marks a
+    // retry that succeeded, retiring the url from the pending set)
+    val errRows = extracted
+      .filter(t => t._1.err.nonEmpty || t._3)
+      .map { case (d, b, _) => (b, d.url, d.kind, d.err) }
+      .toDF("bucket", "url", "kind", "err")
+    errRows.write.mode("overwrite").parquet(s"$outBase/errs")
 
     // per-bucket lineage (the reference's per-file ledger rows,
     // progress_store.py:33-61) + an observe() metric on the same pass —
     // the Catalyst-native billing accumulator (SURVEY.md §2.7 A1,
     // reference: billing.py:53-72): collected by the listener during the
     // lineage aggregation, no extra job
-    val observation = new org.apache.spark.sql.Observation(s"extract_v${lake.currentVersion + 1}")
+    val observation = new org.apache.spark.sql.Observation(s"extract_v$v")
     val docStats = extracted
-      .map { case (d, b) => (b, d.url, if (d.err.nonEmpty) 1 else 0, d.n_chars.toLong) }
+      .map { case (d, b, _) => (b, d.url, if (d.err.nonEmpty) 1 else 0, d.n_chars.toLong) }
       .toDF("bucket", "url", "is_err", "n_chars")
       .observe(observation,
         count(lit(1)).as("obs_docs"),
@@ -94,14 +207,9 @@ object ExtractJob {
           "chars" -> r.getAs[Long]("chars").toString)
       }.toSeq
 
-    val v = lake.currentVersion + 1
-    val outDir = s"$tableRoot/data/v$v"
-    chunks.write.mode("overwrite").parquet(outDir)
-
     val nDocs = lineageRows.map(_("n_docs").toLong).sum
     val nErrs = lineageRows.map(_("n_err").toLong).sum
-    val nChunks = spark.read.parquet(outDir).count()
-    val files = lake.listParquet(outDir)
+    val files = lake.listParquet(outBase)
     // token estimate from observe(): the reference's billing tokens
     // (max(1, len//4), convert_to_embeddings.py:106-118), free-riding on the
     // lineage aggregation job
@@ -111,15 +219,32 @@ object ExtractJob {
       case Some(d: java.lang.Double) => d.toDouble
       case _ => 0.0
     }
-    // commit ALL planned buckets (some may be empty of rows — still done)
-    val keys = todo.map(_.toString)
+    // commit ALL planned buckets under their new fingerprint (some may be
+    // empty of rows — still done); retry-only work is marked with its own key
+    val keys = todo.map(b => s"b=$b:fp=${fps.getOrElse(b, 0L)}") ++
+      (if (retryUrls.nonEmpty) Seq(s"retry-v$v") else Nil)
     lake.commit(files, keys, lineageRows,
       Map("docs" -> nDocs.toDouble, "chunks" -> nChunks.toDouble,
           "errs" -> nErrs.toDouble, "tokens_est" -> tokensEst))
     extracted.unpersist()
-    Result(v, nDocs, nChunks, nErrs, todo)
+    Result(v, nDocs, nChunks, nErrs, todo, retryUrls.length.toLong)
   }
 
-  def readChunks(spark: SparkSession, tableRoot: String): DataFrame =
-    new LakeTable(tableRoot).read(spark)
+  /** Live chunk files per the latest-wins-per-bucket rule, resolved from
+    * manifests alone. */
+  private def liveChunkFiles(lake: LakeTable): Seq[String] = {
+    val vf = vFullMap(lake)
+    val BucketDir = ".*/chunks/bucket=(\\d+)/.*".r
+    (1 to lake.currentVersion).flatMap { v =>
+      lake.readManifest(v).files.collect {
+        case f @ BucketDir(b) if v >= vf.getOrElse(b.toInt, Int.MaxValue) => f
+      }
+    }
+  }
+
+  def readChunks(spark: SparkSession, tableRoot: String): DataFrame = {
+    val files = liveChunkFiles(new LakeTable(tableRoot))
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
 }

@@ -47,25 +47,71 @@ object IndexJob {
     v
   }
 
-  private def segments(spark: SparkSession, indexRoot: String): (DataFrame, DataFrame) = {
-    val lake = new LakeTable(indexRoot)
+  /** Live segment versions: everything after (and including) the newest
+    * compaction — compacted-away segment dirs stay on disk for time travel
+    * but are no longer unioned at query time. */
+  private def liveVersions(lake: LakeTable): Seq[Int] = {
     val v = lake.currentVersion
-    require(v > 0, s"no committed index at $indexRoot")
-    val postings = (1 to v).map(i => spark.read.parquet(s"$indexRoot/data/v$i/postings"))
+    require(v > 0, s"no committed index at ${lake.root}")
+    val compactedAt = lake.committedKeys.collect {
+      case CompactKey(n) => n.toInt
+    }.foldLeft(0)(math.max)
+    // a compaction at version c retires versions < c; versions after it are
+    // ordinary segments again
+    math.max(1, compactedAt) to v
+  }
+
+  private val CompactKey = "compact-v(\\d+)".r
+
+  private def segments(spark: SparkSession, indexRoot: String): (DataFrame, DataFrame) = {
+    val live = liveVersions(new LakeTable(indexRoot))
+    val postings = live.map(i => spark.read.parquet(s"$indexRoot/data/v$i/postings"))
       .reduce(_ unionByName _)
-    val doclen = (1 to v).map(i => spark.read.parquet(s"$indexRoot/data/v$i/doclen"))
+    val doclen = live.map(i => spark.read.parquet(s"$indexRoot/data/v$i/doclen"))
       .reduce(_ unionByName _)
     (postings, doclen)
   }
 
-  /** Retrieval join over all committed segments (R2): query terms ⨝
-    * postings on term → merge per-term df across segments → explode
-    * postings → per-doc BM25 sum → top-k. Global stats (N, avgdl) are
-    * recomputed from the doclen union, so scores are identical to a fresh
-    * single-segment build over the whole corpus (asserted in spec). */
+  /** Merge all live segments into one and commit it as the new single live
+    * segment (key `compact-vN`). Search equality before/after is asserted in
+    * IndexExprSpec. Per-query cost returns to a single segment; old dirs
+    * remain on disk for snapshot time travel. */
+  def compact(spark: SparkSession, indexRoot: String): Int = {
+    val (postingsAll, doclenAll) = segments(spark, indexRoot)
+    // same defensive overlap semantics as search(): dedup (term,doc) keep
+    // max tf, recompute df; dedup doclen by doc
+    val flat = postingsAll
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"))
+      .groupBy("term", "doc").agg(max("tf").as("tf"))
+    val postings = flat.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
+    val doclen = doclenAll.dropDuplicates("doc")
+
+    val lake = new LakeTable(indexRoot)
+    val v = lake.currentVersion + 1
+    postings.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
+    doclen.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
+    val files = lake.listParquet(s"$indexRoot/data/v$v")
+    lake.commit(files, Seq(s"compact-v$v"), Nil, Map.empty)
+    v
+  }
+
+  /** Retrieval join over all live segments (R2): query terms ⨝ postings on
+    * term → explode → dedup (term,doc) by max tf (defensive: a chunk id
+    * indexed into two overlapping segments must not double-count tf or
+    * inflate df/N) → recompute global df per term → per-doc BM25 sum →
+    * top-k. Global stats (N, avgdl) come from the doc-deduped doclen union,
+    * so scores are identical to a fresh single-segment build over the whole
+    * corpus (asserted in spec). The dedup shuffle only touches postings that
+    * matched the broadcast query terms — bounded by query selectivity, not
+    * corpus size. */
   def search(spark: SparkSession, indexRoot: String, query: String, k: Int): DataFrame = {
     import spark.implicits._
-    val (postingsAll, doclen) = segments(spark, indexRoot)
+    val (postingsAll, doclenRaw) = segments(spark, indexRoot)
+    val doclen = doclenRaw.dropDuplicates("doc")
     val stats = doclen.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl")).head()
     val n = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1)
@@ -73,10 +119,10 @@ object IndexJob {
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
     postingsAll
       .join(broadcast(qTerms), "term")
-      // merge segment-local df into global df per term
-      .withColumn("df", sum(col("df")).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
-      .select(col("term"), col("df"), explode(col("postings")).as("p"))
-      .select(col("term"), col("df"), col("p.doc").as("doc"), col("p.tf").as("tf"))
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"))
+      .groupBy("term", "doc").agg(max("tf").as("tf"))
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .join(doclen, "doc")
       .withColumn("idf", log(lit(1.0) + (lit(n) - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
       .withColumn("score",

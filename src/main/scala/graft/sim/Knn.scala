@@ -51,19 +51,48 @@ object Knn {
           lit(0L), (acc, bit) => acc * 2 + bit))
   }
 
+  /** Unordered candidate pairs (id_a < id_b) from capped LSH buckets.
+    *
+    * Scale shape (mirrors MinHash.nearDupPairs): the bucket shuffle carries
+    * ONLY (id, tbl, bucket) — Catalyst prunes the vector before the exchange
+    * — and bucket membership is capped at `maxBucket` sorted members, so a
+    * degenerate corpus of near-identical embeddings (exactly what embedding
+    * dedup targets) generates O(n·cap) pairs per table instead of O(n²).
+    * Vectors are re-joined by id only for the candidate pairs that survive.
+    * The cap silently drops candidates past `maxBucket` per bucket — at
+    * default settings that only binds on pathological clusters; widen
+    * `bits`/`maxBucket` if recall on dense clusters matters more than cost. */
+  private def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                             bits: Int, tables: Int, dim: Int, maxBucket: Int): DataFrame = {
+    val ids = lshBuckets(df, idCol, vecCol, bits, tables, dim)
+      .select(col("id"), col("tbl"), col("bucket"))
+    ids.groupBy("tbl", "bucket")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b)))), p -> p.a < p.b)"
+      )).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
   /** Approximate nearest neighbor per query id against the corpus: bucketed
-    * candidates, exact cosine on candidates only, top-k per query. */
+    * candidates (capped, id-only shuffle), exact cosine on candidates only,
+    * top-k per query. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              bits: Int = 10, tables: Int = 3, dim: Int = 64): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, bits, tables, dim)
-    val a = b.select(col("id").as("id_a"), col("vec").as("vec_a"), col("tbl"), col("bucket"))
-    val c = b.select(col("id").as("id_b"), col("vec").as("vec_b"), col("tbl"), col("bucket"))
-    val pairs = a.join(c, Seq("tbl", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
+              bits: Int = 10, tables: Int = 3, dim: Int = 64,
+              maxBucket: Int = 256): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val und = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket)
+    // both directions: each member of an unordered pair queries the other
+    val pairs = und.unionByName(
+      und.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val scored = pairs
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
       .select(col("id_a"), col("id_b"), round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine"))
-      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("id_a").orderBy(desc("cosine"), asc("id_b"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate removal: ANN candidate pairs above
@@ -71,14 +100,13 @@ object Knn {
     * dedup family: exact-hash / MinHash / SimHash / n-gram / embedding). */
   def dropEmbeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                             simThreshold: Double = 0.995,
-                            bits: Int = 10, tables: Int = 3, dim: Int = 64): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, bits, tables, dim)
-    val a = b.select(col("id").as("id_a"), col("vec").as("vec_a"), col("tbl"), col("bucket"))
-    val c = b.select(col("id").as("id_b"), col("vec").as("vec_b"), col("tbl"), col("bucket"))
-    val losers = a.join(c, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosineCol(col("vec_a"), col("vec_b")).as("cosine"))
-      .filter(col("cosine") >= simThreshold)
+                            bits: Int = 10, tables: Int = 3, dim: Int = 64,
+                            maxBucket: Int = 256): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val losers = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket)
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
+      .filter(cosineCol(col("vec_a"), col("vec_b")) >= simThreshold)
       .select(col("id_b").as("loser"))
       .distinct()
     df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")

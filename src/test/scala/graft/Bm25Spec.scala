@@ -82,6 +82,22 @@ class Bm25Spec extends SparkSuiteBase {
     assert(ann.headOption.contains("99"))
   }
 
+  test("ANN bucket cap bounds pair blowup on a degenerate all-identical corpus") {
+    // 300 identical embeddings: every vector lands in the same bucket in
+    // every table. Uncapped this is C(300,2)*tables ≈ 134k pairs; with
+    // maxBucket=32 only the 32 smallest ids per bucket pair up.
+    val v = {
+      val rnd = new java.util.SplittableRandom(7L)
+      Array.fill(64)(rnd.nextDouble().toFloat)
+    }
+    val df = (0 until 300).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val out = Knn.annTopK(df, "vec_id", "embedding", k = 3, maxBucket = 32).collect()
+    val queryIds = out.map(_.getLong(0)).toSet
+    assert(queryIds.nonEmpty && queryIds.subsetOf((0L until 32L).toSet),
+      s"cap leaked: ${queryIds.size} query ids, max ${queryIds.max}")
+    assert(out.length <= 32 * 3)
+  }
+
   test("embedding-cosine near-dup removal drops the planted twin, keeps the rest") {
     val base = (0 until 25).map { i =>
       val rnd = new java.util.SplittableRandom(500 + i)

@@ -144,6 +144,56 @@ class IndexExprSpec extends SparkSuiteBase {
     chunks.unpersist()
   }
 
+  test("compaction: merged segment search-identical to segmented; later appends still work") {
+    val srcRoot = Files.createTempDirectory("graft-cmp-src").toString
+    val idxRoot = Files.createTempDirectory("graft-cmp").toString
+    val pages = spark.range(200).map(i => PageGen.row(42L, i))
+    ExtractJob.run(spark, pages, srcRoot, nBuckets = 4)
+    val chunks = ExtractJob.readChunks(spark, srcRoot).cache()
+    val third = (k: Int) => chunks.filter(pmod(xxhash64(col("id")), lit(3)) === k)
+    IndexJob.build(spark, third(0), idxRoot)
+    IndexJob.build(spark, third(1), idxRoot)
+
+    val q = "convergence variance analysis"
+    val before = IndexJob.search(spark, idxRoot, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val cv = IndexJob.compact(spark, idxRoot)
+    assert(cv == 3)
+    val after = IndexJob.search(spark, idxRoot, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(before == after, s"compaction changed search results:\n$before\n$after")
+
+    // a segment appended after compaction participates in search
+    IndexJob.build(spark, third(2), idxRoot)
+    val withAll = IndexJob.search(spark, idxRoot, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val fullRoot = Files.createTempDirectory("graft-cmp-full").toString
+    IndexJob.build(spark, chunks, fullRoot)
+    val full = IndexJob.search(spark, fullRoot, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(withAll == full)
+    chunks.unpersist()
+  }
+
+  test("overlapping segments: doc indexed twice does not double-count tf/df/N") {
+    val idxRoot = Files.createTempDirectory("graft-ovl").toString
+    val refRoot = Files.createTempDirectory("graft-ovl-ref").toString
+    val docs = Seq(
+      ("c1", "alpha beta gamma"), ("c2", "alpha alpha delta"), ("c3", "beta epsilon zeta"))
+      .toDF("id", "text")
+      .withColumn("is_duplicate", lit(false))
+    // same chunk table indexed into two segments (the violation the
+    // build-time comment delegates upstream) vs indexed once
+    IndexJob.build(spark, docs, idxRoot)
+    IndexJob.build(spark, docs, idxRoot)
+    IndexJob.build(spark, docs, refRoot)
+    val got = IndexJob.search(spark, idxRoot, "alpha beta", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = IndexJob.search(spark, refRoot, "alpha beta", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want, s"overlap distorted scores:\n$got\n$want")
+  }
+
   test("sliding sentence windows: window-over-span-rows segmentation") {
     val text = "One is first. Two follows! Three here? Four now. Five mid. Six nears. Seven ends."
     val df = Seq(("u1", text)).toDF("url", "text")

@@ -48,26 +48,28 @@ class LakeSpec extends SparkSuiteBase {
     val n = 120
     val pages = spark.range(n).map(i => PageGen.row(42L, i))
 
-    // clean single run
+    // retryErrs=false isolates the bucket-complement resume semantics (the
+    // seeded corpus plants a few unsniffable pages that would otherwise be
+    // legitimately re-attempted every run, per the reference's retry rule)
     val cleanRoot = tmpDir()
-    val clean = ExtractJob.run(spark, pages, cleanRoot, nBuckets = 8)
+    val clean = ExtractJob.run(spark, pages, cleanRoot, nBuckets = 8, retryErrs = false)
     assert(clean.docs == n)
     assert(clean.buckets.sorted == (0 until 8))
 
     // crashed run: only 3 buckets committed, then "crash"
     val root = tmpDir()
-    val first = ExtractJob.run(spark, pages, root, nBuckets = 8, maxBucketsPerRun = 3)
+    val first = ExtractJob.run(spark, pages, root, nBuckets = 8, maxBucketsPerRun = 3, retryErrs = false)
     assert(first.buckets == Seq(0, 1, 2))
     val mid = new LakeTable(root)
-    assert(mid.committedKeys == Set("0", "1", "2"))
+    assert(ExtractJob.committedFps(mid).keySet == Set(0, 1, 2))
 
     // resume: processes exactly the complement
-    val second = ExtractJob.run(spark, pages, root, nBuckets = 8)
+    val second = ExtractJob.run(spark, pages, root, nBuckets = 8, retryErrs = false)
     assert(second.buckets == Seq(3, 4, 5, 6, 7))
     assert(first.docs + second.docs == n)
 
     // third run: nothing left to do
-    val third = ExtractJob.run(spark, pages, root, nBuckets = 8)
+    val third = ExtractJob.run(spark, pages, root, nBuckets = 8, retryErrs = false)
     assert(third.docs == 0 && third.buckets.isEmpty)
 
     // final chunk table byte-identical to the clean run (T1 semantics)
@@ -79,6 +81,82 @@ class LakeSpec extends SparkSuiteBase {
       .orderBy("url", "chunk_index").collect().toSeq
     assert(a == b)
     assert(a.nonEmpty)
+  }
+
+  test("changed page re-extracts exactly its bucket; reader sees the new content") {
+    val n = 120
+    val pages = spark.range(n).map(i => PageGen.row(42L, i))
+    val root = tmpDir()
+    ExtractJob.run(spark, pages, root, nBuckets = 8, retryErrs = false)
+
+    // one page re-crawled: new warc_ts (the mtime analog) + new content
+    val tUrl = PageGen.row(42L, 5L).url
+    val newHtml = graft.corpus.HtmlGen.article("Changed",
+      Seq("totally new body content with more than ten words so the strict tier keeps it for sure"),
+      1, Nil).getBytes("UTF-8")
+    val pages2 = pages.map { p =>
+      if (p.url == tUrl)
+        p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 60000), html = newHtml)
+      else p
+    }
+    val r2 = ExtractJob.run(spark, pages2, root, nBuckets = 8, retryErrs = false)
+    assert(r2.buckets.size == 1, s"expected exactly the changed bucket, got ${r2.buckets}")
+
+    // the reader sees the re-extracted content, once, and the whole table is
+    // row-identical to a clean run over the mutated corpus
+    val got = ExtractJob.readChunks(spark, root)
+    val tChunks = got.filter(col("url") === tUrl).select("text").as[String].collect()
+    assert(tChunks.length == 1 && tChunks.head.contains("totally new body content"))
+    val cleanRoot = tmpDir()
+    ExtractJob.run(spark, pages2, cleanRoot, nBuckets = 8, retryErrs = false)
+    val a = ExtractJob.readChunks(spark, cleanRoot)
+      .select("id", "url", "chunk_index", "text").orderBy("url", "chunk_index").collect().toSeq
+    val b = got.select("id", "url", "chunk_index", "text").orderBy("url", "chunk_index").collect().toSeq
+    assert(a == b && a.nonEmpty)
+
+    // unchanged input ⇒ nothing to do
+    val r3 = ExtractJob.run(spark, pages2, root, nBuckets = 8, retryErrs = false)
+    assert(r3.buckets.isEmpty && r3.docs == 0)
+  }
+
+  test("failed row is retried next run; recovery shows up without re-extracting its bucket") {
+    import java.sql.Timestamp
+    def page(u: String, body: Array[Byte]) = PageRow(u, new Timestamp(1000L), body, "", "en")
+    def goodHtml(i: Int) = graft.corpus.HtmlGen.article(s"T$i",
+      Seq(s"a sufficiently long paragraph body number $i with plenty of words to pass the strict tier filter easily"),
+      1, Nil).getBytes("UTF-8")
+    val poison = Array[Byte](0, -1, 7, 9, 12, 0, 3) // NUL prefix: unsniffable
+    val root = tmpDir()
+
+    val run1Pages = spark.createDataset(
+      (0 until 10).map(i => page(s"https://t.example/p$i", goodHtml(i))) :+
+        page("https://t.example/poison", poison))
+    val r1 = ExtractJob.run(spark, run1Pages, root, nBuckets = 4)
+    assert(r1.errs == 1)
+    assert(ExtractJob.pendingErrs(spark, root).count() == 1)
+
+    // run 2, identical input: the bucket complement is empty but the err'd
+    // url is re-attempted (and errs again) without blocking the commit
+    val r2 = ExtractJob.run(spark, run1Pages, root, nBuckets = 4)
+    assert(r2.buckets.isEmpty && r2.retried == 1 && r2.errs == 1)
+    assert(r2.version > r1.version)
+    assert(ExtractJob.pendingErrs(spark, root).count() == 1)
+
+    // run 3: content fixed in place (same url, same warc_ts ⇒ fingerprint
+    // unchanged ⇒ no bucket work) — the retry recovers it
+    val run3Pages = spark.createDataset(
+      (0 until 10).map(i => page(s"https://t.example/p$i", goodHtml(i))) :+
+        page("https://t.example/poison", goodHtml(99)))
+    val r3 = ExtractJob.run(spark, run3Pages, root, nBuckets = 4)
+    assert(r3.buckets.isEmpty && r3.retried == 1 && r3.errs == 0)
+    assert(ExtractJob.pendingErrs(spark, root).count() == 0)
+    val rec = ExtractJob.readChunks(spark, root)
+      .filter(col("url") === "https://t.example/poison").count()
+    assert(rec == 1)
+
+    // run 4: fully quiesced
+    val r4 = ExtractJob.run(spark, run3Pages, root, nBuckets = 4)
+    assert(r4.buckets.isEmpty && r4.retried == 0 && r4.version == r3.version)
   }
 
   test("lineage rows cover all processed buckets with doc counts") {
