@@ -68,7 +68,12 @@ object Extract {
       case "pdf" =>
         try {
           val (text, pageSpans) = PdfText.extract(new PdfDoc(bytes))
-          val eff = text.count(c => !Character.isWhitespace(c))
+          var eff = 0
+          var ei = 0
+          while (ei < text.length) { // manual loop: Char=>Boolean count boxes
+            if (!Character.isWhitespace(text.charAt(ei))) eff += 1
+            ei += 1
+          }
           if (eff < 50) // empty-text gate, reference ocr_engine.py:229-235
             ExtractedDoc(url, "pdf", "", Nil, "empty_text", 0, 0, "")
           else

@@ -43,6 +43,71 @@ object HtmlExtractor {
     * and lenient tiers. */
   private val ContainerTags: Set[String] = Set("nav", "header", "footer", "aside")
 
+  // ------------------------------------------------- zero-alloc tag lookup
+  // The tokenizer classifies every tag of every page; substring+toLowerCase
+  // per tag is the single biggest small-object source in the HTML hot path.
+  // Known tags resolve to (flags, canonical interned name) by comparing the
+  // raw chars case-insensitively — no allocation for known OR unknown tags.
+  private final val FBlock = 1
+  private final val FRaw = 2
+  private final val FContainer = 4
+  private final val FAnchor = 8
+
+  private val TagTable: Array[Array[String]] = {
+    val all = (BlockTags ++ RawTextTags ++ ContainerTags + "a").toArray
+    val byFirst = Array.fill(26)(Array.empty[String])
+    for (c <- 0 until 26) byFirst(c) = all.filter(_.head - 'a' == c).sortBy(_.length)
+    byFirst
+  }
+  private val TagFlags: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    (BlockTags ++ RawTextTags ++ ContainerTags + "a").foreach { t =>
+      var f = 0
+      if (BlockTags.contains(t)) f |= FBlock
+      if (RawTextTags.contains(t)) f |= FRaw
+      if (ContainerTags.contains(t)) f |= FContainer
+      if (t == "a") f |= FAnchor
+      m.put(t, f)
+    }
+    m
+  }
+  private val RawCloser: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    RawTextTags.foreach(t => m.put(t, "</" + t))
+    m
+  }
+
+  @inline private def lowerAscii(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** Canonical interned name of the tag at html[start,end), or null when the
+    * tag is none we classify. Case-insensitive, allocation-free. */
+  private def knownTag(html: String, start: Int, end: Int): String = {
+    val len = end - start
+    if (len < 1 || len > 10) return null
+    val c0 = lowerAscii(html.charAt(start))
+    if (c0 < 'a' || c0 > 'z') return null
+    val cands = TagTable(c0 - 'a')
+    var k = 0
+    while (k < cands.length) {
+      val cand = cands(k)
+      if (cand.length == len) {
+        var j = 1
+        while (j < len && lowerAscii(html.charAt(start + j)) == cand.charAt(j)) j += 1
+        if (j == len) return cand
+      }
+      k += 1
+    }
+    null
+  }
+
+  private def regionEq(html: String, start: Int, len: Int, lit: String): Boolean = {
+    if (len != lit.length) return false
+    var j = 0
+    while (j < len && html.charAt(start + j) == lit.charAt(j)) j += 1
+    j == len
+  }
+
   final case class Block(
       text: String,          // whitespace-collapsed, trimmed
       linkChars: Int,        // chars contributed while inside <a>
@@ -62,7 +127,9 @@ object HtmlExtractor {
   // ---------------------------------------------------------------- tokenizer
 
   /** Single pass over the markup; no DOM is built. Handles comments,
-    * raw-text elements, entities, and attribute values containing '>'. */
+    * raw-text elements, entities, and attribute values containing '>'.
+    * Hot path: per-tag and per-entity handling is allocation-free (the only
+    * allocations are the kept block strings themselves). */
   def tokenize(html: String): Vector[Block] = {
     val out = new ArrayBuffer[Block]()
     val sb = new StringBuilder
@@ -74,25 +141,58 @@ object HtmlExtractor {
     var lastWasSpace = true // collapse leading ws
 
     def flush(): Unit = {
-      val text = sb.toString.trim
-      if (text.nonEmpty) out += Block(text, math.min(linkChars, text.length), blockInContainer, blockKind)
+      // collapsed text never has a leading space (lastWasSpace starts true)
+      // and at most one trailing space — trim == drop that one char
+      val end = if (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.length - 1 else sb.length
+      if (end > 0) {
+        val text = sb.substring(0, end)
+        out += Block(text, math.min(linkChars, text.length), blockInContainer, blockKind)
+      }
       sb.clear()
       linkChars = 0
       lastWasSpace = true
       blockInContainer = containerDepth > 0
     }
 
-    def appendText(s: String): Unit = {
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (Character.isWhitespace(c) || c == ' ') {
-          if (!lastWasSpace) { sb.append(' '); if (linkDepth > 0) linkChars += 1; lastWasSpace = true }
-        } else {
-          sb.append(c); if (linkDepth > 0) linkChars += 1; lastWasSpace = false
-        }
-        i += 1
+    def appendChar(c: Char): Unit = {
+      if (Character.isWhitespace(c)) {
+        if (!lastWasSpace) { sb.append(' '); if (linkDepth > 0) linkChars += 1; lastWasSpace = true }
+      } else {
+        sb.append(c); if (linkDepth > 0) linkChars += 1; lastWasSpace = false
       }
+    }
+
+    /** Decode the entity at html(i) == '&' into the block buffer; returns the
+      * next index. Unknown/invalid entities emit '&' and continue at i+1. */
+    def appendEntity(i: Int): Int = {
+      val semi = html.indexOf(';', i + 1)
+      if (semi < 0 || semi - i > 10) { appendChar('&'); return i + 1 }
+      val s = i + 1
+      val len = semi - s
+      if (regionEq(html, s, len, "amp")) { appendChar('&'); semi + 1 }
+      else if (regionEq(html, s, len, "lt")) { appendChar('<'); semi + 1 }
+      else if (regionEq(html, s, len, "gt")) { appendChar('>'); semi + 1 }
+      else if (regionEq(html, s, len, "quot")) { appendChar('"'); semi + 1 }
+      else if (regionEq(html, s, len, "apos") || regionEq(html, s, len, "#39")) { appendChar('\''); semi + 1 }
+      else if (regionEq(html, s, len, "nbsp")) { appendChar(' '); semi + 1 }
+      else if (len >= 2 && html.charAt(s) == '#') {
+        val hex = html.charAt(s + 1) == 'x' || html.charAt(s + 1) == 'X'
+        var j = s + (if (hex) 2 else 1)
+        var cp = 0L
+        var ok = j < semi
+        while (j < semi && ok) {
+          val d = Character.digit(html.charAt(j), if (hex) 16 else 10)
+          if (d < 0) ok = false
+          else { cp = cp * (if (hex) 16 else 10) + d; if (cp > Int.MaxValue) ok = false; j += 1 }
+        }
+        if (ok && Character.isValidCodePoint(cp.toInt)) {
+          val c = cp.toInt
+          if (c < 0x10000) appendChar(c.toChar)
+          else { appendChar(Character.highSurrogate(c)); appendChar(Character.lowSurrogate(c)) }
+          semi + 1
+        } else { appendChar('&'); i + 1 }
+      }
+      else { appendChar('&'); i + 1 }
     }
 
     val n = html.length
@@ -104,45 +204,66 @@ object HtmlExtractor {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
         } else if (html.startsWith("<![CDATA[", i)) {
+          // CDATA is character data, markup-opaque
           val end = html.indexOf("]]>", i + 9)
-          val body = html.substring(i + 9, if (end < 0) n else end)
-          appendText(body) // CDATA is character data, markup-opaque
+          val stop = if (end < 0) n else end
+          var k = i + 9
+          while (k < stop) { appendChar(html.charAt(k)); k += 1 }
           i = if (end < 0) n else end + 3
         } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
           val end = html.indexOf('>', i)
           i = if (end < 0) n else end + 1
         } else {
-          val (name, closing, tagEnd) = parseTag(html, i)
-          if (name.isEmpty) { appendText("<"); i += 1 }
+          // inline tag parse: name span, then scan to '>' honoring quoted
+          // attribute values
+          var j = i + 1
+          var closing = false
+          if (j < n && html.charAt(j) == '/') { closing = true; j += 1 }
+          val nameStart = j
+          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+          if (j == nameStart) { appendChar('<'); i += 1 }
           else {
-            val lname = name
-            if (!closing && RawTextTags.contains(lname)) {
-              // skip to matching close tag (case-insensitive scan, no copy)
-              var j = indexOfIgnoreCase(html, "</" + lname, tagEnd)
-              if (j < 0) j = n
-              else { val ge = html.indexOf('>', j); j = if (ge < 0) n else ge + 1 }
-              i = j
-            } else {
-              if (BlockTags.contains(lname)) flush()
-              if (ContainerTags.contains(lname)) {
-                if (closing) containerDepth = math.max(0, containerDepth - 1)
-                else containerDepth += 1
-                blockInContainer = containerDepth > 0
+            val nameEnd = j
+            var quote: Char = 0
+            var tagEnd = n
+            var scanning = true
+            while (scanning && j < n) {
+              val ch = html.charAt(j)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              else if (ch == '>') { tagEnd = j + 1; scanning = false }
+              j += 1
+            }
+            val canon = knownTag(html, nameStart, nameEnd)
+            if (canon == null) i = tagEnd // unclassified tag: skip, text flows on
+            else {
+              val flags = TagFlags.get(canon).intValue()
+              if (!closing && (flags & FRaw) != 0) {
+                // skip to matching close tag (case-insensitive scan, no copy)
+                var k = indexOfIgnoreCase(html, RawCloser.get(canon), tagEnd)
+                if (k < 0) k = n
+                else { val ge = html.indexOf('>', k); k = if (ge < 0) n else ge + 1 }
+                i = k
+              } else {
+                if ((flags & FBlock) != 0) flush()
+                if ((flags & FContainer) != 0) {
+                  if (closing) containerDepth = math.max(0, containerDepth - 1)
+                  else containerDepth += 1
+                  blockInContainer = containerDepth > 0
+                }
+                if ((flags & FAnchor) != 0) {
+                  if (closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+                }
+                if (!closing && (flags & FBlock) != 0) blockKind = canon
+                i = tagEnd
               }
-              if (lname == "a") {
-                if (closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
-              }
-              if (!closing && BlockTags.contains(lname)) blockKind = lname
-              i = tagEnd
             }
           }
         }
       } else if (c == '&') {
-        val (decoded, next) = decodeEntity(html, i)
-        appendText(decoded)
-        i = next
+        i = appendEntity(i)
       } else {
-        if (Character.isWhitespace(c) || c == ' ') {
+        if (Character.isWhitespace(c)) {
           if (!lastWasSpace) { sb.append(' '); if (linkDepth > 0) linkChars += 1; lastWasSpace = true }
         } else {
           sb.append(c); if (linkDepth > 0) linkChars += 1; lastWasSpace = false
@@ -164,53 +285,6 @@ object HtmlExtractor {
       i += 1
     }
     -1
-  }
-
-  /** Parse a tag at `html(start) == '<'`. Returns (lowercased name, isClosing,
-    * index after '>'). Attribute values may contain '>'. */
-  private def parseTag(html: String, start: Int): (String, Boolean, Int) = {
-    val n = html.length
-    var i = start + 1
-    var closing = false
-    if (i < n && html.charAt(i) == '/') { closing = true; i += 1 }
-    val nameStart = i
-    while (i < n && (html.charAt(i).isLetterOrDigit)) i += 1
-    if (i == nameStart) return ("", false, start + 1)
-    val name = html.substring(nameStart, i).toLowerCase
-    // scan to '>' honoring quoted attribute values
-    var quote: Char = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '"' || c == '\'') quote = c
-      else if (c == '>') return (name, closing, i + 1)
-      i += 1
-    }
-    (name, closing, n)
-  }
-
-  /** Decode one entity at `html(i) == '&'`; returns (text, nextIndex). */
-  private def decodeEntity(html: String, i: Int): (String, Int) = {
-    val n = html.length
-    val semi = html.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 10) return ("&", i + 1)
-    val body = html.substring(i + 1, semi)
-    val out: String = body match {
-      case "amp"  => "&"
-      case "lt"   => "<"
-      case "gt"   => ">"
-      case "quot" => "\""
-      case "apos" | "#39" => "'"
-      case "nbsp" => " "
-      case b if b.startsWith("#x") || b.startsWith("#X") =>
-        try String.valueOf(Character.toChars(Integer.parseInt(b.substring(2), 16)))
-        catch { case _: Exception => "&" + body + ";" }
-      case b if b.startsWith("#") =>
-        try String.valueOf(Character.toChars(Integer.parseInt(b.substring(1))))
-        catch { case _: Exception => "&" + body + ";" }
-      case _ => "&" + body + ";"
-    }
-    if (out == "&" + body + ";") ("&", i + 1) else (out, semi + 1)
   }
 
   // --------------------------------------------------------------- classifier

@@ -29,12 +29,81 @@ final class PdfLexer(val buf: Array[Byte], var pos: Int) {
 
   def eof: Boolean = pos >= buf.length
 
-  /** Read a bare keyword/regular token (e.g. obj, endobj, stream, R, xref). */
+  @inline private def kwEq(start: Int, len: Int, lit: String): Boolean = {
+    var i = 0
+    while (i < len && (buf(start + i) & 0xff) == lit.charAt(i)) i += 1
+    i == len
+  }
+
+  /** Read a bare keyword/regular token (e.g. obj, endobj, stream, R, xref).
+    * Known keywords/operators return interned constants — content-stream
+    * interpretation reads one keyword per operator, so per-keyword String
+    * allocation is a hot-path cost. */
   def readKeyword(): String = {
     skipWs()
     val start = pos
     while (pos < buf.length && !isWs(at(pos)) && !isDelim(at(pos))) pos += 1
-    new String(buf, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
+    val len = pos - start
+    if (len == 0) return ""
+    val c0 = buf(start) & 0xff
+    if (len == 1) {
+      c0 match {
+        case 'q' => return "q"
+        case 'Q' => return "Q"
+        case 'R' => return "R"
+        case 'n' => return "n"
+        case 'f' => return "f"
+        case 'S' => return "S"
+        case 'W' => return "W"
+        case '\'' => return "'"
+        case '"' => return "\""
+        case _ =>
+      }
+    } else if (len == 2) {
+      val c1 = buf(start + 1) & 0xff
+      if (c0 == 'T') {
+        c1 match {
+          case 'd' => return "Td"
+          case 'D' => return "TD"
+          case 'j' => return "Tj"
+          case 'J' => return "TJ"
+          case 'm' => return "Tm"
+          case 'f' => return "Tf"
+          case 'L' => return "TL"
+          case '*' => return "T*"
+          case 'c' => return "Tc"
+          case 'w' => return "Tw"
+          case 'z' => return "Tz"
+          case 'r' => return "Tr"
+          case 's' => return "Ts"
+          case _ =>
+        }
+      } else if (c0 == 'B' && c1 == 'T') return "BT"
+      else if (c0 == 'E' && c1 == 'T') return "ET"
+      else if (c0 == 'B' && c1 == 'I') return "BI"
+      else if (c0 == 'E' && c1 == 'I') return "EI"
+      else if (c0 == 'c' && c1 == 'm') return "cm"
+      else if (c0 == 'g' && c1 == 's') return "gs"
+      else if (c0 == 'D' && c1 == 'o') return "Do"
+      else if (c0 == 'r' && c1 == 'e') return "re"
+    } else if (len == 3) {
+      if (kwEq(start, 3, "obj")) return "obj"
+    } else if (len == 4) {
+      if (c0 == 't' && kwEq(start, 4, "true")) return "true"
+      if (c0 == 'n' && kwEq(start, 4, "null")) return "null"
+      if (c0 == 'x' && kwEq(start, 4, "xref")) return "xref"
+    } else if (len == 5) {
+      if (kwEq(start, 5, "false")) return "false"
+    } else if (len == 6) {
+      if (c0 == 'e' && kwEq(start, 6, "endobj")) return "endobj"
+      if (c0 == 's' && kwEq(start, 6, "stream")) return "stream"
+    } else if (len == 7) {
+      if (kwEq(start, 7, "trailer")) return "trailer"
+    } else if (len == 9) {
+      if (c0 == 'e' && kwEq(start, 9, "endstream")) return "endstream"
+      if (c0 == 's' && kwEq(start, 9, "startxref")) return "startxref"
+    }
+    new String(buf, start, len, java.nio.charset.StandardCharsets.US_ASCII)
   }
 
   def peekKeyword(): String = { val p = pos; val k = readKeyword(); pos = p; k }

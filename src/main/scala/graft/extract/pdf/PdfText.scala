@@ -46,7 +46,20 @@ object PdfText {
     var leading = 0.0
     var seq = 0
 
-    def num(i: Int): Double = stack.lift(stack.length - i).collect { case PNum(d) => d }.getOrElse(0.0)
+    // direct indexed access — lift/collect would allocate Option+PF per call,
+    // and operators call this up to 6 times each
+    def num(i: Int): Double = {
+      val idx = stack.length - i
+      if (idx >= 0 && idx < stack.length) stack(idx) match {
+        case PNum(d) => d
+        case _ => 0.0
+      } else 0.0
+    }
+
+    def lastStr(): PStr = {
+      if (stack.isEmpty) null
+      else stack(stack.length - 1) match { case s: PStr => s; case _ => null }
+    }
 
     def emit(text: String): Unit = {
       if (text.nonEmpty) {
@@ -87,22 +100,24 @@ object PdfText {
               tm = lm.clone()
             case "T*" => nextLine(0, -leading)
             case "Tj" =>
-              stack.lastOption.collect { case s: PStr => emit(s.text) }
+              val s = lastStr(); if (s != null) emit(s.text)
             case "'" =>
               nextLine(0, -leading)
-              stack.lastOption.collect { case s: PStr => emit(s.text) }
+              val s = lastStr(); if (s != null) emit(s.text)
             case "\"" =>
               nextLine(0, -leading)
-              stack.lastOption.collect { case s: PStr => emit(s.text) }
+              val s = lastStr(); if (s != null) emit(s.text)
             case "TJ" =>
-              stack.lastOption.collect { case PArr(items) =>
-                val sb = new StringBuilder
-                items.foreach {
-                  case s: PStr => sb.append(s.text)
-                  case PNum(d) => if (d <= -180) sb.append(' ')
-                  case _ =>
-                }
-                emit(sb.toString)
+              if (stack.nonEmpty) stack(stack.length - 1) match {
+                case PArr(items) =>
+                  val sb = new StringBuilder
+                  items.foreach {
+                    case s: PStr => sb.append(s.text)
+                    case PNum(d) => if (d <= -180) sb.append(' ')
+                    case _ =>
+                  }
+                  emit(sb.toString)
+                case _ =>
               }
             case "BI" =>
               // inline image: skip to "EI" delimited by whitespace

@@ -107,6 +107,21 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: fused chunkTexts == withOverlap ∘ mergeParagraphs ∘ splitParagraphs") {
+    def ref(text: String): Vector[String] =
+      Chunker.withOverlap(Chunker.mergeParagraphs(Chunker.splitParagraphs(text)))
+    // whitespace-adversarial short texts
+    val wsGen = Gen.oneOf(" ", "\t", "\n", "\n\n", "\n \n", "\n\n\n", "  \n", "\n", "\r\n", "x")
+    val tokGen = Gen.frequency(3 -> Gen.alphaLowerStr.map(_.take(6)), 2 -> wsGen)
+    val nasty = Gen.chooseNum(0, 100).flatMap(k => Gen.listOfN(k, tokGen)).map(_.mkString)
+    forAll(nasty, n = 400)(t => assert(Chunker.chunkTexts(t) == ref(t), s"<<${t.replace("\n", "\\n")}>>"))
+    // paragraph sizes that cross the 200/1600 merge boundaries
+    val bigPara = Gen.chooseNum(1, 180).map(w => Seq.fill(w)("word").mkString(" "))
+    val bigText = Gen.chooseNum(1, 10).flatMap(k => Gen.listOfN(k, bigPara)).map(_.mkString("\n\n"))
+    forAll(bigText, n = 150)(t => assert(Chunker.chunkTexts(t) == ref(t)))
+    forAll(textGen, n = 200)(t => assert(Chunker.chunkTexts(t) == ref(t)))
+  }
+
   test("property: dedup idempotence — chunking a doc twice yields identical rows") {
     forAll(textGen) { text =>
       val a = Chunker.chunkDocument("u", "h", text)
