@@ -131,14 +131,32 @@ object SparkEntry {
         col("fp"), col("doc_id"))
         .select(col("doc_id"), col("is_duplicate"), col("duplicate_of"))
     }),
-    // --- K1/K2 chunker (single-paragraph fallback path has a closed form)
+    // --- K1/K2 chunker. Restricted to docs with no blank-line paragraph
+    // separators, where single-chunk output is a closed form the oracle can
+    // state exactly (any future corpus with multi-paragraph docs stays
+    // sound: both sides apply the same filter).
     "q_chunk_fallback" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      t(s, dir, "documents")
+        .filter(!col("text").rlike("\\n\\s*\\n"))
+        .select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
           val rows = Chunker.chunkDocument(s"doc://$id", "h", text)
           rows.map(r => (id, r.total_chunks, r.text))
         }.toDF("doc_id", "n_chunks", "chunk0")
+    }),
+    // --- word-budget chunker (reference rag_py.py:182-200): the planted
+    // two-paragraph doc (text twice) exercises the 300-word budget overflow,
+    // the 50-word overlap carry, and the >=20-word filter in a closed form
+    "q_chunk_words" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(!col("text").rlike("\\n\\s*\\n"))
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val cs = graft.chunk.WordChunker.chunk(text + "\n\n" + text)
+          cs.zipWithIndex.map { case (c, i) => (id, i, cs.length, c) }
+        }.toDF("doc_id", "chunk_index", "n_chunks", "chunk")
     }),
     // --- C1 sniffer dispatch
     "q_sniff" -> ((s, dir) => {
@@ -167,6 +185,26 @@ object SparkEntry {
     // --- R2/R4 BM25 scoring (all-docs scores; rounded for oracle parity)
     "q_bm25" -> ((s, dir) => {
       Bm25.scores(t(s, dir, "documents"), "doc_id", "text", "spark filter join table")
+    }),
+    // --- composed metadata-filter + ranked retrieval (the reference's
+    // filtered get -> ranked flow, question_rag.py:130-194): stats (N,
+    // avgdl, df) are computed over the FILTERED corpus, not globally
+    "q_facet_bm25" -> ((s, dir) => {
+      Bm25.scores(t(s, dir, "documents").filter(col("lang") === "en"),
+        "doc_id", "text", "spark filter join table")
+    }),
+    // --- A1 per-document billing ledger (reference billing.py:53-72):
+    // tokens = Σ_chunks max(1, len/4), cost at 0.012 per 1M tokens
+    "q_billing" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(!col("text").rlike("\\n\\s*\\n") && length(trim(col("text"))) > 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val chunks = Chunker.chunkTexts(text)
+          val tokens = chunks.map(c => math.max(1, c.length / 4).toLong).sum
+          (id, chunks.length, tokens, tokens / 1000000.0 * 0.012)
+        }.toDF("doc_id", "n_chunks", "tokens", "cost")
     }),
     // --- TF-IDF scoring variant (same corpus/query family as q_bm25)
     "q_tfidf" -> ((s, dir) => {
@@ -262,6 +300,24 @@ object SparkEntry {
   )
 
   // -------------------------------------------------------------- oracleSql
+
+  /** BM25 all-docs scores over an optionally filtered corpus. Stats (N,
+    * avgdl, df) come from the filtered relation, mirroring Bm25.scores. */
+  private def bm25OracleSql(where: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS doc,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+       |  FROM documents $where),
+       | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+       | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+       | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+       | df AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1)
+       |SELECT doc, round(sum(
+       |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+       |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
+       |GROUP BY doc""".stripMargin
 
   /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
   private val DocsWithNearDupsSql =
@@ -419,7 +475,27 @@ object SparkEntry {
            |  first_value(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS duplicate_of
            |FROM f""".stripMargin,
       "q_chunk_fallback" ->
-        "SELECT doc_id, 1::INT AS n_chunks, trim(text) AS chunk0 FROM documents WHERE len(trim(text)) > 0",
+        """SELECT doc_id, 1::INT AS n_chunks, trim(text) AS chunk0 FROM documents
+          | WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
+      // planted two-paragraph doc (p = trim(text), twice): word budget 300,
+      // overlap 50, min 20 — closed form per the reference loop:
+      //   2w <= 300          -> 1 chunk  "p\n\np"        (kept iff 2w >= 20)
+      //   2w  > 300          -> 2 chunks "p", last50(p)+"\n\n"+p
+      "q_chunk_words" ->
+        """WITH d AS (SELECT doc_id, trim(text) AS p,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws
+          |  FROM documents
+          |  WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n')),
+          | w AS (SELECT doc_id, p, ws, len(ws)::INT AS w FROM d)
+          |SELECT doc_id, 0::INT AS chunk_index, 1::INT AS n_chunks,
+          |  p || chr(10) || chr(10) || p AS chunk
+          |FROM w WHERE 2*w <= 300 AND 2*w >= 20
+          |UNION ALL
+          |SELECT doc_id, 0::INT, 2::INT, p FROM w WHERE 2*w > 300
+          |UNION ALL
+          |SELECT doc_id, 1::INT, 2::INT,
+          |  array_to_string(ws[greatest(1, w - 49):w], ' ') || chr(10) || chr(10) || p
+          |FROM w WHERE 2*w > 300""".stripMargin,
       "q_sniff" ->
         """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
           | ELSE 'unknown' END AS kind FROM documents""".stripMargin,
@@ -463,21 +539,14 @@ object SparkEntry {
           |FROM u""".stripMargin,
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
-      "q_bm25" ->
-        """WITH toks AS (
-          |  SELECT doc_id AS doc,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
-          |  FROM documents),
-          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
-          | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
-          | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
-          | df AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1)
-          |SELECT doc, round(sum(
-          |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
-          |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
-          |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
-          |GROUP BY doc""".stripMargin,
+      "q_bm25" -> bm25OracleSql(""),
+      "q_facet_bm25" -> bm25OracleSql("WHERE lang = 'en'"),
+      "q_billing" ->
+        """SELECT doc_id, 1::INT AS n_chunks,
+          | greatest(1, length(trim(text)) // 4)::BIGINT AS tokens,
+          | greatest(1, length(trim(text)) // 4)::BIGINT / 1000000.0 * 0.012 AS cost
+          |FROM documents
+          |WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
       "q_tfidf" ->
         """WITH toks AS (
           |  SELECT doc_id AS doc,

@@ -59,11 +59,25 @@ object Extract {
   /** Documents larger than this bail out with err="oversize" (P5 skew cap). */
   val MaxDocBytes: Int = 64 << 20
 
-  def extractOne(url: String, bytes: Array[Byte]): ExtractedDoc = {
+  /** Per-document wall budget (T3) — the reference's 1800 s per-file timeout
+    * scaled to this engine's ~0.1 ms/doc envelope: any document five orders
+    * of magnitude over typical cost is pathological, not slow. */
+  val PerDocBudgetNanos: Long = 30L * 1000 * 1000 * 1000
+
+  def extractOne(url: String, bytes: Array[Byte]): ExtractedDoc =
+    extractOne(url, bytes, PerDocBudgetNanos)
+
+  def extractOne(url: String, bytes: Array[Byte], budgetNanos: Long): ExtractedDoc = {
     if (bytes == null)
       return ExtractedDoc(url, "unknown", "", Nil, "err", 0, 0, "null_bytes")
     if (bytes.length > MaxDocBytes)
       return ExtractedDoc(url, Sniffer.sniff(bytes), "", Nil, "err", 0, 0, "oversize")
+    TimeBudget.start(System.nanoTime() + budgetNanos)
+    try extractSniffed(url, bytes)
+    finally TimeBudget.clear()
+  }
+
+  private def extractSniffed(url: String, bytes: Array[Byte]): ExtractedDoc = {
     Sniffer.sniff(bytes) match {
       case "pdf" =>
         try {
@@ -80,6 +94,8 @@ object Extract {
             ExtractedDoc(url, "pdf", text, pageSpans.map(p => Span(p._1, p._2, "page")),
               "text_layer", pageSpans.length, text.length, "")
         } catch {
+          case _: TimeBudget.Exceeded =>
+            ExtractedDoc(url, "pdf", "", Nil, "err", 0, 0, "timeout")
           case NonFatal(e) =>
             ExtractedDoc(url, "pdf", "", Nil, "err", 0, 0,
               s"pdf_parse: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200)}")

@@ -305,6 +305,29 @@ object HtmlExtractor {
     c
   }
 
+  private def density(b: Block): Double = b.linkChars.toDouble / math.max(b.text.length, 1)
+
+  /** Standalone multi-factor block analysis (SURVEY.md §2.3 C3 — the
+    * reference's multi-signal needs-OCR decision, ocr_engine.py:269-280,
+    * re-expressed for the web domain): every factor the tier classifier
+    * consumes, per block, plus the tier the block would land in. Lets a
+    * pipeline inspect WHY content was kept or dropped without re-running
+    * extraction. */
+  final case class BlockSignal(kind: String, words: Int, eff_chars: Int,
+                               link_density: Double, in_container: Boolean, tier: String)
+
+  def blockSignals(html: String): Vector[BlockSignal] =
+    tokenize(html).map { b =>
+      val w = words(b.text)
+      val d = density(b)
+      val tier =
+        if (!b.inContainer && w >= 10 && d <= 0.33) "strict"
+        else if (!b.inContainer && w >= 3 && d <= 0.50) "lenient"
+        else "body"
+      BlockSignal(if (b.kind.isEmpty) "text" else b.kind, w, effectiveChars(b.text),
+        d, b.inContainer, tier)
+    }
+
   def classify(blocks: Vector[Block]): Result = {
     def tier(pred: Block => Boolean, name: String): Option[Result] = {
       val kept = blocks.filter(pred)
@@ -321,8 +344,6 @@ object HtmlExtractor {
       if (effectiveChars(text) >= 50) Some(Result(text, spans.toVector, name, kept.length))
       else None
     }
-
-    def density(b: Block): Double = b.linkChars.toDouble / math.max(b.text.length, 1)
 
     tier(b => !b.inContainer && words(b.text) >= 10 && density(b) <= 0.33, "strict")
       .orElse(tier(b => !b.inContainer && words(b.text) >= 3 && density(b) <= 0.50, "lenient"))

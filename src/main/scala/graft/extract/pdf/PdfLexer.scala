@@ -18,6 +18,7 @@ final class PdfLexer(val buf: Array[Byte], var pos: Int) {
   @inline private def at(i: Int): Int = if (i < buf.length && i >= 0) buf(i) & 0xff else -1
 
   def skipWs(): Unit = {
+    graft.extract.TimeBudget.tick() // every token path passes through here
     var go = true
     while (go) {
       while (pos < buf.length && isWs(at(pos))) pos += 1

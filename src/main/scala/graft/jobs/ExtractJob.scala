@@ -161,16 +161,27 @@ object ExtractJob {
       if (d.err.isEmpty && d.text.nonEmpty)
         Chunker.chunkDocument(d.url, graft.Hashing.sha256Hex(d.text), d.text)
           .map(c => (c.id, c.url, c.chunk_index, c.total_chunks, c.text, c.chunk_hash,
-            c.is_duplicate, c.duplicate_of_index, bucket))
+            c.is_duplicate, c.duplicate_of_index,
+            math.max(1, c.text.length / 4).toLong, bucket))
       else Nil
     }.toDF("id", "url", "chunk_index", "total_chunks", "text", "chunk_hash",
-      "is_duplicate", "duplicate_of_index", "bucket")
+      "is_duplicate", "duplicate_of_index", "tokens", "bucket")
       .observe(chunkObs, count(lit(1)).as("n"))
     chunks.write.partitionBy("bucket").mode("overwrite").parquet(s"$outBase/chunks")
     val nChunks: Long = chunkObs.get("n") match {
       case l: java.lang.Long => l.longValue()
       case other => other.toString.toLong
     }
+
+    // per-document billing breakdown (the reference's per-file tokens/cost
+    // ledger, billing.py:53-72): tokens = Σ_chunks max(1, len/4), cost at
+    // the reference's default price. Derived from the persisted extraction
+    // (chunking re-runs on the cached docs — billing is not the hot path).
+    val billing = chunks
+      .groupBy("bucket", "url")
+      .agg(sum("tokens").as("tokens"), count(lit(1)).as("n_chunks"))
+      .withColumn("cost", col("tokens").cast("double") / 1000000.0 * Billing.PricePerMTokens)
+    billing.write.mode("overwrite").parquet(s"$outBase/billing")
 
     // error ledger: failures always; retry attempts always (err = "" marks a
     // retry that succeeded, retiring the url from the pending set)
@@ -247,4 +258,30 @@ object ExtractJob {
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }
+
+  /** Live per-document billing rows (latest-wins per bucket, like errs). */
+  def readBilling(spark: SparkSession, tableRoot: String): DataFrame = {
+    import spark.implicits._
+    val lake = new LakeTable(tableRoot)
+    val vf = vFullMap(lake)
+    val perV = (1 to lake.currentVersion).flatMap { v =>
+      val fs = lake.readManifest(v).files.filter(_.contains("/billing/"))
+      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*).withColumn("v", lit(v)))
+    }
+    if (perV.isEmpty)
+      return Seq.empty[(Int, String, Long, Long, Double, Int)]
+        .toDF("bucket", "url", "tokens", "n_chunks", "cost", "v")
+    val vfDf = vf.toSeq.toDF("bucket", "vfull")
+    perV.reduce(_ unionByName _)
+      .join(broadcast(vfDf), "bucket")
+      .filter(col("v") >= col("vfull"))
+      .drop("vfull")
+  }
+}
+
+/** Billing constants (reference: src/services/RAG/billing.py:18-24 —
+  * default price 0.012 per 1M tokens; tokens = max(1, len/4),
+  * convert_to_embeddings.py:106-118). */
+object Billing {
+  val PricePerMTokens: Double = 0.012
 }

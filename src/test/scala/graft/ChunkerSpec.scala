@@ -80,6 +80,29 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("WordChunker matches reference intelligent_chunking semantics (rag_py.py:182-200)") {
+    import graft.chunk.WordChunker
+    // below the 20-word floor → dropped; empty → empty
+    assert(WordChunker.chunk("one two three") == Vector.empty)
+    assert(WordChunker.chunk("   ") == Vector.empty)
+    val p25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    assert(WordChunker.chunk(p25) == Vector(p25))
+    // two paras crossing the 300-word budget: emit + 50-word overlap carry
+    val a = (1 to 200).map(i => s"a$i").mkString(" ")
+    val b = (1 to 200).map(i => s"b$i").mkString(" ")
+    val cs = WordChunker.chunk(a + "\n\n" + b)
+    val last50 = (151 to 200).map(i => s"a$i").mkString(" ")
+    assert(cs == Vector(a, last50 + "\n\n" + b))
+    // page-break markers collapse to paragraph breaks before splitting
+    assert(WordChunker.chunk(a + "\n---- PAGE BREAK ----\n" + b) == cs)
+    // an oversized first paragraph becomes a chunk whole
+    val big = (1 to 400).map(i => s"x$i").mkString(" ")
+    assert(WordChunker.chunk(big) == Vector(big))
+    // paragraphs fitting the budget merge with the \n\n joiner
+    val c = (1 to 100).map(i => s"c$i").mkString(" ")
+    assert(WordChunker.chunk(c + "\n\n" + c) == Vector(c + "\n\n" + c))
+  }
+
   // ---- properties (SURVEY.md §5.3)
 
   private val paraGen: Gen[String] =

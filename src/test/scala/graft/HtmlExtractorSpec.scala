@@ -92,6 +92,31 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(Sniffer.sniff(withNul) == "unknown")
   }
 
+  test("blockSignals: standalone multi-factor analysis exposes the classifier factors") {
+    val html =
+      "<html><body><nav><a href=x>home</a> <a href=y>about</a></nav>" +
+      "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda</p>" +
+      "<p>short one</p>" +
+      "<div><a href=z>all link text here entirely</a></div></body></html>"
+    val sigs = HtmlExtractor.blockSignals(html)
+    val byKind = sigs.groupBy(_.kind)
+    // nav block: inside a container, link-dominated
+    val nav = sigs.find(_.in_container).get
+    assert(nav.tier == "body" && nav.link_density > 0.5)
+    // long paragraph: strict tier, 11 words, factors consistent
+    val p1 = byKind("p").maxBy(_.words)
+    assert(p1.tier == "strict" && p1.words == 11 && p1.link_density == 0.0)
+    assert(p1.eff_chars > 50)
+    // short paragraph: lenient (words < 10 but >= 3 would need 3+; 2 words -> body)
+    val p2 = byKind("p").minBy(_.words)
+    assert(p2.words == 2 && p2.tier == "body")
+    // fully-linked div: density 1.0 -> body tier despite word count
+    val dv = byKind("div").head
+    assert(dv.link_density > 0.9 && dv.tier == "body")
+    // factors agree with the classifier's actual decision
+    assert(HtmlExtractor.extract(html).method == "strict")
+  }
+
   test("robustness: uppercase tags, unquoted attrs, unterminated markup") {
     val r = HtmlExtractor.extract(
       "<HTML><BODY><P CLASS=lead>Upper case markup with unquoted attributes " +

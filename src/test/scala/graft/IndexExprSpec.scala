@@ -44,6 +44,20 @@ class IndexExprSpec extends SparkSuiteBase {
     assert(m.metrics("tokens_est") > 0)
     val chars = m.lineage.map(_("chars").toLong).sum
     assert(math.abs(m.metrics("tokens_est") - chars / 4.0) / math.max(chars / 4.0, 1) < 0.05)
+
+    // per-document billing ledger: one row per extracted doc, tokens from
+    // the chunk table, cost at the reference price
+    val billing = ExtractJob.readBilling(spark, root).cache()
+    val chunks = ExtractJob.readChunks(spark, root)
+    assert(billing.select("url").distinct().count() == chunks.select("url").distinct().count())
+    val row = billing.orderBy("url").head()
+    val tokens = row.getAs[Long]("tokens")
+    assert(tokens > 0)
+    assert(math.abs(row.getAs[Double]("cost") - tokens / 1000000.0 * 0.012) < 1e-12)
+    val tokSum = chunks.filter(col("url") === row.getAs[String]("url"))
+      .agg(sum(greatest(lit(1L), (length(col("text")) / 4).cast("long")))).head().getLong(0)
+    assert(tokens == tokSum)
+    billing.unpersist()
   }
 
   test("native expressions: simhash64/hamming match the Scala implementation, usable from SQL") {
