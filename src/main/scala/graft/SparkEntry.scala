@@ -218,6 +218,18 @@ object SparkEntry {
         .select(col("vec_id"),
           round(Knn.cosineCol(col("embedding").cast("array<double>"), col("qv")), 6).as("cosine"))
     }),
+    // --- n-gram Jaccard similarity (the exact member of the dedup family):
+    // word-5-gram Jaccard between each doc and its planted mutant, no LSH
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val j = MinHash.jaccard(MinHash.shingles(text),
+            MinHash.shingles(text + " appended trailing marker"))
+          (id, j)
+        }.toDF("doc_id", "j")
+        .select(col("doc_id"), round(col("j"), 6).as("jaccard"))
+    }),
     // --- D3 MinHash-LSH near-dup pairs (planted pairs; rows-only oracle)
     "q_minhash_neardup" -> ((s, dir) => {
       MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
@@ -568,6 +580,26 @@ object SparkEntry {
         """SELECT kind, method, cnt::BIGINT AS count FROM (VALUES
           | ('html', 'body', 41), ('html', 'lenient', 1), ('html', 'strict', 270),
           | ('pdf', 'text_layer', 72), ('unknown', 'err', 16)) t(kind, method, cnt)""".stripMargin,
+      "q_ngram_jaccard" ->
+        s"""WITH docs2 AS (
+           |  SELECT doc_id, text, 0 AS m FROM documents
+           |  UNION ALL SELECT doc_id, text || ' appended trailing marker', 1 FROM documents),
+           | toks AS (SELECT doc_id, m, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM docs2),
+           | shing AS (SELECT doc_id, m, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+           |     WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+           |     ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+           |   FROM toks),
+           | shd AS (SELECT DISTINCT doc_id, m, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h FROM shing),
+           | n AS (SELECT doc_id, m, count(*) AS n FROM shd GROUP BY 1, 2),
+           | i AS (SELECT a.doc_id, count(*) AS i FROM shd a
+           |   JOIN shd b ON a.doc_id = b.doc_id AND a.m = 0 AND b.m = 1 AND a.h = b.h GROUP BY 1)
+           |SELECT d.doc_id,
+           |  round(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(i.i, 0) <= 0 THEN 1.0
+           |    ELSE coalesce(i.i, 0)::DOUBLE / (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(i.i, 0)) END, 6) AS jaccard
+           |FROM documents d
+           |LEFT JOIN n na ON na.doc_id = d.doc_id AND na.m = 0
+           |LEFT JOIN n nb ON nb.doc_id = d.doc_id AND nb.m = 1
+           |LEFT JOIN i ON i.doc_id = d.doc_id""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
       "q_knn" ->
