@@ -156,13 +156,17 @@ object Bench {
     // Time budget: if the environment enforces a tight wall clock, degrade
     // the sample count instead of dying without printing the JSON line.
     val benchStart = System.nanoTime()
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "330").toInt
+    // default sized so corpus writes + scaling pairs + per-query timings fit
+    // a ~6-minute driver window even in bad VM weather — printing the JSON
+    // line matters more than extra samples
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "210").toInt
     def withinBudget: Boolean = (System.nanoTime() - benchStart) / 1e9 < budgetSec
-    val pairs28 = (1 to 3).flatMap { i =>
-      if (i == 1 || withinBudget) Some((measureOnce(2, corpusDir), measureOnce(8, corpusDir))) else None
-    }
+    // headline pair (8->32) measured FIRST so it gets the budget's best share
     val pairs832 = (1 to 4).flatMap { i =>
       if (i == 1 || withinBudget) Some((measureOnce(8, bigDir), measureOnce(32, bigDir))) else None
+    }
+    val pairs28 = (1 to 3).flatMap { i =>
+      if (i == 1 || withinBudget) Some((measureOnce(2, corpusDir), measureOnce(8, corpusDir))) else None
     }
     val t2 = pairs28.map(_._1).min
     val t8small = pairs28.map(_._2).min
