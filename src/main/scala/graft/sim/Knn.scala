@@ -31,24 +31,49 @@ object Knn {
       .limit(k)
   }
 
+  /** The deterministic sign-projection planes (seed-fixed, same on every
+    * executor — regenerated per partition, never shipped). */
+  def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.SplittableRandom(0x51417eedL)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
   /** All-pairs k-NN join via sign-random-projection LSH buckets: vectors
     * agreeing on `bits` hyperplane signs land in the same bucket; only
     * within-bucket pairs are scored. The multi-probe union over `tables`
-    * independent sign sets trades recall for cost the standard way. */
+    * independent sign sets trades recall for cost the standard way.
+    *
+    * Bucket ids are computed in a narrow typed map (plain dot-product
+    * loops): the tables×bits×dim plane tensor as a Catalyst literal put
+    * ~2k doubles of lambda evaluation on every row; per-partition Scala
+    * loops do the same arithmetic at memory speed and emit only
+    * (id, tbl, bucket). */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  bits: Int = 12, tables: Int = 3, dim: Int = 64): DataFrame = {
-    val planes: Array[Array[Array[Double]]] = {
-      val rnd = new java.util.SplittableRandom(0x51417eedL)
-      Array.fill(tables, bits, dim)(rnd.nextGaussian())
-    }
-    val planesLit = typedLit(planes.map(_.map(_.toSeq).toSeq).toSeq)
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("bucket",
-        aggregate(
-          zip_with(planesLit(col("tbl")), sequence(lit(0), lit(bits - 1)),
-            (plane, _) => when(aggregate(zip_with(plane, col("vec"), (p, x) => p * x), lit(0.0d), (a, b) => a + b) > 0, lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, bit) => acc * 2 + bit))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .as[(String, Array[Double])]
+      .mapPartitions { it =>
+        val ps = planes(tables, bits, dim)
+        it.flatMap { case (id, vec) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < bits) {
+              val plane = ps(t)(b)
+              var dot = 0.0
+              var i = 0
+              val n = math.min(dim, vec.length)
+              while (i < n) { dot += plane(i) * vec(i); i += 1 }
+              bucket = bucket * 2 + (if (dot > 0) 1L else 0L)
+              b += 1
+            }
+            (id, t, bucket)
+          }
+        }
+      }
+      .toDF("id", "tbl", "bucket")
   }
 
   /** Unordered candidate pairs (id_a < id_b) from capped LSH buckets.
@@ -82,7 +107,7 @@ object Knn {
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               bits: Int = 10, tables: Int = 3, dim: Int = 64,
               maxBucket: Int = 256): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val vecs = df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
     val und = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket)
     // both directions: each member of an unordered pair queries the other
     val pairs = und.unionByName(
@@ -102,7 +127,7 @@ object Knn {
                             simThreshold: Double = 0.995,
                             bits: Int = 10, tables: Int = 3, dim: Int = 64,
                             maxBucket: Int = 256): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val vecs = df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
     val losers = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket)
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
