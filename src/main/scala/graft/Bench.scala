@@ -97,6 +97,36 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Allocation-free spin over fixed TOTAL work split across threads: pure
+    * register arithmetic, so the 8-vs-32 wall ratio measures the HOST's
+    * available cycles at each width (turbo/SMT/co-tenancy) with zero memory
+    * or engine term. Reported alongside the pipeline ratio so the sandbox
+    * capacity share of any efficiency loss is quantified per run. */
+  private def spinWall(threads: Int, perThread: Long): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val th = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0L
+        while (i < perThread) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink.addAndGet(x) // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Host capacity ratio 8→32 = (wall8·8)/(wall32·32) over fixed total
+    * spin work (1.0 = the box gives 32 threads 4× the cycles of 8). */
+  private def hostSpinEff(): Double = {
+    val total = 12_000_000_000L
+    val w8 = spinWall(8, total / 8)
+    val w32 = spinWall(32, total / 32)
+    (w8 * 8) / (w32 * 32)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -162,9 +192,12 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "210").toInt
     def withinBudget: Boolean = (System.nanoTime() - benchStart) / 1e9 < budgetSec
     // headline pair (8->32) measured FIRST so it gets the budget's best share
+    val hostEffBefore = hostSpinEff()
     val pairs832 = (1 to 4).flatMap { i =>
       if (i == 1 || withinBudget) Some((measureOnce(8, bigDir), measureOnce(32, bigDir))) else None
     }
+    val hostEffAfter = hostSpinEff()
+    val hostEff = math.min(1.0, (hostEffBefore + hostEffAfter) / 2)
     val pairs28 = (1 to 3).flatMap { i =>
       if (i == 1 || withinBudget) Some((measureOnce(2, corpusDir), measureOnce(8, corpusDir))) else None
     }
@@ -195,7 +228,9 @@ object Bench {
       f""""t_local8_small_sec":$t8small%.3f,"t_local8_sec":$tLo%.3f,"t_local32_sec":$tHi%.3f,""" +
       f""""docs_per_sec_local2":${nPages / t2}%.1f,"docs_per_sec_local8":${nPagesBig / tLo}%.1f,""" +
       f""""docs_per_sec_local32":${nPagesBig / tHi}%.1f,""" +
-      f""""efficiency":$eff%.3f,"efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f}"""
+      f""""efficiency":$eff%.3f,"efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
+      f""""host_spin_eff_8_to_32":$hostEff%.3f,""" +
+      f""""efficiency_8_to_32_host_normalized":${math.min(eff832 / math.max(hostEff, 0.01), 1.0)}%.3f}"""
     val line =
       f"""{"metric":"extract_throughput_docs_per_sec","value":$throughput%.1f,"unit":"docs/sec",""" +
       f""""queries":$qs,"sf":"$sfDir","pages":$nPagesBig,"chunks":$nChunks,""" +
