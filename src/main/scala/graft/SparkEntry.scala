@@ -158,6 +158,18 @@ object SparkEntry {
           cs.zipWithIndex.map { case (c, i) => (id, i, cs.length, c) }
         }.toDF("doc_id", "chunk_index", "n_chunks", "chunk")
     }),
+    // --- page-joining char-budget chunker (reference main.py:160-187): two
+    // planted pages exercise the marker collapse + 1000-char greedy budget
+    "q_chunk_pages" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(!col("text").rlike("\\n\\s*\\n") && length(trim(col("text"))) > 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val cs = graft.chunk.WordChunker.chunkPages(Seq(text, text))
+          cs.zipWithIndex.map { case (c, i) => (id, i, cs.length, c) }
+        }.toDF("doc_id", "chunk_index", "n_chunks", "chunk")
+    }),
     // --- C1 sniffer dispatch
     "q_sniff" -> ((s, dir) => {
       import s.implicits._
@@ -508,6 +520,19 @@ object SparkEntry {
           |SELECT doc_id, 1::INT, 2::INT,
           |  array_to_string(ws[greatest(1, w - 49):w], ' ') || chr(10) || chr(10) || p
           |FROM w WHERE 2*w > 300""".stripMargin,
+      // two planted pages p,p: first joins (0 + w < 1000 for w < 1000, else
+      // emits nothing and restarts); buffer keeps its trailing joiner, so the
+      // second para merges iff (w+2) + w < 1000
+      "q_chunk_pages" ->
+        """WITH d AS (SELECT doc_id, trim(text) AS p, length(trim(text))::INT AS w
+          |  FROM documents
+          |  WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n'))
+          |SELECT doc_id, 0::INT AS chunk_index, 1::INT AS n_chunks,
+          |  p || chr(10) || chr(10) || p AS chunk
+          |FROM d WHERE 2*w + 2 < 1000
+          |UNION ALL
+          |SELECT doc_id, i::INT, 2::INT, p FROM d
+          |CROSS JOIN (SELECT unnest([0, 1]) AS i) WHERE 2*w + 2 >= 1000""".stripMargin,
       "q_sniff" ->
         """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
           | ELSE 'unknown' END AS kind FROM documents""".stripMargin,

@@ -41,6 +41,31 @@ object WordChunker {
   private def splitWords(s: String): Array[String] =
     s.split("\\s+").filter(_.nonEmpty)
 
+  /** The reference's THIRD chunking scheme (reference: main.py:160-187
+    * `chunk_text`), frozen: pages joined with the page-break marker, markers
+    * collapsed to "\n\n", paragraphs split/stripped, then a greedy 1000-char
+    * budget where the running buffer RETAINS its trailing "\n\n" joiner in
+    * the length check, chunks emitted `.strip()`ed. `byParagraph = true`
+    * returns the stripped paragraphs themselves. */
+  def chunkPages(pages: Seq[String], maxChars: Int = 1000,
+                 byParagraph: Boolean = false): Vector[String] = {
+    val text0 = pages.mkString("\n\n--- PAGE BREAK ---\n\n")
+    val text = PageBreak.matcher(text0).replaceAll("\n\n")
+    val paragraphs = ParaSplit.split(text, -1).iterator.map(_.trim).filter(_.nonEmpty).toVector
+    if (byParagraph) return paragraphs
+    val chunks = new ArrayBuffer[String]()
+    var cur = ""
+    paragraphs.foreach { para =>
+      if (cur.length + para.length < maxChars) cur = cur + para + "\n\n"
+      else {
+        if (cur.trim.nonEmpty) chunks += cur.trim
+        cur = para + "\n\n"
+      }
+    }
+    if (cur.trim.nonEmpty) chunks += cur.trim
+    chunks.toVector
+  }
+
   def chunk(text: String, maxWords: Int = MaxWords, overlapWords: Int = OverlapWords,
             minWords: Int = MinWords): Vector[String] = {
     if (text.trim.isEmpty) return Vector.empty

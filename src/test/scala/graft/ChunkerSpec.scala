@@ -103,6 +103,25 @@ class ChunkerSpec extends AnyFunSuite {
     assert(WordChunker.chunk(c + "\n\n" + c) == Vector(c + "\n\n" + c))
   }
 
+  test("chunkPages matches reference chunk_text semantics (main.py:160-187)") {
+    import graft.chunk.WordChunker
+    // page-break markers collapse, paragraphs split and strip
+    val p1 = "a" * 300
+    val p2 = "b" * 300
+    assert(WordChunker.chunkPages(Seq(p1, p2), byParagraph = true) == Vector(p1, p2))
+    // greedy 1000-char budget counts the buffer's trailing joiner:
+    // 300 + 2 + 300 < 1000 -> one chunk joined by the blank line
+    assert(WordChunker.chunkPages(Seq(p1, p2)) == Vector(p1 + "\n\n" + p2))
+    // 600 + 2 + 600 >= 1000 -> two chunks
+    val q1 = "c" * 600
+    assert(WordChunker.chunkPages(Seq(q1, q1)) == Vector(q1, q1))
+    // an oversized first page emits nothing on overflow of the empty buffer
+    val big = "d" * 1200
+    assert(WordChunker.chunkPages(Seq(big, p1)) == Vector(big, p1))
+    // multi-paragraph pages split at blank lines before budgeting
+    assert(WordChunker.chunkPages(Seq(p1 + "\n\n" + p2, q1)) == Vector(p1 + "\n\n" + p2, q1))
+  }
+
   // ---- properties (SURVEY.md §5.3)
 
   private val paraGen: Gen[String] =
