@@ -12,11 +12,11 @@ import graft.sim.Knn
 import graft.text.TextAnalysis._
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, with DuckDB-runnable oracle SQL wherever the operator is
-  * SQL-expressible. The MinHash/SimHash near-dup operators hash with
-  * md5-top-64 precisely so their oracles can replicate the whole pipeline in
-  * SQL (see minhashOracleSql/simhashOracleSql); the only rows-only entry
-  * left is q_ann (approximate by design, backed by KnnSpec recall tests). */
+  * SURVEY.md §2. EVERY query carries DuckDB-runnable oracle SQL: the
+  * near-dup/ANN operators hash with md5-top-64 or seed-fixed plane literals
+  * precisely so the oracles can replicate their full deterministic pipelines
+  * in SQL (minhashOracleSql / simhashOracleSql / annOracleSql) — an
+  * approximate-by-design operator is still an exactly-reproducible one. */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -252,7 +252,8 @@ object SparkEntry {
       SimHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
-    // --- ANN (LSH-bucketed cosine; rows-only — approximate by design)
+    // --- ANN (LSH-bucketed cosine — approximate w.r.t. true neighbors but
+    // deterministic, so fully oracled via annOracleSql)
     "q_ann" -> ((s, dir) => {
       Knn.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
     }),
@@ -342,6 +343,40 @@ object SparkEntry {
        |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
        |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
        |GROUP BY doc""".stripMargin
+
+  /** DuckDB replica of [[Knn.annTopK]] — the seeded sign-projection planes
+    * embedded as DOUBLE[] literals (Double.toString round-trips exactly), the
+    * same MSB-first bucket bits, sorted-and-capped buckets, exact cosine on
+    * surviving pairs, rank window. Identical by construction: the ANN
+    * operator is approximate w.r.t. true neighbors but fully deterministic. */
+  private def annOracleSql(k: Int, bits: Int, tables: Int, dim: Int, maxBucket: Int): String = {
+    val ps = Knn.planes(tables, bits, dim)
+    val planeRows = (for (t <- 0 until tables; b <- 0 until bits) yield {
+      val lst = ps(t)(b).map(_.toString).mkString("[", ",", "]")
+      s"($t,$b,$lst::DOUBLE[])"
+    }).mkString(",")
+    s"""WITH planes(t, b, p) AS (VALUES $planeRows),
+       | v AS (SELECT vec_id::VARCHAR AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       | buckets AS (SELECT id, t,
+       |     sum(CASE WHEN list_dot_product(vec, p) > 0 THEN (1::BIGINT << (${bits - 1} - b)) ELSE 0 END) AS bucket
+       |   FROM v CROSS JOIN planes GROUP BY id, t),
+       | mem AS (SELECT id, t, bucket,
+       |     row_number() OVER (PARTITION BY t, bucket ORDER BY id) AS rn,
+       |     count(*) OVER (PARTITION BY t, bucket) AS cnt FROM buckets),
+       | und AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |   FROM (SELECT * FROM mem WHERE rn <= $maxBucket AND cnt > 1) a
+       |   JOIN (SELECT * FROM mem WHERE rn <= $maxBucket AND cnt > 1) b
+       |     ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+       | pairs AS (SELECT id_a, id_b FROM und UNION ALL SELECT id_b, id_a FROM und),
+       | scored AS (SELECT p.id_a, p.id_b,
+       |     round(list_dot_product(va.vec, vb.vec)
+       |       / greatest(sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12), 6) AS cosine
+       |   FROM pairs p JOIN v va ON va.id = p.id_a JOIN v vb ON vb.id = p.id_b)
+       |SELECT id_a, id_b, cosine, rank FROM (
+       |  SELECT id_a, id_b, cosine,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
 
   /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
   private val DocsWithNearDupsSql =
@@ -627,6 +662,7 @@ object SparkEntry {
            |LEFT JOIN i ON i.doc_id = d.doc_id""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
+      "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(
