@@ -30,8 +30,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-size the heap: growing from the default tiny Xms during a measured
+  // pass costs repeated young GCs exactly while the 32-thread stage runs
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // throughput-batch GC: scales better than G1 for the allocation-heavy
   // extraction stages at local[32]
   "-XX:+UseParallelGC",
+  // half the heap young: stage-profiled at local[32] (tools/StageProf) the
+  // default 1/3 young gen promoted medium-lived task/shuffle objects and GC
+  // consumed 28-46% of task time; NewRatio=1 (+ off-heap execution memory,
+  // set in Bench's session conf) cut reduce-stage GC 327s -> 14s
+  "-XX:NewRatio=1",
   "-XX:ReservedCodeCacheSize=512m",
 )
