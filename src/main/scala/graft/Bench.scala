@@ -50,11 +50,17 @@ object Bench {
 
   /** Materialize the deterministic corpus once (unmeasured): the measured
     * job is extraction over a parquet pages table — the north-rule shape —
-    * not corpus synthesis. */
+    * not corpus synthesis. Reuses an existing dir with the right row count
+    * (the generator is pure in (seed, idx)), so reruns spend their host
+    * burst budget on measurements instead of regeneration. */
   def writeCorpus(spark: SparkSession, n: Long, dir: String): Unit = {
     import spark.implicits._
-    spark.range(n).repartition(64).map(i => PageGen.row(42L, i))
-      .write.mode("overwrite").parquet(dir)
+    val exists =
+      try spark.read.parquet(dir).count() == n
+      catch { case _: Throwable => false }
+    if (!exists)
+      spark.range(n).repartition(64).map(i => PageGen.row(42L, i))
+        .write.mode("overwrite").parquet(dir)
   }
 
   /** The measured job: read pages parquet → salted repartition →
@@ -221,6 +227,9 @@ object Bench {
     val tHi = pairs832.map(_._2).min
     val eff28 = median(pairs28.map { case (a, b) => (a * 2) / (b * 8) })
     val eff832 = median(pairs832.map { case (a, b) => (a * 8) / (b * 32) })
+    // capability form: each side's best observed wall — robust when a host
+    // throttle window poisons individual pairs in both directions
+    val eff832Best = (tLo * 8) / (tHi * 32)
     // headline efficiency: the N-vs-4N pair at the session's full
     // parallelism (8 -> 32). Capped at 1.0 — ratios above 1 are real but not
     // "scaling": fixed overhead consumes a larger share of the small side.
@@ -245,6 +254,7 @@ object Bench {
       f""""efficiency":$eff%.3f,"efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
       f""""host_spin_eff_8_to_32":$hostEff%.3f,""" +
       f""""efficiency_8_to_32_host_normalized":${math.min(eff832 / math.max(hostEff, 0.01), 1.0)}%.3f,""" +
+      f""""efficiency_8_to_32_best":$eff832Best%.3f,""" +
       pairs832.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString(""""pairs_8_32":[""", ",", "]}")
     val line =
       f"""{"metric":"extract_throughput_docs_per_sec","value":$throughput%.1f,"unit":"docs/sec",""" +
