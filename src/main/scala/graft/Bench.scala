@@ -138,6 +138,29 @@ object Bench {
     (w8 * 8) / (w32 * 32)
   }
 
+  /** Memory-side host probe: single-thread streaming sum over a 256 MB
+    * buffer (far beyond LLC) — GB/s of effectively available DRAM read
+    * bandwidth. Co-tenant memory pressure shows here when the register-spin
+    * probe reads clean. */
+  private def hostMemBandwidthGBs(): Double = {
+    val n = 32 * 1024 * 1024 // 256 MB of longs
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong; i += 1 }
+    var best = 0.0
+    var r = 0
+    while (r < 3) {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var j = 0
+      while (j < n) { s += a(j); j += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (s != Long.MinValue) { val gbs = n * 8.0 / sec / 1e9; if (gbs > best) best = gbs }
+      r += 1
+    }
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -210,6 +233,7 @@ object Bench {
     // sessions in this JVM, and every extra 32-wide pass spends the host's
     // burst budget that the measurements need.
     val hostEff = math.min(1.0, hostSpinEff())
+    val memGBs = hostMemBandwidthGBs()
     val pairs832 = (1 to 3).flatMap { i =>
       if (i == 1 || withinBudget) {
         val warm = if (i == 1) corpusDir else warmDir
@@ -254,7 +278,7 @@ object Bench {
       f""""efficiency":$eff%.3f,"efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f,""" +
       f""""host_spin_eff_8_to_32":$hostEff%.3f,""" +
       f""""efficiency_8_to_32_host_normalized":${math.min(eff832 / math.max(hostEff, 0.01), 1.0)}%.3f,""" +
-      f""""efficiency_8_to_32_best":$eff832Best%.3f,""" +
+      f""""efficiency_8_to_32_best":$eff832Best%.3f,"host_mem_gbs_1t":$memGBs%.2f,""" +
       pairs832.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString(""""pairs_8_32":[""", ",", "]}")
     val line =
       f"""{"metric":"extract_throughput_docs_per_sec","value":$throughput%.1f,"unit":"docs/sec",""" +
