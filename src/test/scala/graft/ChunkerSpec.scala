@@ -164,6 +164,39 @@ class ChunkerSpec extends AnyFunSuite {
     forAll(textGen, n = 200)(t => assert(Chunker.chunkTexts(t) == ref(t)))
   }
 
+  test("property: WordChunker invariants — word floor, budget bound, content preserved") {
+    import graft.chunk.WordChunker
+    val paraGen2 = Gen.chooseNum(1, 80).flatMap(n => Gen.listOfN(n, Gen.alphaLowerStr.map(s => "w" + s.take(5))))
+      .map(_.mkString(" "))
+    val textGen2 = Gen.chooseNum(1, 8).flatMap(k => Gen.listOfN(k, paraGen2)).map(_.mkString("\n\n"))
+    forAll(textGen2, n = 200) { text =>
+      val cs = WordChunker.chunk(text)
+      // every surviving chunk has >= 20 words
+      cs.foreach(c => assert(WordChunker.wordCount(c) >= WordChunker.MinWords))
+      // budget: a chunk exceeds 300 words only via a single oversized
+      // paragraph or the 50-word overlap carry (<= 300 + 50 + one paragraph)
+      val maxPara = text.split("\n\n").map(WordChunker.wordCount).max
+      cs.foreach(c => assert(WordChunker.wordCount(c) <=
+        math.max(WordChunker.MaxWords, maxPara) + WordChunker.OverlapWords))
+      // every input paragraph's words appear in some chunk (no content loss
+      // beyond the min-words filter dropping whole SHORT chunk groups)
+      if (cs.nonEmpty && WordChunker.wordCount(text) >= WordChunker.MinWords) {
+        val joined = cs.mkString(" ")
+        text.split("\\s+").filter(_.nonEmpty).foreach(w => assert(joined.contains(w)))
+      }
+    }
+    forAll(textGen2, n = 100) { text =>
+      val cs = WordChunker.chunkPages(Seq(text))
+      // chunkPages loses nothing: concatenation contains every paragraph
+      val paras = text.split("\n\\s*\n").map(_.trim).filter(_.nonEmpty)
+      val joined = cs.mkString("\n\n")
+      paras.foreach(p => assert(joined.contains(p)))
+      // and each chunk respects the budget unless a single paragraph exceeds it
+      cs.foreach(c => assert(c.length < 1000 + 2 || paras.exists(_.length >= 1000 - 2),
+        s"chunk len ${c.length}"))
+    }
+  }
+
   test("property: dedup idempotence — chunking a doc twice yields identical rows") {
     forAll(textGen) { text =>
       val a = Chunker.chunkDocument("u", "h", text)
