@@ -163,7 +163,7 @@ object SparkEntry {
     "q_chunk_pages" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
-        .filter(!col("text").rlike("\\n\\s*\\n") && length(trim(col("text"))) > 0)
+        .filter(!col("text").rlike("\\n\\s*\\n") && col("text").rlike("\\S"))
         .select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
           val cs = graft.chunk.WordChunker.chunkPages(Seq(text, text))
@@ -210,7 +210,7 @@ object SparkEntry {
     "q_billing" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
-        .filter(!col("text").rlike("\\n\\s*\\n") && length(trim(col("text"))) > 0)
+        .filter(!col("text").rlike("\\n\\s*\\n") && col("text").rlike("\\S"))
         .select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, text) =>
           val chunks = Chunker.chunkTexts(text)
@@ -534,17 +534,18 @@ object SparkEntry {
            |  first_value(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS duplicate_of
            |FROM f""".stripMargin,
       "q_chunk_fallback" ->
-        """SELECT doc_id, 1::INT AS n_chunks, trim(text) AS chunk0 FROM documents
-          | WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
-      // planted two-paragraph doc (p = trim(text), twice): word budget 300,
+        """SELECT doc_id, 1::INT AS n_chunks, trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS chunk0 FROM documents
+          | WHERE regexp_matches(text, '\S') AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
+      // planted two-paragraph doc (p = whitespace-trimmed text, twice; the
+      // trim set mirrors Java String.trim for realistic whitespace): budget 300,
       // overlap 50, min 20 — closed form per the reference loop:
       //   2w <= 300          -> 1 chunk  "p\n\np"        (kept iff 2w >= 20)
       //   2w  > 300          -> 2 chunks "p", last50(p)+"\n\n"+p
       "q_chunk_words" ->
-        """WITH d AS (SELECT doc_id, trim(text) AS p,
+        """WITH d AS (SELECT doc_id, trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS p,
           |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws
           |  FROM documents
-          |  WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n')),
+          |  WHERE regexp_matches(text, '\S') AND NOT regexp_matches(text, '\n\s*\n')),
           | w AS (SELECT doc_id, p, ws, len(ws)::INT AS w FROM d)
           |SELECT doc_id, 0::INT AS chunk_index, 1::INT AS n_chunks,
           |  p || chr(10) || chr(10) || p AS chunk
@@ -559,9 +560,9 @@ object SparkEntry {
       // emits nothing and restarts); buffer keeps its trailing joiner, so the
       // second para merges iff (w+2) + w < 1000
       "q_chunk_pages" ->
-        """WITH d AS (SELECT doc_id, trim(text) AS p, length(trim(text))::INT AS w
+        """WITH d AS (SELECT doc_id, trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS p, length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)))::INT AS w
           |  FROM documents
-          |  WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n'))
+          |  WHERE regexp_matches(text, '\S') AND NOT regexp_matches(text, '\n\s*\n'))
           |SELECT doc_id, 0::INT AS chunk_index, 1::INT AS n_chunks,
           |  p || chr(10) || chr(10) || p AS chunk
           |FROM d WHERE 2*w + 2 < 1000
@@ -615,10 +616,10 @@ object SparkEntry {
       "q_facet_bm25" -> bm25OracleSql("WHERE lang = 'en'"),
       "q_billing" ->
         """SELECT doc_id, 1::INT AS n_chunks,
-          | greatest(1, length(trim(text)) // 4)::BIGINT AS tokens,
-          | greatest(1, length(trim(text)) // 4)::BIGINT / 1000000.0 * 0.012 AS cost
+          | greatest(1, length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) // 4)::BIGINT AS tokens,
+          | greatest(1, length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) // 4)::BIGINT / 1000000.0 * 0.012 AS cost
           |FROM documents
-          |WHERE len(trim(text)) > 0 AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
+          |WHERE regexp_matches(text, '\S') AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
       "q_tfidf" ->
         """WITH toks AS (
           |  SELECT doc_id AS doc,
