@@ -313,6 +313,25 @@ object SparkEntry {
         .agg(max(size(col("embedding"))).cast("long").as("dim"),
           count(lit(1)).as("n_vecs"))
     }),
+    // --- R4/R2 the PRODUCTION retrieval path: build two overlapping index
+    // segments from the corpus, compact them, then score via IndexJob.search
+    // over the committed segment files — exercising segment union, the
+    // (term,doc) max-tf overlap dedup, df/N/avgdl recompute, and top-k. The
+    // k cutoff is set past every matching doc, so the result is the full
+    // score relation (boundary-insensitive) and the DuckDB oracle is plain
+    // BM25 over the corpus. Reference query side: rag_py.py:266-291.
+    "q_index_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"),
+          lit(false).as("is_duplicate"))
+      val root = java.nio.file.Files.createTempDirectory("graft-index-").toString
+      // segment 1: even ids plus ids < 10 (the overlap); segment 2: odd ids
+      graft.jobs.IndexJob.build(s,
+        docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), root)
+      graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), root)
+      graft.jobs.IndexJob.compact(s, root)
+      graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -327,10 +346,12 @@ object SparkEntry {
   // -------------------------------------------------------------- oracleSql
 
   /** BM25 all-docs scores over an optionally filtered corpus. Stats (N,
-    * avgdl, df) come from the filtered relation, mirroring Bm25.scores. */
-  private def bm25OracleSql(where: String): String =
+    * avgdl, df) come from the filtered relation, mirroring Bm25.scores.
+    * `idExpr` lets the same oracle serve the long-id corpus queries and the
+    * string-id materialized-index query. */
+  private def bm25OracleSql(where: String, idExpr: String = "doc_id"): String =
     s"""WITH toks AS (
-       |  SELECT doc_id AS doc,
+       |  SELECT $idExpr AS doc,
        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
        |  FROM documents $where),
        | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
@@ -440,9 +461,15 @@ object SparkEntry {
   }
 
   /** DuckDB replica of [[SimHash.nearDupPairs]]: identical md5-top-64 feature
-    * hashes, tf weights, 4x16-bit band keys, sorted-and-capped buckets, and
-    * bit_count(xor) Hamming filter. */
+    * hashes, tf weights, the same 10 block-pair table keys (5 disjoint
+    * 13/13/13/13/12-bit blocks, keys bi*8192+bj — generated from the SAME
+    * BlockPairs/BlockOffsets/BlockWidths constants as the operator),
+    * sorted-and-capped buckets, and bit_count(xor) Hamming filter. */
   private def simhashOracleSql(maxDist: Int, maxBucket: Int): String = {
+    val tblRows = SimHash.BlockPairs.zipWithIndex.map { case ((i, j), k) =>
+      s"($k,${SimHash.BlockOffsets(i)},${(1L << SimHash.BlockWidths(i)) - 1}," +
+        s"${SimHash.BlockOffsets(j)},${(1L << SimHash.BlockWidths(j)) - 1})"
+    }.mkString(",")
     s"""WITH $DocsWithNearDupsSql,
        | toks AS (SELECT id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term FROM docs),
        | tf AS (SELECT id, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h, count(*)::BIGINT AS w FROM toks GROUP BY 1, 2),
@@ -451,8 +478,10 @@ object SparkEntry {
        | sh0 AS (SELECT id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS sim FROM bits GROUP BY 1),
        | sh AS (SELECT d.id, coalesce(s.sim, 0)::UBIGINT AS sim
        |   FROM (SELECT DISTINCT id FROM docs) d LEFT JOIN sh0 s ON s.id = d.id),
-       | banded AS (SELECT id, sim, k, (sim >> (16 * k)) & 65535 AS key
-       |   FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+       | tbls(k, oi, mi, oj, mj) AS (VALUES $tblRows),
+       | banded AS (SELECT id, sim, k,
+       |     ((sim >> oi) & mi::UBIGINT) * 8192 + ((sim >> oj) & mj::UBIGINT) AS key
+       |   FROM sh CROSS JOIN tbls),
        | mem AS (SELECT id, sim, k, key, row_number() OVER (PARTITION BY k, key ORDER BY id) AS rn FROM banded),
        | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
        |   FROM (SELECT * FROM mem WHERE rn <= $maxBucket) a
@@ -536,6 +565,15 @@ object SparkEntry {
       "q_chunk_fallback" ->
         """SELECT doc_id, 1::INT AS n_chunks, trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS chunk0 FROM documents
           | WHERE regexp_matches(text, '\S') AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
+      // CORPUS-CLEANLINESS PRECONDITION (q_chunk_words / q_chunk_pages /
+      // q_billing): these closed-form oracles assume documents.text has no
+      // leading/trailing whitespace and no control chars — true of the
+      // driver's generated corpus. They approximate Java semantics in DuckDB
+      // (trim(' \t\n\r\f\v') vs String.trim's <= 0x20 set; RE2 '\s' vs Java
+      // \s differ on U+000B), so a future corpus with edge whitespace or
+      // control chars would need the same whitespace-shape filter mirrored
+      // on BOTH sides before trusting the hash gate.
+      //
       // planted two-paragraph doc (p = whitespace-trimmed text, twice; the
       // trim set mirrors Java String.trim for realistic whitespace): budget 300,
       // overlap 50, min 20 — closed form per the reference loop:
@@ -614,6 +652,9 @@ object SparkEntry {
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
       "q_bm25" -> bm25OracleSql(""),
       "q_facet_bm25" -> bm25OracleSql("WHERE lang = 'en'"),
+      // segment overlap dedups to the plain corpus relation, so the oracle
+      // is corpus BM25 with string doc ids (the index keys docs by chunk id)
+      "q_index_search" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR"),
       "q_billing" ->
         """SELECT doc_id, 1::INT AS n_chunks,
           | greatest(1, length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) // 4)::BIGINT AS tokens,

@@ -153,9 +153,25 @@ object MinHash {
     * groupBy(band, hash) self-pairing within small buckets → shuffle-join
     * texts back for verification. Bucket size is capped to keep the
     * pair-blowup bounded under adversarial skew (all-identical corpora).
+    *
+    * The cap NEVER drops work silently when `drops` is supplied: members
+    * past `maxBucket` are counted into the observation
+    * (`dropped_members` / `overflow_buckets`), readable after any action on
+    * the result — the reference's every-skip-gets-a-ledger-reason
+    * discipline (convert_to_embeddings.py:357-365) applied to LSH caps.
+    *
+    * Reading convention: an ABSENT metric means zero. When zero candidates
+    * emerge, AQE's empty-relation propagation can cull the CollectMetrics
+    * node from the final plan — but drops > 0 forces an overflowed bucket,
+    * whose >= 2 kept members survive the size>1 filter, so the metric is
+    * always delivered whenever anything was actually dropped (as long as
+    * the returned pairs feed the action directly; if you embed the pairs in
+    * a larger plan whose joins may go empty, trigger the ledger with its
+    * own small action first).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+                   threshold: Double = 0.8, maxBucket: Int = 64,
+                   drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -171,9 +187,14 @@ object MinHash {
       .toDF("id", "band", "bhash")
 
     // candidate pairs: ids sharing a (band, bhash) bucket
-    val buckets = withBands
+    val sized = withBands
       .groupBy($"band", $"bhash")
-      .agg(slice(sort_array(collect_list($"id")), 1, maxBucket).as("ids"))
+      .agg(collect_list($"id").as("all_ids"))
+      .withColumn("ids", slice(sort_array($"all_ids"), 1, maxBucket))
+      .withColumn("n_dropped", greatest(lit(0), size($"all_ids") - lit(maxBucket)))
+    val buckets = drops.fold(sized)(o => sized.observe(o,
+        sum(col("n_dropped").cast("long")).as("dropped_members"),
+        sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("overflow_buckets")))
       .filter(size($"ids") > 1)
 
     val pairs = buckets
@@ -199,23 +220,94 @@ object MinHash {
     verified.select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
   }
 
-  /** Near-dup keep-first: drop every doc that has a verified neighbor with a
-    * smaller id (single-link approximation of connected components — exact
-    * for the pair/cluster shapes the corpus generator emits; iterate for
-    * full CC if chains matter). */
+  /** Near-dup keep-first over TRUE connected components: cluster the
+    * verified pairs (so chains A~B~C with A≁C collapse to ONE survivor, the
+    * min id), drop everything but each component's root. */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
-    val losers = nearDupPairs(df, idCol, textCol, threshold)
-      .select(col("id_b").as("loser")).distinct()
+    val comps = Components.of(nearDupPairs(df, idCol, textCol, threshold))
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as("loser"))
     df.join(losers, df(idCol).cast("string") === col("loser"), "left_anti")
   }
 }
 
+/** Connected components by bounded iterate-to-fixpoint min-label
+  * propagation — the clustering step between verified near-dup PAIRS and
+  * keep-first dedup. Replaces the round-2 single-link keep-first
+  * approximation, which over/under-dropped on chain-shaped clusters
+  * (A~B~C with A≁C).
+  *
+  * Scale: the input is the VERIFIED edge set — tiny relative to the corpus
+  * (bounded by bucket caps upstream) — and each iteration is one
+  * shuffle join + aggregate; convergence takes O(component diameter)
+  * iterations. `maxIter` bounds adversarial chains: a chain longer than
+  * maxIter hops settles on a documented partial merge (components split at
+  * maxIter-hop boundaries), never an error. */
+object Components {
+
+  /** (id, comp) for every id appearing in `pairs`; comp = min id reachable
+    * (exact when diameters <= maxIter). */
+  def of(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+         maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).cast("string").as("src"), col(idB).cast("string").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("string").as("src"), col(idA).cast("string").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}
+
 /** SimHash (Charikar) 64-bit fingerprints: near-dups have small Hamming
-  * distance; candidate generation splits the fingerprint into 4 16-bit
-  * tables so any pair within distance 3 shares at least one table key
-  * (pigeonhole). */
+  * distance; candidate generation splits the fingerprint into 5 disjoint
+  * blocks (13,13,13,13,12 bits) and keys candidates on the C(5,2) = 10
+  * BLOCK PAIRS (~26-bit keys).
+  *
+  * Pigeonhole (maxDist ≤ 3): ≤3 differing bits dirty ≤3 blocks, leaving
+  * ≥2 clean blocks — and every 2-subset of blocks is one of the 10 tables,
+  * so any pair within distance 3 shares at least one table key. Versus the
+  * naive 4×16-bit split (same guarantee), keys are ~2^10 wider: expected
+  * bucket occupancy on an n-doc corpus falls from n/2^16 to n/2^26 — at
+  * 10^9 docs, ~15,000 → ~15 per bucket — so the maxBucket cap stops being
+  * a silent recall ceiling at corpus scale, at the bounded cost of 10
+  * rows/doc instead of 4 through the bucket shuffle. */
 object SimHash {
+
+  /** Bit offsets / widths of the 5 disjoint fingerprint blocks. */
+  val BlockOffsets: Array[Int] = Array(0, 13, 26, 39, 52)
+  val BlockWidths: Array[Int] = Array(13, 13, 13, 13, 12)
+
+  /** The 10 block-pair tables, in fixed (i < j) order. */
+  val BlockPairs: Array[(Int, Int)] =
+    (for (i <- 0 until 5; j <- i + 1 until 5) yield (i, j)).toArray
+
+  def NumTables: Int = BlockPairs.length
+
+  /** Table key of fingerprint `sim` in table `tbl`: the two block values
+    * packed arithmetically (bj < 2^13, so bi*2^13 + bj is injective). */
+  def blockKey(sim: Long, tbl: Int): Long = {
+    val (i, j) = BlockPairs(tbl)
+    val bi = (sim >>> BlockOffsets(i)) & ((1L << BlockWidths(i)) - 1)
+    val bj = (sim >>> BlockOffsets(j)) & ((1L << BlockWidths(j)) - 1)
+    bi * 8192L + bj
+  }
 
   /** Charikar fingerprint with term-frequency weights. The feature hash is
     * md5-top-64 (graft.Hashing.md5Long), so the DuckDB oracle can recompute
@@ -245,13 +337,17 @@ object SimHash {
 
   /** Near-dup pairs with Hamming distance <= maxDist over (id, text).
     *
-    * Scale shape mirrors [[MinHash.nearDupPairs]]: band keys emitted in the
-    * same narrow map that computes the fingerprint (4 rows/doc, no vector
+    * Scale shape mirrors [[MinHash.nearDupPairs]]: table keys emitted in the
+    * same narrow map that computes the fingerprint (10 rows/doc, no vector
     * payload), buckets capped at `maxBucket` members so a degenerate
     * all-identical corpus generates O(n * cap) pairs instead of O(n^2), and
-    * the Hamming filter is the codegen'd native expression computed once. */
+    * the Hamming filter is the codegen'd native expression computed once.
+    * The block-pair pigeonhole guarantee (object doc) covers maxDist <= 3;
+    * larger distances are best-effort. Cap drops are observable via `drops`
+    * (dropped_members / overflow_buckets), as in MinHash. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-                   maxBucket: Int = 64): DataFrame = {
+                   maxBucket: Int = 64,
+                   drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -260,12 +356,17 @@ object SimHash {
       .as[(String, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val s = simhash(t)
-        (0 until 4).iterator.map(k => (id, s, k, (s >>> (k * 16)) & 0xffffL))
+        (0 until NumTables).iterator.map(k => (id, s, k, blockKey(s, k)))
       })
       .toDF("id", "sim", "tbl", "key")
-    val buckets = banded
+    val sized = banded
       .groupBy($"tbl", $"key")
-      .agg(slice(array_sort(collect_list(struct($"id", $"sim"))), 1, maxBucket).as("members"))
+      .agg(collect_list(struct($"id", $"sim")).as("all_members"))
+      .withColumn("members", slice(array_sort($"all_members"), 1, maxBucket))
+      .withColumn("n_dropped", greatest(lit(0), size($"all_members") - lit(maxBucket)))
+    val buckets = drops.fold(sized)(o => sized.observe(o,
+        sum(col("n_dropped").cast("long")).as("dropped_members"),
+        sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("overflow_buckets")))
       .filter(size($"members") > 1)
     buckets
       .select(explode(expr(

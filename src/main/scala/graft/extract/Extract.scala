@@ -59,20 +59,23 @@ object Extract {
   /** Documents larger than this bail out with err="oversize" (P5 skew cap). */
   val MaxDocBytes: Int = 64 << 20
 
-  /** Per-document wall budget (T3) — the reference's 1800 s per-file timeout
-    * scaled to this engine's ~0.1 ms/doc envelope: any document five orders
-    * of magnitude over typical cost is pathological, not slow. */
-  val PerDocBudgetNanos: Long = 30L * 1000 * 1000 * 1000
+  /** Per-document work budget (T3) — the reference's 1800 s per-file timeout
+    * re-expressed as a DETERMINISTIC tick count (see [[TimeBudget]]): one
+    * tick per PDF token/decode step, so 2^30 ticks is ~4 orders of magnitude
+    * over a typical document and a few seconds of wall at nominal speed.
+    * Any document past it is pathological (bomb/degenerate stream), not
+    * slow — and the verdict is byte-identical on every rerun. */
+  val PerDocBudgetTicks: Long = 1L << 30
 
   def extractOne(url: String, bytes: Array[Byte]): ExtractedDoc =
-    extractOne(url, bytes, PerDocBudgetNanos)
+    extractOne(url, bytes, PerDocBudgetTicks)
 
-  def extractOne(url: String, bytes: Array[Byte], budgetNanos: Long): ExtractedDoc = {
+  def extractOne(url: String, bytes: Array[Byte], budgetTicks: Long): ExtractedDoc = {
     if (bytes == null)
       return ExtractedDoc(url, "unknown", "", Nil, "err", 0, 0, "null_bytes")
     if (bytes.length > MaxDocBytes)
       return ExtractedDoc(url, Sniffer.sniff(bytes), "", Nil, "err", 0, 0, "oversize")
-    TimeBudget.start(System.nanoTime() + budgetNanos)
+    TimeBudget.start(budgetTicks)
     try extractSniffed(url, bytes)
     finally TimeBudget.clear()
   }
@@ -95,7 +98,7 @@ object Extract {
               "text_layer", pageSpans.length, text.length, "")
         } catch {
           case _: TimeBudget.Exceeded =>
-            ExtractedDoc(url, "pdf", "", Nil, "err", 0, 0, "timeout")
+            ExtractedDoc(url, "pdf", "", Nil, "err", 0, 0, "work_budget")
           case NonFatal(e) =>
             ExtractedDoc(url, "pdf", "", Nil, "err", 0, 0,
               s"pdf_parse: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(200)}")

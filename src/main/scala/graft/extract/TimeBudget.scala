@@ -1,27 +1,36 @@
 package graft.extract
 
-/** Per-document wall-clock budget — the Spark-side analog of the reference's
-  * per-file timeout (reference: src/services/RAG/convert_to_embeddings.py:
-  * 608-631, 1800 s per file). A budget is armed around each `extractOne`
-  * call; the PDF machinery ticks it from its token loop, so a pathological
-  * document (decompression bomb, degenerate content stream) yields an
-  * err="timeout" ROW after the budget instead of owning the task forever.
+/** Per-document DETERMINISTIC work budget — the Spark-side analog of the
+  * reference's per-file timeout (reference: src/services/RAG/
+  * convert_to_embeddings.py:608-631, 1800 s per file), counted in work units
+  * (parser ticks) instead of wall-clock nanos.
   *
-  * The HTML path needs no ticks: the tokenizer is one forward pass bounded
-  * by the (64 MB-capped) input, with every loop strictly advancing.
+  * Why not wall time: this engine's byte-identity contract (golden fixtures,
+  * LakeSpec rerun equality) requires extraction output to be a pure function
+  * of the input bytes. A wall-clock budget makes it a function of host
+  * weather too — under a 3× host slow phase a legitimately heavy but valid
+  * PDF could nondeterministically flip to an err row. A tick budget bounds
+  * the same pathologies (decompression bombs, degenerate content streams —
+  * every inflate/token loop strictly ticks, so ticks ∝ work) while staying
+  * deterministic across reruns, hosts, and parallelism levels.
   *
-  * tick() amortizes the nanoTime call to 1/4096 invocations; the
-  * ThreadLocal carries a 2-slot array (deadline, counter) to avoid boxing.
+  * A budget is armed around each `extractOne` call; the PDF machinery ticks
+  * it from its token loop. The HTML path needs no ticks: the tokenizer is
+  * one forward pass bounded by the (64 MB-capped) input, with every loop
+  * strictly advancing.
+  *
+  * The ThreadLocal carries a 2-slot array (budget, counter) to avoid boxing;
+  * tick() is a bare counter compare — no nanoTime call at all.
   */
 object TimeBudget {
 
-  final class Exceeded extends RuntimeException("per-doc time budget exceeded")
+  final class Exceeded extends RuntimeException("per-doc work budget exceeded")
 
   private val state: ThreadLocal[Array[Long]] =
     ThreadLocal.withInitial[Array[Long]](() => Array(Long.MaxValue, 0L))
 
-  def start(deadlineNanos: Long): Unit = {
-    val a = state.get(); a(0) = deadlineNanos; a(1) = 0
+  def start(budgetTicks: Long): Unit = {
+    val a = state.get(); a(0) = budgetTicks; a(1) = 0
   }
 
   def clear(): Unit = { state.get()(0) = Long.MaxValue }
@@ -29,7 +38,6 @@ object TimeBudget {
   @inline def tick(): Unit = {
     val a = state.get()
     a(1) += 1
-    if ((a(1) & 0xfffL) == 0L && a(0) != Long.MaxValue && System.nanoTime() > a(0))
-      throw new Exceeded
+    if (a(1) > a(0)) throw new Exceeded
   }
 }

@@ -141,11 +141,18 @@ object HtmlExtractor {
     var lastWasSpace = true // collapse leading ws
 
     def flush(): Unit = {
-      // collapsed text never has a leading space (lastWasSpace starts true)
-      // and at most one trailing space — trim == drop that one char
-      val end = if (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.length - 1 else sb.length
-      if (end > 0) {
-        val text = sb.substring(0, end)
+      // exact String.trim semantics: strip chars <= ' ' (0x20) at BOTH ends.
+      // Whitespace-collapse leaves at most one leading/trailing ' ', but
+      // non-whitespace control chars (U+0000-U+0008, U+000E-U+001B — raw or
+      // via numeric entities) are appended verbatim with lastWasSpace=false,
+      // so edges can hold runs of them; the scan is O(trimmed) — 0-1 chars on
+      // clean markup — and byte-identical to the original sb.toString.trim.
+      var start = 0
+      var end = sb.length
+      while (start < end && sb.charAt(start) <= ' ') start += 1
+      while (end > start && sb.charAt(end - 1) <= ' ') end -= 1
+      if (end > start) {
+        val text = sb.substring(start, end)
         out += Block(text, math.min(linkChars, text.length), blockInContainer, blockKind)
       }
       sb.clear()

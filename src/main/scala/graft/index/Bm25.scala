@@ -41,8 +41,10 @@ object Bm25 {
     * materialization-ready (SURVEY.md §2.8 R4); docLens: (doc, dl). */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val tf = termFreq(docs, idCol, textCol)
-    val dl = docLen(docs, idCol, textCol)
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    // dl from tf (one tokenize; see scoredAll). Token-empty docs carry no
+    // terms, so excluding them from doclen/stats matches retrieval exactly.
+    val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl")).head()
     val postings = tf.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
@@ -94,23 +96,31 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = termFreq(docs, idCol, textCol)
-    val dl = docLen(docs, idCol, textCol)
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
-    val n = stats.getLong(0); val avgdl = stats.getDouble(1)
+    // dl derived from tf (dl == Σ_term tf, definitionally — and identically
+    // to the oracle, whose dl also comes from the token relation): ONE
+    // tokenize of the corpus instead of two. The (doc,term) aggregate
+    // subtree is shared between tf and dl, so ReuseExchange materializes the
+    // tokenize+shuffle once — at 100 TB tokenization is the dominant scan
+    // cost, so this halves it.
+    val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
+    // corpus stats as a broadcast 1-row relation instead of an eager head():
+    // no extra driver action per call — the whole score is one job.
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
 
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
     // df via a window over the already-filtered tf relation: (doc,term) rows
     // are unique, so count(*) over term == document frequency. This avoids a
-    // second full tokenize+aggregate subtree (verified in .explain: one scan
-    // of docs instead of two).
+    // third tokenize+aggregate subtree.
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     tf.join(broadcast(qTerms), "term")
       .withColumn("df", count(lit(1)).over(wTerm))
       .join(dl, "doc")
-      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
       .withColumn("score",
         col("idf") * (col("tf").cast("double") * (lit(K1) + 1.0)) /
-          (col("tf").cast("double") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
+          (col("tf").cast("double") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("doc").agg(sum("score").as("score"))
   }
 }

@@ -30,10 +30,14 @@ object DedupJob {
       .select(col(urlCol).as("url"), lit("exact_duplicate").as("reason"),
         col("duplicate_of").cast("string").as("duplicate_of"))
 
-    // D3: near-dup over the exact-clean survivors
+    // D3: near-dup over the exact-clean survivors — verified pairs clustered
+    // into true connected components (chains A~B~C with A≁C keep exactly
+    // one doc), each component's min-id root wins; losers' duplicate_of is
+    // the root, not an arbitrary pair partner
     val pairs = MinHash.nearDupPairs(exactClean, urlCol, textCol, jaccardThreshold)
-    val losers = pairs.select(col("id_b").as("loser"), col("id_a").as("winner"))
-      .groupBy("loser").agg(min("winner").as("duplicate_of"))
+    val comps = graft.dedup.Components.of(pairs)
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("loser"), col("comp").as("duplicate_of"))
     val nearClean = exactClean.join(losers,
       exactClean(urlCol).cast("string") === losers("loser"), "left_anti")
     val nearDropped = losers.select(col("loser").as("url"),

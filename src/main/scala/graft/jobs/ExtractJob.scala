@@ -43,17 +43,22 @@ object ExtractJob {
 
   private val BucketKey = "b=(\\d+):fp=(-?\\d+)".r
 
-  /** Latest committed fingerprint per bucket (later snapshots win). */
+  /** Latest committed fingerprint per bucket (later snapshots win).
+    * Resolved from the lake's checkpointed state — O(checkpoint interval)
+    * manifest reads, not O(versions). */
   def committedFps(lake: LakeTable): Map[Int, Long] =
-    (1 to lake.currentVersion).foldLeft(Map.empty[Int, Long]) { (acc, v) =>
-      acc ++ lake.readManifest(v).keys.collect { case BucketKey(b, fp) => b.toInt -> fp.toLong }
-    }
+    lake.state.keyVersions
+      .collect { case (BucketKey(b, fp), v) => (b.toInt, v, fp.toLong) }
+      .groupBy(_._1)
+      .map { case (b, xs) => b -> xs.maxBy(_._2)._3 }
 
-  /** Version of the latest FULL commit per bucket (retry commits excluded). */
+  /** Version of the latest FULL commit per bucket (retry commits excluded).
+    * Checkpoint-backed, like [[committedFps]]. */
   private def vFullMap(lake: LakeTable): Map[Int, Int] =
-    (1 to lake.currentVersion).foldLeft(Map.empty[Int, Int]) { (acc, v) =>
-      acc ++ lake.readManifest(v).keys.collect { case BucketKey(b, _) => b.toInt -> v }
-    }
+    lake.state.keyVersions
+      .collect { case (BucketKey(b, _), v) => (b.toInt, v) }
+      .groupBy(_._1)
+      .map { case (b, xs) => b -> xs.map(_._2).max }
 
   /** Order-independent content fingerprint per bucket over (url, warc_ts) —
     * the metadata-only analog of the reference's size/mtime check; the html
@@ -72,11 +77,10 @@ object ExtractJob {
     import spark.implicits._
     val lake = new LakeTable(tableRoot)
     val vf = vFullMap(lake)
-    val perV = (1 to lake.currentVersion).flatMap { v =>
-      val fs = lake.readManifest(v).files.filter(_.contains("/errs/"))
-      if (fs.isEmpty) None
-      else Some(spark.read.parquet(fs: _*).withColumn("v", lit(v)))
-    }
+    val perV = lake.state.fileVersions.filter(_._1.contains("/errs/"))
+      .groupBy(_._2).toSeq.sortBy(_._1).map { case (v, fs) =>
+        spark.read.parquet(fs.map(_._1): _*).withColumn("v", lit(v))
+      }
     if (perV.isEmpty)
       return Seq.empty[(Int, String, String, String, Int)]
         .toDF("bucket", "url", "kind", "err", "v")
@@ -109,14 +113,20 @@ object ExtractJob {
       .take(maxBucketsPerRun)
 
     // failed-row retry: urls whose latest attempt err'd, in buckets NOT
-    // being fully re-extracted this run (those re-attempt everything anyway)
-    val retryUrls: Seq[String] =
-      if (!retryErrs || lake.currentVersion == 0) Nil
+    // being fully re-extracted this run (those re-attempt everything anyway).
+    // Stays a DataFrame end-to-end — the retry set is bounded only by how
+    // many urls err'd, and a poisoned corpus (systematic parse bug at 100 TB)
+    // must not OOM the driver through a collect(). Only its COUNT crosses to
+    // the driver (a scalar), used for planning and the broadcast-size check.
+    val retrySet: DataFrame =
+      if (!retryErrs || lake.currentVersion == 0)
+        spark.emptyDataset[String].toDF("url")
       else pendingErrs(spark, tableRoot)
         .filter(!col("bucket").isin(todo: _*))
-        .select("url").as[String].collect().toSeq
+        .select("url").distinct()
+    val nRetry: Long = retrySet.count()
 
-    if (todo.isEmpty && retryUrls.isEmpty)
+    if (todo.isEmpty && nRetry == 0)
       return Result(lake.currentVersion, 0, 0, 0, Nil, 0)
 
     // prune to (url, html, bucket) BEFORE the salting shuffle — the scan's
@@ -128,13 +138,18 @@ object ExtractJob {
       .filter(col("bucket").isin(todo: _*))
       .withColumn("retry", lit(false))
     val work =
-      if (retryUrls.isEmpty) todoPages
-      else todoPages.unionByName(
-        bucketed
-          .join(broadcast(retryUrls.toDF("url")), "url")
-          .filter(!col("bucket").isin(todo: _*))
-          .select(col("url"), col("html"), col("bucket"))
-          .withColumn("retry", lit(true)))
+      if (nRetry == 0) todoPages
+      else {
+        // small retry sets broadcast (the common case: a handful of flaky
+        // rows); big ones fall back to a shuffle semi-join on url
+        val probe = if (nRetry <= 100000) broadcast(retrySet) else retrySet
+        todoPages.unionByName(
+          bucketed
+            .join(probe, Seq("url"), "left_semi")
+            .filter(!col("bucket").isin(todo: _*))
+            .select(col("url"), col("html"), col("bucket"))
+            .withColumn("retry", lit(true)))
+      }
 
     // salted repartition: decouple extraction parallelism from input layout
     val parts = spark.sparkContext.defaultParallelism
@@ -233,23 +248,21 @@ object ExtractJob {
     // commit ALL planned buckets under their new fingerprint (some may be
     // empty of rows — still done); retry-only work is marked with its own key
     val keys = todo.map(b => s"b=$b:fp=${fps.getOrElse(b, 0L)}") ++
-      (if (retryUrls.nonEmpty) Seq(s"retry-v$v") else Nil)
+      (if (nRetry > 0) Seq(s"retry-v$v") else Nil)
     lake.commit(files, keys, lineageRows,
       Map("docs" -> nDocs.toDouble, "chunks" -> nChunks.toDouble,
           "errs" -> nErrs.toDouble, "tokens_est" -> tokensEst))
     extracted.unpersist()
-    Result(v, nDocs, nChunks, nErrs, todo, retryUrls.length.toLong)
+    Result(v, nDocs, nChunks, nErrs, todo, nRetry)
   }
 
   /** Live chunk files per the latest-wins-per-bucket rule, resolved from
-    * manifests alone. */
+    * the checkpointed manifest state alone (no directory listing). */
   private def liveChunkFiles(lake: LakeTable): Seq[String] = {
     val vf = vFullMap(lake)
     val BucketDir = ".*/chunks/bucket=(\\d+)/.*".r
-    (1 to lake.currentVersion).flatMap { v =>
-      lake.readManifest(v).files.collect {
-        case f @ BucketDir(b) if v >= vf.getOrElse(b.toInt, Int.MaxValue) => f
-      }
+    lake.state.fileVersions.collect {
+      case (f @ BucketDir(b), v) if v >= vf.getOrElse(b.toInt, Int.MaxValue) => f
     }
   }
 
@@ -264,10 +277,10 @@ object ExtractJob {
     import spark.implicits._
     val lake = new LakeTable(tableRoot)
     val vf = vFullMap(lake)
-    val perV = (1 to lake.currentVersion).flatMap { v =>
-      val fs = lake.readManifest(v).files.filter(_.contains("/billing/"))
-      if (fs.isEmpty) None else Some(spark.read.parquet(fs: _*).withColumn("v", lit(v)))
-    }
+    val perV = lake.state.fileVersions.filter(_._1.contains("/billing/"))
+      .groupBy(_._2).toSeq.sortBy(_._1).map { case (v, fs) =>
+        spark.read.parquet(fs.map(_._1): _*).withColumn("v", lit(v))
+      }
     if (perV.isEmpty)
       return Seq.empty[(Int, String, Long, Long, Double, Int)]
         .toDF("bucket", "url", "tokens", "n_chunks", "cost", "v")

@@ -29,27 +29,61 @@ import scala.jdk.CollectionConverters._
   * Paths are local-FS in this sandbox; rename-commit is atomic on POSIX.
   * On an object store this layer would swap the rename for a
   * putIfAbsent/conditional-put without changing callers.
+  *
+  * **Checkpointed planning state** (the reference's progress-file-rewrite
+  * problem, solved the Iceberg way): every `checkpointInterval` commits the
+  * table writes a consolidated `metadata/ckpt-vN.json` holding (key →
+  * version) and (file → version) for everything committed so far, plus an
+  * atomically-renamed `checkpoint-hint.text`. Readers resolve `state` from
+  * the latest checkpoint + the ≤interval manifests after it — O(interval)
+  * reads instead of O(versions) — so a 10^4-commit table plans as fast as a
+  * 10-commit one. The checkpoint is a pure cache: deleting it (or crashing
+  * between manifest and checkpoint writes) only slows readers down.
   */
-final class LakeTable(val root: String) {
+final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
 
   private def metaDir: Path = Paths.get(root, "metadata")
   private def hintFile: Path = Paths.get(root, "version-hint.text")
+  private def ckptHintFile: Path = Paths.get(root, "checkpoint-hint.text")
 
   def currentVersion: Int =
     if (Files.exists(hintFile)) new String(Files.readAllBytes(hintFile), UTF_8).trim.toInt else 0
 
-  private def manifestPath(v: Int): Path = metaDir.resolve(s"v$v.json")
+  /** Version of the newest consolidated checkpoint (0 = none). */
+  def checkpointVersion: Int =
+    if (Files.exists(ckptHintFile)) new String(Files.readAllBytes(ckptHintFile), UTF_8).trim.toInt else 0
 
-  /** All data files across committed snapshots (append-table semantics). */
-  def dataFiles: Seq[String] = {
-    (1 to currentVersion).flatMap { v =>
+  private def manifestPath(v: Int): Path = metaDir.resolve(s"v$v.json")
+  private def ckptPath(v: Int): Path = metaDir.resolve(s"ckpt-v$v.json")
+
+  /** Consolidated table state: every committed key and data file, each
+    * tagged with the version that committed it (later commits of the same
+    * key win). Resolved from the newest checkpoint + the manifests after
+    * it. */
+  final case class State(keyVersions: Seq[(String, Int)], fileVersions: Seq[(String, Int)])
+
+  def state: State = {
+    val cur = currentVersion
+    val cv = math.min(checkpointVersion, cur)
+    val base = if (cv > 0) readCheckpoint(cv) else State(Nil, Nil)
+    val kv = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    base.keyVersions.foreach { case (k, v) => kv.update(k, v) }
+    val fv = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    fv ++= base.fileVersions
+    var v = cv + 1
+    while (v <= cur) {
       val m = readManifest(v)
-      m.files
+      m.keys.foreach(k => kv.update(k, v))
+      fv ++= m.files.map(_ -> v)
+      v += 1
     }
+    State(kv.toSeq, fv.toSeq)
   }
 
-  def committedKeys: Set[String] =
-    (1 to currentVersion).flatMap(v => readManifest(v).keys).toSet
+  /** All data files across committed snapshots (append-table semantics). */
+  def dataFiles: Seq[String] = state.fileVersions.map(_._1)
+
+  def committedKeys: Set[String] = state.keyVersions.map(_._1).toSet
 
   final case class Manifest(version: Int, parent: Int, files: Seq[String],
                             keys: Seq[String], lineage: Seq[Map[String, String]],
@@ -72,7 +106,36 @@ final class LakeTable(val root: String) {
     val tmp = metaDir.resolve(s".hint.$v.tmp")
     Files.write(tmp, v.toString.getBytes(UTF_8))
     Files.move(tmp, hintFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    maybeCheckpoint(v)
     v
+  }
+
+  /** Write a consolidated checkpoint when `checkpointInterval` commits have
+    * accumulated since the last one. Computing the state here reads at most
+    * `interval` manifests (previous checkpoint + tail), keeping commit cost
+    * amortized O(1) per version. */
+  private def maybeCheckpoint(v: Int): Unit = {
+    if (checkpointInterval > 0 && v - checkpointVersion >= checkpointInterval) {
+      val st = state
+      val kv = st.keyVersions.map { case (k, kvv) => s""""${esc(s"$kvv|$k")}"""" }.mkString("[", ",", "]")
+      val fvs = st.fileVersions.map { case (f, fvv) => s""""${esc(s"$fvv|$f")}"""" }.mkString("[", ",", "]")
+      Files.write(ckptPath(v),
+        s"""{"version":$v,"key_versions":$kv,"file_versions":$fvs}""".getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+      val tmp = metaDir.resolve(s".ckpt-hint.$v.tmp")
+      Files.write(tmp, v.toString.getBytes(UTF_8))
+      Files.move(tmp, ckptHintFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def readCheckpoint(v: Int): State = {
+    val json = new String(Files.readAllBytes(ckptPath(v)), UTF_8)
+    def versioned(field: String): Seq[(String, Int)] =
+      strArrayIn(json, field).map { s =>
+        val cut = s.indexOf('|')
+        (s.substring(cut + 1), s.substring(0, cut).toInt)
+      }
+    State(versioned("key_versions"), versioned("file_versions"))
   }
 
   def read(spark: SparkSession): DataFrame = {
@@ -110,17 +173,21 @@ final class LakeTable(val root: String) {
     s"""{"version":${m.version},"parent":${m.parent},"files":$files,"keys":$keys,"lineage":$lineage,"metrics":$metrics}"""
   }
 
+  /** Quoted-string array field parser shared by manifest and checkpoint
+    * files (the lazy `]` terminator is safe: esc() escapes brackets inside
+    * string content). */
+  private def strArrayIn(json: String, field: String): Seq[String] = {
+    val r = ("\"" + field + "\":\\[(.*?)\\]").r
+    r.findFirstMatchIn(json).map(_.group(1)) match {
+      case Some("") | None => Nil
+      case Some(body) =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
+    }
+  }
+
   def readManifest(v: Int): Manifest = {
     val json = new String(Files.readAllBytes(manifestPath(v)), UTF_8)
-    // minimal parser for our own flat format
-    def strArray(field: String): Seq[String] = {
-      val r = ("\"" + field + "\":\\[(.*?)\\]").r
-      r.findFirstMatchIn(json).map(_.group(1)) match {
-        case Some("") | None => Nil
-        case Some(body) =>
-          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
-      }
-    }
+    def strArray(field: String): Seq[String] = strArrayIn(json, field)
     val lineage: Seq[Map[String, String]] = {
       val r = "\"lineage\":\\[(.*?)\\](?=,\"metrics\")".r
       r.findFirstMatchIn(json).map(_.group(1)) match {

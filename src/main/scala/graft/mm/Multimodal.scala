@@ -7,13 +7,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * (the JVM analog of `mapInPandas` — same batch shape, same schema
   * discipline, codec amortized per partition).
   *
-  * The actual codecs (JPEG decode, resampling, frame extraction) are NOT in
-  * this container, so `decodeImage` below is a clearly-marked deterministic
-  * STUB: it parses only our own PPM-like header and synthesizes pixel
-  * statistics from the payload bytes. The Spark-side plumbing — schema,
-  * partitioning, batch iteration, null/error rows — is real and tested; a
-  * production build swaps `decodeImage` for a real codec without touching
-  * any plan shape.
+  * `decodeImage` handles two formats: **binary PPM (P6)** — a real,
+  * published image format (Netpbm), decoded from scratch below including
+  * comments/whitespace handling and ITU-R BT.601 luma — and the `GIMG`
+  * single-channel test format used by the deterministic generators.
+  * Compressed codecs (JPEG/PNG/audio/video) are NOT in this container;
+  * their place in the pipeline is exactly `decodeImage`'s: a production
+  * build adds cases to the same dispatch without touching any plan shape.
   */
 object Multimodal {
 
@@ -50,10 +50,13 @@ object Multimodal {
     MediaRow(id, "image", bytes, width, height, "gimg")
   }
 
-  /** STUB DECODER — deterministic fake standing in for a real image codec
-    * (not available in this container). Real plumbing, fake pixels. */
+  /** Decode an image payload to (width, height, 8-bit luma pixels).
+    * Dispatches on magic: binary PPM "P6" (real format, parsed below) or
+    * the GIMG test format. Unknown/corrupt payloads return Left(reason) —
+    * error rows, never task failures. */
   def decodeImage(bytes: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length < 8) return Left("truncated_header")
+    if (bytes(0) == 'P' && bytes(1) == '6') return decodePpm(bytes)
     if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'M' && bytes(3) == 'G'))
       return Left("bad_magic")
     val w = ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff)
@@ -63,6 +66,60 @@ object Multimodal {
     var i = 0
     while (i < w * h) { px(i) = bytes(8 + i) & 0xff; i += 1 }
     Right((w, h, px))
+  }
+
+  /** Binary PPM (Netpbm P6) decoder, from scratch per the published spec:
+    * "P6", then whitespace-separated width/height/maxval tokens —
+    * `#`-comments legal between tokens — one whitespace byte, then
+    * width*height RGB triplets. Luma per ITU-R BT.601 integer form
+    * (r*299 + g*587 + b*114) / 1000. maxval must fit one byte. */
+  private[mm] def decodePpm(bytes: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    var i = 2 // past "P6"
+    def skipWsAndComments(): Boolean = {
+      var progressed = true
+      while (progressed && i < bytes.length) {
+        progressed = false
+        while (i < bytes.length && Character.isWhitespace(bytes(i).toChar)) { i += 1; progressed = true }
+        if (i < bytes.length && bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          progressed = true
+        }
+      }
+      i < bytes.length
+    }
+    def readInt(): Int = {
+      if (!skipWsAndComments()) return -1
+      var v = 0L
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); any = true
+        if (v > Int.MaxValue) return -1
+        i += 1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0) return Left("ppm_bad_header")
+    if (maxval > 255) return Left("ppm_maxval_unsupported")
+    i += 1 // the single whitespace byte after maxval
+    val n = w.toLong * h
+    if (n > Int.MaxValue / 4 || bytes.length - i < n * 3) return Left("truncated_payload")
+    val px = new Array[Int](n.toInt)
+    var p = 0
+    while (p < px.length) {
+      val r = bytes(i) & 0xff; val g = bytes(i + 1) & 0xff; val b = bytes(i + 2) & 0xff
+      px(p) = (r * 299 + g * 587 + b * 114) / 1000
+      i += 3; p += 1
+    }
+    Right((w, h, px))
+  }
+
+  /** Binary PPM encoder (test/fixture helper — also a usable S7-style
+    * export for image payloads). */
+  def ppm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ rgb
   }
 
   /** Feature extraction stage: one batched mapPartitions pass, error rows

@@ -57,15 +57,20 @@ object Knn {
       .mapPartitions { it =>
         val ps = planes(tables, bits, dim)
         it.flatMap { case (id, vec) =>
-          (0 until tables).iterator.map { t =>
+          // dim contract: a malformed embedding (null / wrong length) emits
+          // NO buckets — the row is excluded from ANN rather than silently
+          // truncated/zero-padded, keeping the Scala path and the DuckDB
+          // oracle (list_dot_product over exactly dim-element lists) in
+          // agreement on malformed rows.
+          if (vec == null || vec.length != dim) Iterator.empty
+          else (0 until tables).iterator.map { t =>
             var bucket = 0L
             var b = 0
             while (b < bits) {
               val plane = ps(t)(b)
               var dot = 0.0
               var i = 0
-              val n = math.min(dim, vec.length)
-              while (i < n) { dot += plane(i) * vec(i); i += 1 }
+              while (i < dim) { dot += plane(i) * vec(i); i += 1 }
               bucket = bucket * 2 + (if (dot > 0) 1L else 0L)
               b += 1
             }
@@ -84,15 +89,23 @@ object Knn {
     * degenerate corpus of near-identical embeddings (exactly what embedding
     * dedup targets) generates O(n·cap) pairs per table instead of O(n²).
     * Vectors are re-joined by id only for the candidate pairs that survive.
-    * The cap silently drops candidates past `maxBucket` per bucket — at
-    * default settings that only binds on pathological clusters; widen
-    * `bits`/`maxBucket` if recall on dense clusters matters more than cost. */
+    * The cap drops candidates past `maxBucket` per bucket — at default
+    * settings that only binds on pathological clusters; widen
+    * `bits`/`maxBucket` if recall on dense clusters matters more than cost.
+    * Drops are observable via `drops` (dropped_members / overflow_buckets),
+    * never silent when the caller asks. */
   private def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
-                             bits: Int, tables: Int, dim: Int, maxBucket: Int): DataFrame = {
+                             bits: Int, tables: Int, dim: Int, maxBucket: Int,
+                             drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val ids = lshBuckets(df, idCol, vecCol, bits, tables, dim)
       .select(col("id"), col("tbl"), col("bucket"))
-    ids.groupBy("tbl", "bucket")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+    val sized = ids.groupBy("tbl", "bucket")
+      .agg(collect_list(col("id")).as("all_ids"))
+      .withColumn("ids", slice(sort_array(col("all_ids")), 1, maxBucket))
+      .withColumn("n_dropped", greatest(lit(0), size(col("all_ids")) - lit(maxBucket)))
+    drops.fold(sized)(o => sized.observe(o,
+        sum(col("n_dropped").cast("long")).as("dropped_members"),
+        sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("overflow_buckets")))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         "filter(flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b)))), p -> p.a < p.b)"
@@ -106,9 +119,10 @@ object Knn {
     * top-k per query. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               bits: Int = 10, tables: Int = 3, dim: Int = 64,
-              maxBucket: Int = 256): DataFrame = {
+              maxBucket: Int = 256,
+              drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val vecs = df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
-    val und = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket)
+    val und = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket, drops)
     // both directions: each member of an unordered pair queries the other
     val pairs = und.unionByName(
       und.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -126,9 +140,10 @@ object Knn {
   def dropEmbeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                             simThreshold: Double = 0.995,
                             bits: Int = 10, tables: Int = 3, dim: Int = 64,
-                            maxBucket: Int = 256): DataFrame = {
+                            maxBucket: Int = 256,
+                            drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val vecs = df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
-    val losers = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket)
+    val losers = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket, drops)
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
       .filter(cosineCol(col("vec_a"), col("vec_b")) >= simThreshold)

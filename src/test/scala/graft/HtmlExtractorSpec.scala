@@ -135,6 +135,24 @@ class HtmlExtractorSpec extends AnyFunSuite {
     assert(r.text.contains("a & b"))
   }
 
+  test("control chars at block edges trim exactly like String.trim (raw and entity forms)") {
+    // U+0001-U+0008 are NOT Character.isWhitespace, so whitespace-collapse
+    // leaves them in place — flush must still strip chars <= 0x20 at both
+    // ends (String.trim semantics), for raw chars and numeric entities alike
+    val words12 = (1 to 12).map(i => s"word$i").mkString(" ")
+    val html = "<p>&#3;" + words12 + "&#2;</p><p>\u0001" + words12 + "\u0004</p>"
+    val r = HtmlExtractor.extract(html)
+    assert(r.method == "strict")
+    assert(r.text == s"${words12}\n\n${words12}")
+    // interior control chars are CONTENT, not trim targets
+    val ctl = "\u0003"
+    val r2 = HtmlExtractor.extract(s"<p>${words12} x${ctl}y</p>")
+    assert(r2.text == s"${words12} x${ctl}y")
+    // a block that is nothing but control chars vanishes like one of spaces
+    val r3 = HtmlExtractor.extract(s"<p>&#2;&#3;</p><p>${words12}</p>")
+    assert(r3.text == words12 && r3.nBlocks == 1)
+  }
+
   test("robustness: deeply nested divs do not blow the stack") {
     val depth = 5000
     val html = "<html><body>" + ("<div>" * depth) +

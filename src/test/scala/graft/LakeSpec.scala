@@ -168,4 +168,36 @@ class LakeSpec extends SparkSuiteBase {
     assert(m.metrics("docs") == 60.0)
     assert(m.metrics("errs") >= 0.0)
   }
+
+  test("checkpoint: a 50-commit table plans from the checkpoint alone (old manifests untouched)") {
+    val root = tmpDir()
+    val lake = new LakeTable(root, checkpointInterval = 10)
+    (1 to 50).foreach { i =>
+      lake.commit(Seq(s"$root/data/v$i/f.parquet"),
+        Seq(s"k$i", s"b=${i % 4}:fp=${i * 11}"), Nil, Map.empty)
+    }
+    val before = new LakeTable(root, 10)
+    assert(before.checkpointVersion == 50)
+    val keys0 = before.committedKeys
+    val files0 = before.dataFiles
+    val fps0 = ExtractJob.committedFps(before)
+    assert(keys0.size == 100 && files0.size == 50)
+    // latest fp per bucket comes from the latest commit of that bucket
+    assert(fps0 == Map(0 -> 48 * 11L, 1 -> 49 * 11L, 2 -> 50 * 11L, 3 -> 47 * 11L))
+
+    // delete EVERY per-version manifest at or below the checkpoint: planning
+    // must resolve the consolidated state without touching them
+    (1 to 50).foreach(v =>
+      Files.deleteIfExists(java.nio.file.Paths.get(root, "metadata", s"v$v.json")))
+    val after = new LakeTable(root, 10)
+    assert(after.committedKeys == keys0)
+    assert(after.dataFiles == files0)
+    assert(ExtractJob.committedFps(after) == fps0)
+
+    // commits keep working past the checkpoint; state = checkpoint + tail
+    after.commit(Seq(s"$root/data/v51/f.parquet"), Seq("b=0:fp=999"), Nil, Map.empty)
+    val tail = new LakeTable(root, 10)
+    assert(tail.committedKeys == keys0 + "b=0:fp=999")
+    assert(ExtractJob.committedFps(tail) == fps0 + (0 -> 999L))
+  }
 }

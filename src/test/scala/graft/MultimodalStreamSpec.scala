@@ -138,4 +138,38 @@ class MultimodalStreamSpec extends SparkSuiteBase {
     }
     assert(n2 == batch.length)
   }
+
+  test("binary PPM (P6): real published format decodes — header, comments, BT.601 luma") {
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,   0, 0, 255.toByte,            // red green blue
+      255.toByte, 255.toByte, 255.toByte,   0, 0, 0,   128.toByte, 128.toByte, 128.toByte) // white black gray
+    val bytes = Multimodal.ppm(3, 2, rgb)
+    val Right((w, h, px)) = Multimodal.decodeImage(bytes): @unchecked
+    assert(w == 3 && h == 2)
+    // integer BT.601: (r*299 + g*587 + b*114) / 1000
+    assert(px.toSeq == Seq(76, 149, 29, 255, 0, 128))
+
+    // comments and arbitrary whitespace between header tokens are legal
+    val commented = "P6\n# made by graft\n 3 # width\n\t2\n255\n".getBytes("ISO-8859-1") ++ rgb
+    val Right((w2, h2, px2)) = Multimodal.decodeImage(commented): @unchecked
+    assert(w2 == w && h2 == h && px2.toSeq == px.toSeq)
+
+    // corrupt payloads become error reasons, never exceptions
+    assert(Multimodal.decodeImage(bytes.dropRight(2)).isLeft)
+    assert(Multimodal.decodeImage("P6\n3 2\n65535\n".getBytes("ISO-8859-1") ++ rgb) ==
+      Left("ppm_maxval_unsupported"))
+  }
+
+  test("PPM rows flow through the imageFeatures stage like any other payload") {
+    val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
+      255.toByte, 255.toByte, 255.toByte, 0, 0, 0, 128.toByte, 128.toByte, 128.toByte)
+    val media = Seq(
+      MediaRow(1L, "image", Multimodal.ppm(3, 2, rgb), 3, 2, "ppm"),
+      Multimodal.fakeImage(2L, 4, 4)).toDS()
+    val feats = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.forall(_.err.isEmpty))
+    val ppmFeat = feats.head
+    assert(ppmFeat.width == 3 && ppmFeat.height == 2)
+    assert(math.abs(ppmFeat.mean_luma - (76 + 149 + 29 + 255 + 0 + 128) / 6.0) < 1e-9)
+  }
 }
