@@ -112,9 +112,11 @@ object IndexJob {
     import spark.implicits._
     val (postingsAll, doclenRaw) = segments(spark, indexRoot)
     val doclen = doclenRaw.dropDuplicates("doc")
-    val stats = doclen.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl")).head()
-    val n = stats.getLong(0).toDouble
-    val avgdl = stats.getDouble(1)
+    // global stats as a broadcast 1-row relation (no eager head() — the
+    // whole search is one job; at 100 TB doclen is a real table and the
+    // extra driver action was a full pass over it per query)
+    val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
 
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
     postingsAll
@@ -124,10 +126,11 @@ object IndexJob {
       .groupBy("term", "doc").agg(max("tf").as("tf"))
       .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .join(doclen, "doc")
-      .withColumn("idf", log(lit(1.0) + (lit(n) - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
       .withColumn("score",
         col("idf") * (col("tf").cast("double") * (lit(Bm25.K1) + 1.0)) /
-          (col("tf").cast("double") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / lit(avgdl))))
+          (col("tf").cast("double") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("doc").agg(sum("score").as("score"))
       .orderBy(desc("score"), asc("doc"))
       .limit(k)

@@ -10,11 +10,20 @@ import org.apache.spark.sql.execution.ExplainMode
   * Usage: `sbt "runMain graft.tools.Plans [sfDir] [outFile]"`. */
 object Plans {
 
-  private def fmt(df: DataFrame, maxLine: Int = 220): String =
+  /** Execute the query FIRST, then explain: under AQE (default on) the
+    * static plan shows duplicated subtrees that the runtime stage cache
+    * actually deduplicates — only the post-execution explain (isFinalPlan
+    * = true, ReusedQueryStage/ReusedExchange nodes) is honest evidence of
+    * how many times a scan/tokenize really ran. */
+  private def fmt(df: DataFrame, maxLine: Int = 220): String = {
+    // collect() (not count()) — count() wraps the df in a NEW QueryExecution
+    // and leaves this one's adaptive plan unexecuted (isFinalPlan=false)
+    try df.collect() catch { case _: Throwable => }
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .linesIterator
       .map(l => if (l.length > maxLine) l.take(maxLine) + " …" else l)
       .mkString("\n")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
