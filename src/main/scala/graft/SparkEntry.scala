@@ -257,6 +257,14 @@ object SparkEntry {
     "q_ann" -> ((s, dir) => {
       Knn.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
     }),
+    // --- IVF-flat ANN (the coarse-quantizer scale path; deterministic
+    // sampled centroids, so fully oracled like q_ann): 10 query vectors
+    // probe their 2 nearest of 16 cells, exact cosine within probed cells
+    "q_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 2)
+    }),
     // --- A5 facet summary via grouping sets (cube)
     "q_facet_cube" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -398,6 +406,34 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
   }
+
+  /** DuckDB replica of [[Knn.ivfTopK]] — identical by construction:
+    * centroids are the nCells smallest-id vectors, cell assignment is
+    * max-cosine (tie → smallest centroid index) computed with the same
+    * normalized formula, queries probe their nProbe nearest cells, exact
+    * cosine over probed members, rank window. */
+  private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int, nQueries: Int): String =
+    s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id AS nid, embedding::DOUBLE[] AS vec FROM embeddings),
+       | cent AS (SELECT row_number() OVER (ORDER BY nid) - 1 AS cidx, vec AS cvec
+       |   FROM (SELECT nid, vec FROM v ORDER BY nid LIMIT $nCells)),
+       | vc AS (SELECT v.id, v.nid, c.cidx,
+       |     list_dot_product(v.vec, c.cvec)
+       |       / greatest(sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec)), 1e-12) AS cos
+       |   FROM v CROSS JOIN cent c),
+       | cells AS (SELECT id, cidx AS cell FROM (
+       |     SELECT id, cidx, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cidx) AS rn FROM vc) WHERE rn = 1),
+       | qp AS (SELECT id AS qid, cidx AS cell FROM (
+       |     SELECT id, cidx, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cidx) AS rn
+       |     FROM vc WHERE nid < $nQueries) WHERE rn <= $nProbe),
+       | cand AS (SELECT qp.qid, m.id FROM qp JOIN cells m ON m.cell = qp.cell WHERE m.id <> qp.qid),
+       | scored AS (SELECT cand.qid, cand.id,
+       |     round(list_dot_product(a.vec, b.vec)
+       |       / greatest(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)), 1e-12), 6) AS cosine
+       |   FROM cand JOIN v a ON a.id = cand.qid JOIN v b ON b.id = cand.id)
+       |SELECT qid, id, cosine, rank FROM (
+       |  SELECT qid, id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
 
   /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
   private val DocsWithNearDupsSql =
@@ -705,6 +741,7 @@ object SparkEntry {
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
+      "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(

@@ -134,6 +134,82 @@ object Knn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-flat approximate nearest neighbor — the coarse-quantizer scale
+    * path beside the sign-LSH variant (the two standard ANN families).
+    *
+    * Deterministic "training": the coarse centroids are the `nCells`
+    * corpus vectors with the smallest ids (sampled-centroid IVF — the
+    * cheap published variant; no Lloyd iterations, so the whole operator
+    * is exactly reproducible in the DuckDB oracle). Every vector is
+    * assigned to its max-cosine centroid (tie → smallest centroid index);
+    * a query probes its `nProbe` nearest cells and scores exact cosine
+    * against ONLY those cells' members.
+    *
+    * Scale shape: centroids are k·dim doubles — driver-collected once and
+    * broadcast (legitimately tiny); cell assignment and query probing are
+    * narrow maps emitting (id, cell) rows with no vector payload; the one
+    * shuffle joins query probes to cell members on cell id, so a query
+    * touches n·nProbe/nCells candidates instead of n — the standard IVF
+    * cost envelope. Vectors re-join by id only for surviving candidates.
+    * Malformed (wrong-dim) vectors are skipped, as in [[lshBuckets]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("string").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // centroids: smallest nCells ids in the id column's NATIVE order
+    // (matches the oracle's ORDER BY id LIMIT nCells)
+    val cents: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val bcCents = spark.sparkContext.broadcast(cents)
+
+    def cellRanks(vec: Array[Double], top: Int): Array[Int] = {
+      val cs = bcCents.value
+      val cos = new Array[Double](cs.length)
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        while (i < dim) { dot += vec(i) * c(i); nv += vec(i) * vec(i); nc += c(i) * c(i); i += 1 }
+        cos(j) = dot / math.max(math.sqrt(nv) * math.sqrt(nc), 1e-12)
+        j += 1
+      }
+      // top `top` centroid indices by (cosine desc, index asc)
+      (0 until cs.length).sortBy(j => (-cos(j), j)).take(top).toArray
+    }
+
+    val members = vecs.as[(String, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        if (vec == null || vec.length != dim) Iterator.empty
+        else Iterator.single((id, cellRanks(vec, 1)(0)))
+      }).toDF("id", "cell")
+    val qprobes = queries
+      .select(col(idCol).cast("string").as("qid"), col(vecCol).cast("array<double>").as("vec"))
+      .as[(String, Array[Double])]
+      .mapPartitions(_.flatMap { case (qid, vec) =>
+        if (vec == null || vec.length != dim) Iterator.empty
+        else cellRanks(vec, nProbe).iterator.map(c => (qid, c))
+      }).toDF("qid", "cell")
+
+    val cand = qprobes.join(members, "cell")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
+    // query vectors come from the QUERIES relation (not necessarily a
+    // subset of the corpus), candidates from the corpus
+    val qvecs = queries.select(col(idCol).cast("string").as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = cand
+      .join(qvecs, "qid")
+      .join(vecs.withColumnRenamed("vec", "cvec"), "id")
+      .select(col("qid"), col("id"), round(cosineCol(col("qvec"), col("cvec")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate removal: ANN candidate pairs above
     * `simThreshold` → keep-first by id (the vector-space member of the
     * dedup family: exact-hash / MinHash / SimHash / n-gram / embedding). */
