@@ -232,45 +232,63 @@ object MinHash {
 }
 
 /** Connected components by bounded iterate-to-fixpoint min-label
-  * propagation — the clustering step between verified near-dup PAIRS and
-  * keep-first dedup. Replaces the round-2 single-link keep-first
-  * approximation, which over/under-dropped on chain-shaped clusters
-  * (A~B~C with A≁C).
+  * propagation WITH pointer jumping — the clustering step between verified
+  * near-dup PAIRS and keep-first dedup. Replaces the round-2 single-link
+  * keep-first approximation, which over/under-dropped on chain-shaped
+  * clusters (A~B~C with A≁C).
   *
   * Scale: the input is the VERIFIED edge set — tiny relative to the corpus
-  * (bounded by bucket caps upstream) — and each iteration is one
-  * shuffle join + aggregate; convergence takes O(component diameter)
-  * iterations. `maxIter` bounds adversarial chains: a chain longer than
-  * maxIter hops settles on a documented partial merge (components split at
-  * maxIter-hop boundaries), never an error. */
+  * (bounded by bucket caps upstream). Each iteration is one edge-join
+  * (label propagation) plus one label-self-join (pointer jumping:
+  * comp ← comp's comp), so the reach DOUBLES per iteration and
+  * convergence takes O(log diameter) iterations — maxIter 20 covers any
+  * component a real corpus can produce (diameter up to ~2^20), not just
+  * 20-hop chains. */
 object Components {
 
   /** (id, comp) for every id appearing in `pairs`; comp = min id reachable
-    * (exact when diameters <= maxIter). */
+    * (exact while diameter <= ~2^maxIter). */
   def of(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
          maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (NOT persist): the self-join makes every iteration's
+    // logical plan reference the previous iteration's plan 4× — persist
+    // caches DATA but keeps the full lineage, so analyzer/optimizer work
+    // grows 4^k and the driver wall-clocks around iteration ~6 even on a
+    // 50-row edge set. Checkpointing truncates the plan to a materialized
+    // leaf each round, keeping per-iteration planning O(1). Executor-local
+    // storage is fine here: the verified edge set is tiny relative to the
+    // corpus (bounded by bucket caps upstream) and the loop re-runs cheaply
+    // on the rare executor loss. Eager by default — also prevents the
+    // expensive candidate/verify lineage from re-running per occurrence.
     val edges = pairs.select(col(idA).cast("string").as("src"), col(idB).cast("string").as("dst"))
       .unionByName(pairs.select(col(idB).cast("string").as("src"), col(idA).cast("string").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // propagate: pick up neighbors' labels
       val prop = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
+      val merged = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
+      // pointer-jump: comp ← label(comp); comp always appears as an id
+      // (labels start as id == comp and only shrink to existing ids).
+      // merged appears twice in this plan, but its inputs are checkpointed
+      // leaves so the duplicated subtree is shallow and the identical agg
+      // exchange is deduped by ReuseExchange.
+      val jumped = merged
+        .join(merged.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
+        .select(col("id"), least(col("comp"), col("comp2")).as("comp"))
+      val next = jumped.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 }

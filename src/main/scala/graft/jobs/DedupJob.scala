@@ -18,9 +18,13 @@ object DedupJob {
 
   final case class Result(clean: DataFrame, dropped: DataFrame)
 
+  /** `drops`: optional observation wired through to the MinHash bucket cap
+    * (dropped_members/overflow_buckets — the skip ledger; see
+    * MinHash.nearDupPairs for the absence-means-zero reading rule). */
   def run(spark: SparkSession, docs: DataFrame,
           urlCol: String = "url", textCol: String = "text",
-          jaccardThreshold: Double = 0.8): Result = {
+          jaccardThreshold: Double = 0.8,
+          drops: Option[org.apache.spark.sql.Observation] = None): Result = {
     // D2: exact content dedup, keep-first by url
     val hashed = docs.withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
     val annotated = ExactDedup.annotate(hashed, col("content_hash"), col(urlCol))
@@ -34,7 +38,8 @@ object DedupJob {
     // into true connected components (chains A~B~C with A≁C keep exactly
     // one doc), each component's min-id root wins; losers' duplicate_of is
     // the root, not an arbitrary pair partner
-    val pairs = MinHash.nearDupPairs(exactClean, urlCol, textCol, jaccardThreshold)
+    val pairs = MinHash.nearDupPairs(exactClean, urlCol, textCol, jaccardThreshold,
+      drops = drops)
     val comps = graft.dedup.Components.of(pairs)
     val losers = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("loser"), col("comp").as("duplicate_of"))

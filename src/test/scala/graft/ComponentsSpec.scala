@@ -17,6 +17,16 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"))
   }
 
+  test("Components.of: 50-hop chain converges within default maxIter (pointer jumping)") {
+    // diameter 49 > maxIter 20: plain label propagation would split this
+    // chain; pointer jumping doubles reach per iteration (~log2(49) ≈ 6)
+    val ids = (0 until 50).map(i => f"n$i%02d")
+    val pairs = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val comps = Components.of(pairs).as[(String, String)].collect().toMap
+    assert(comps.size == 50)
+    assert(comps.values.forall(_ == "n00"), comps.filterNot(_._2 == "n00").take(3).toString)
+  }
+
   test("Components.of: disjoint clusters keep separate roots") {
     val pairs = Seq(("x2", "x1"), ("y1", "y2"), ("y2", "y3")).toDF("id_a", "id_b")
     val comps = Components.of(pairs).as[(String, String)].collect().toMap
