@@ -247,6 +247,25 @@ object SparkEntry {
       MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
         .select(col("id_a"), col("id_b"))
     }),
+    // --- connected components over the verified near-dup pairs (the D3
+    // clustering step: pointer-jumping min-label propagation; oracle is a
+    // recursive CTE computing min-reachable-id over the same pair set)
+    "q_components" -> ((s, dir) => {
+      val pairs = MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
+      graft.dedup.Components.of(pairs).select(col("id"), col("comp"))
+    }),
+    // --- embedding-cosine near-dup removal (fifth dedup-family member):
+    // corpus plus an exact copy of every vector under id+1000000 — each
+    // planted pair shares every LSH bucket, so the copy is guaranteed a
+    // candidate and the lexicographically larger id of each >=0.995 pair
+    // is dropped. Output = surviving ids.
+    "q_emb_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val planted = base.unionByName(
+        base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Knn.dropEmbeddingNearDups(planted, "vec_id", "embedding", simThreshold = 0.995)
+        .select(col("vec_id").cast("string").as("id"))
+    }),
     // --- SimHash near-dup pairs (rows-only)
     "q_simhash_neardup" -> ((s, dir) => {
       SimHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)
@@ -434,6 +453,55 @@ object SparkEntry {
        |  SELECT qid, id, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** DuckDB replica of [[graft.dedup.Components.of]] over the MinHash
+    * near-dup pairs: a recursive CTE materializes every (node, reachable
+    * node) fact, then comp = min reachable id — definitionally what the
+    * pointer-jumping min-label fixpoint converges to. Tractable because the
+    * verified pair set at gate scale is tiny. */
+  private def componentsOracleSql(threshold: Double, maxBucket: Int): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashOracleSql(threshold, maxBucket)}
+       |),
+       | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       | reach(id, r) AS (
+       |   SELECT src, src FROM edges
+       |   UNION
+       |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+       |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin
+
+  /** DuckDB replica of [[Knn.dropEmbeddingNearDups]] on the planted-copy
+    * corpus (each vector duplicated under id+1000000): same plane literals,
+    * bucketing, caps and pair ordering as [[annOracleSql]]; losers are the
+    * id_b side of every candidate pair whose 6-dp-rounded cosine clears the
+    * threshold; output is the surviving ids. */
+  private def embNearDupOracleSql(simThreshold: Double, bits: Int, tables: Int,
+                                  dim: Int, maxBucket: Int): String = {
+    val ps = Knn.planes(tables, bits, dim)
+    val planeRows = (for (t <- 0 until tables; b <- 0 until bits) yield {
+      val lst = ps(t)(b).map(_.toString).mkString("[", ",", "]")
+      s"($t,$b,$lst::DOUBLE[])"
+    }).mkString(",")
+    s"""WITH planes(t, b, p) AS (VALUES $planeRows),
+       | v AS (SELECT vec_id::VARCHAR AS id, embedding::DOUBLE[] AS vec FROM embeddings
+       |   UNION ALL
+       |   SELECT (vec_id + 1000000)::VARCHAR, embedding::DOUBLE[] FROM embeddings),
+       | buckets AS (SELECT id, t,
+       |     sum(CASE WHEN list_dot_product(vec, p) > 0 THEN (1::BIGINT << (${bits - 1} - b)) ELSE 0 END) AS bucket
+       |   FROM v CROSS JOIN planes GROUP BY id, t),
+       | mem AS (SELECT id, t, bucket,
+       |     row_number() OVER (PARTITION BY t, bucket ORDER BY id) AS rn,
+       |     count(*) OVER (PARTITION BY t, bucket) AS cnt FROM buckets),
+       | und AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |   FROM (SELECT * FROM mem WHERE rn <= $maxBucket AND cnt > 1) a
+       |   JOIN (SELECT * FROM mem WHERE rn <= $maxBucket AND cnt > 1) b
+       |     ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+       | losers AS (SELECT DISTINCT u.id_b AS id
+       |   FROM und u JOIN v va ON va.id = u.id_a JOIN v vb ON vb.id = u.id_b
+       |   WHERE round(list_dot_product(va.vec, vb.vec)
+       |     / greatest(sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12), 6) >= $simThreshold)
+       |SELECT id FROM v WHERE id NOT IN (SELECT id FROM losers)""".stripMargin
+  }
 
   /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
   private val DocsWithNearDupsSql =
@@ -739,6 +807,9 @@ object SparkEntry {
            |LEFT JOIN n nb ON nb.doc_id = d.doc_id AND nb.m = 1
            |LEFT JOIN i ON i.doc_id = d.doc_id""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
+      "q_components" -> componentsOracleSql(threshold = 0.6, maxBucket = 64),
+      "q_emb_neardup" -> embNearDupOracleSql(simThreshold = 0.995, bits = 10,
+        tables = 3, dim = 64, maxBucket = 256),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),

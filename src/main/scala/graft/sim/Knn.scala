@@ -222,7 +222,11 @@ object Knn {
     val losers = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket, drops)
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
-      .filter(cosineCol(col("vec_a"), col("vec_b")) >= simThreshold)
+      // threshold compares the 6-dp ROUNDED cosine: the raw double can
+      // differ from an independent evaluation (e.g. the DuckDB oracle) in
+      // the last ulps, so an unrounded compare would make borderline pairs
+      // implementation-defined; rounding pins the cut deterministically
+      .filter(round(cosineCol(col("vec_a"), col("vec_b")), 6) >= simThreshold)
       .select(col("id_b").as("loser"))
       .distinct()
     df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")
