@@ -254,6 +254,15 @@ object SparkEntry {
       val pairs = MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
       graft.dedup.Components.of(pairs).select(col("id"), col("comp"))
     }),
+    // --- the full corpus-cleaning job end-to-end (exact keep-first →
+    // MinHash over survivors → connected components → keep-root): output
+    // is the dropped-lineage relation a production run would persist
+    "q_dedup_job" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+        .select(col("doc_id").cast("string").as("url"), col("text"))
+      graft.jobs.DedupJob.run(s, docs, jaccardThreshold = 0.6)
+        .dropped.select(col("url"), col("reason"), col("duplicate_of"))
+    }),
     // --- embedding-cosine near-dup removal (fifth dedup-family member):
     // corpus plus an exact copy of every vector under id+1000000 — each
     // planted pair shares every LSH bucket, so the copy is guaranteed a
@@ -470,6 +479,29 @@ object SparkEntry {
        |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
        |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin
 
+  /** DuckDB replica of [[graft.jobs.DedupJob.run]]'s dropped relation —
+    * the full corpus-cleaning flow end-to-end: exact keep-first on content
+    * (grouping by text ≡ grouping by sha-256), MinHash pairs over the
+    * exact-stage SURVIVORS only, recursive-CTE connected components, and
+    * each component's min-id root as duplicate_of. */
+  private def dedupJobOracleSql(threshold: Double, maxBucket: Int): String =
+    s"""WITH RECURSIVE $DocsWithNearDupsSql,
+       | exact AS (SELECT id, text, min(id) OVER (PARTITION BY text) AS keeper FROM docs),
+       | survivors AS (SELECT id, text FROM exact WHERE id = keeper),
+       |${minhashCtes("survivors", maxBucket)},
+       | pairs AS (${minhashPairSelect(threshold)}),
+       | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       | reach(id, r) AS (
+       |   SELECT src, src FROM edges
+       |   UNION
+       |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       | comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT id AS url, 'exact_duplicate' AS reason, keeper AS duplicate_of
+       |FROM exact WHERE id <> keeper
+       |UNION ALL
+       |SELECT id AS url, 'near_duplicate' AS reason, comp AS duplicate_of
+       |FROM comp WHERE id <> comp""".stripMargin
+
   /** DuckDB replica of [[Knn.dropEmbeddingNearDups]] on the planted-copy
     * corpus (each vector duplicated under id+1000000): same plane literals,
     * bucketing, caps and pair ordering as [[annOracleSql]]; losers are the
@@ -520,7 +552,16 @@ object SparkEntry {
     * 63 bits, the same FNV band hashes, the same sorted-and-capped buckets,
     * and the same exact-Jaccard verification. Any divergence between this SQL
     * and the Scala operator is a real bug in one of them. */
-  private def minhashOracleSql(threshold: Double, maxBucket: Int): String = {
+  private def minhashOracleSql(threshold: Double, maxBucket: Int): String =
+    s"""WITH $DocsWithNearDupsSql,
+       |${minhashCtes("docs", maxBucket)}
+       |${minhashPairSelect(threshold)}""".stripMargin
+
+  /** The MinHash pipeline's CTE chain (tokenize → shingle → signatures →
+    * band buckets → capped candidate pairs → intersection counts) over an
+    * arbitrary (id, text) relation `srcRel`, for embedding in larger
+    * oracles (q_minhash_neardup, q_components, q_dedup_job). */
+  private def minhashCtes(srcRel: String, maxBucket: Int): String = {
     val coefRows = MinHash.coeffs.zipWithIndex
       .map { case ((a, b), j) => s"($j,$a,$b)" }.mkString(",")
     val bandChain = {
@@ -530,8 +571,7 @@ object SparkEntry {
     }
     val vCols = (0 until MinHash.RowsPerBand)
       .map(r => s"max(CASE WHEN r = $r THEN v END) AS v$r").mkString(", ")
-    s"""WITH $DocsWithNearDupsSql,
-       | toks AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM docs),
+    s""" toks AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM $srcRel),
        | shing AS (SELECT id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
        |     WHEN len(toks) < ${MinHash.ShingleWords} THEN [array_to_string(toks, ' ')]
        |     ELSE list_transform(range(1, len(toks) - ${MinHash.ShingleWords - 2}), i -> array_to_string(toks[i:i+${MinHash.ShingleWords - 1}], ' ')) END) AS sh
@@ -540,7 +580,7 @@ object SparkEntry {
        | coef(j, a, b) AS (VALUES $coefRows),
        | sigs AS (SELECT d.id, c.j,
        |     coalesce(min((c.a::HUGEINT * s.h::HUGEINT + c.b) % 9223372036854775808), 9223372036854775807) AS v
-       |   FROM (SELECT DISTINCT id FROM docs) d CROSS JOIN coef c
+       |   FROM (SELECT DISTINCT id FROM $srcRel) d CROSS JOIN coef c
        |   LEFT JOIN shd s ON s.id = d.id GROUP BY 1, 2),
        | b4 AS (SELECT id, j // ${MinHash.RowsPerBand} AS band, j % ${MinHash.RowsPerBand} AS r, v FROM sigs),
        | bh AS (SELECT id, band, $bandChain AS bhash
@@ -555,14 +595,18 @@ object SparkEntry {
        |   FROM cand c
        |   LEFT JOIN shd x ON x.id = c.id_a
        |   LEFT JOIN shd y ON y.id = c.id_b AND y.h = x.h
-       |   GROUP BY 1, 2)
-       |SELECT i.id_a, i.id_b
+       |   GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Final exact-Jaccard-verified pair SELECT over [[minhashCtes]]'s
+    * `inter`/`ssz` relations. */
+  private def minhashPairSelect(threshold: Double): String =
+    s"""SELECT i.id_a, i.id_b
        |FROM inter i
        |LEFT JOIN ssz na ON na.id = i.id_a
        |LEFT JOIN ssz nb ON nb.id = i.id_b
        |WHERE (CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) - i.i <= 0 THEN 1.0
        |       ELSE i.i::DOUBLE / (coalesce(na.n, 0) + coalesce(nb.n, 0) - i.i) END) >= $threshold""".stripMargin
-  }
 
   /** DuckDB replica of [[SimHash.nearDupPairs]]: identical md5-top-64 feature
     * hashes, tf weights, the same 10 block-pair table keys (5 disjoint
@@ -808,6 +852,7 @@ object SparkEntry {
            |LEFT JOIN i ON i.doc_id = d.doc_id""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
       "q_components" -> componentsOracleSql(threshold = 0.6, maxBucket = 64),
+      "q_dedup_job" -> dedupJobOracleSql(threshold = 0.6, maxBucket = 64),
       "q_emb_neardup" -> embNearDupOracleSql(simThreshold = 0.995, bits = 10,
         tables = 3, dim = 64, maxBucket = 256),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
