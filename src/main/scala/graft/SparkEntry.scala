@@ -254,6 +254,17 @@ object SparkEntry {
       val pairs = MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
       graft.dedup.Components.of(pairs).select(col("id"), col("comp"))
     }),
+    // --- winnowing fingerprints (Schleimer et al., SIGMOD'03): per-doc
+    // k-gram hashes, min per sliding window, distinct. Inherently
+    // procedural (rolling window over character grams), so a narrow typed
+    // flatMap — per-doc work, no shuffle, scale shape identical to extract
+    "q_winnow" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, txt) => graft.text.TextAnalysis.winnow(txt).map(fp => (id, fp)) }
+        .toDF("doc_id", "fp")
+    }),
     // --- the full corpus-cleaning job end-to-end (exact keep-first →
     // MinHash over survivors → connected components → keep-root): output
     // is the dropped-lineage relation a production run would persist
@@ -853,6 +864,24 @@ object SparkEntry {
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
       "q_components" -> componentsOracleSql(threshold = 0.6, maxBucket = 64),
       "q_dedup_job" -> dedupJobOracleSql(threshold = 0.6, maxBucket = 64),
+      // Winnowing replica: same normalize (lower, \s+ collapse, trim), same
+      // md5-top-64 63-bit-masked k-gram hashes (k=8), min per window of 4,
+      // distinct; docs shorter than k hash whole, empty docs emit nothing.
+      // Corpus-cleanliness precondition as for q_chunk_*: ASCII text, no
+      // control chars (Java \s / trim vs RE2 / DuckDB trim divergence).
+      "q_winnow" ->
+        """WITH s AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+          | g0 AS (SELECT doc_id, s, len(s) - 7 AS ng, unnest(range(1, len(s) - 6)) AS i FROM s WHERE len(s) >= 8),
+          | grams AS (SELECT doc_id, i, ng,
+          |     ('0x' || substr(md5(substr(s, i::INT, 8)), 1, 16))::UBIGINT % 9223372036854775808 AS h FROM g0),
+          | wins AS (SELECT doc_id, i, ng,
+          |     min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+          |   FROM grams),
+          | sel AS (SELECT DISTINCT doc_id, m AS fp FROM wins WHERE i <= ng - 3),
+          | shorts AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT % 9223372036854775808 AS fp
+          |   FROM s WHERE len(s) > 0 AND len(s) < 8)
+          |SELECT doc_id, fp::BIGINT AS fp FROM sel
+          |UNION ALL SELECT doc_id, fp::BIGINT AS fp FROM shorts""".stripMargin,
       "q_emb_neardup" -> embNearDupOracleSql(simThreshold = 0.995, bits = 10,
         tables = 3, dim = 64, maxBucket = 256),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),

@@ -103,7 +103,7 @@ object Hashing {
 
   /** Stable 64-bit FNV-1a over UTF-8 bytes. Used wherever the engine needs a
     * cheap deterministic 64-bit hash that must not depend on JVM/Spark
-    * internals (salting in unit tests, winnowing fingerprints). */
+    * internals (salting in unit tests). */
   def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -105,14 +105,19 @@ object TextAnalysis {
       s => length(s) > 0))).cast("long")
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
-    * rolling hashes, min per window — robust to local edits. Scala-side
-    * (not SQL-expressible); used by the near-dup tooling and tests. */
+    * hashes, min per window — robust to local edits. K-grams hash with
+    * md5-top-64 masked to 63 bits (like the MinHash/SimHash features) so
+    * signed Long comparison == unsigned and the DuckDB oracle reproduces
+    * the fingerprints exactly. */
   def winnow(text: String, k: Int = 8, window: Int = 4): Vector[Long] = {
     val s = text.toLowerCase.replaceAll("\\s+", " ").trim
-    if (s.length < k) return if (s.isEmpty) Vector.empty else Vector(graft.Hashing.fnv64(s))
+    if (s.length < k) return if (s.isEmpty) Vector.empty
+      else Vector(graft.Hashing.md5Long(s) & Long.MaxValue)
     val hashes = new Array[Long](s.length - k + 1)
     var i = 0
-    while (i <= s.length - k) { hashes(i) = graft.Hashing.fnv64(s.substring(i, i + k)); i += 1 }
+    while (i <= s.length - k) {
+      hashes(i) = graft.Hashing.md5Long(s.substring(i, i + k)) & Long.MaxValue; i += 1
+    }
     val out = Vector.newBuilder[Long]
     var last = Long.MinValue
     var w = 0
