@@ -283,9 +283,20 @@ object Components {
       val jumped = merged
         .join(merged.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
         .select(col("id"), least(col("comp"), col("comp2")).as("comp"))
-      val next = jumped.localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
+      // convergence detection rides the SAME materialization as the
+      // checkpoint (observe() fires during the eager checkpoint job) —
+      // one pass over the labels per iteration instead of a separate
+      // count join. Safe from the AQE metrics-culling pitfall: the
+      // CollectMetrics node is the checkpoint's own root, nothing
+      // downstream can go empty and drop it.
+      val obs = org.apache.spark.sql.Observation()
+      val next = jumped
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .observe(obs, coalesce(sum(when(col("comp") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select("id", "comp")
+        .localCheckpoint()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       iter += 1
     }
