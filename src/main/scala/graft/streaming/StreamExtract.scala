@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.PageRow
 import graft.extract.Extract
 import graft.chunk.Chunker
@@ -42,6 +42,34 @@ object StreamExtract {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"), col("cnt"), col("total"))
+
+  /** Streaming exact dedup with lineage — the streaming form of
+    * `ExactDedup.annotate`: keep the first document per content hash
+    * ACROSS micro-batches via keyed state, annotating every later arrival
+    * with `is_duplicate` and the keeper's url (the same dropped-lineage
+    * shape `DedupJob` persists in batch).
+    *
+    * Keyed state is one url per distinct content — bounded by distinct
+    * corpus contents, not stream length; rows shuffle once on the content
+    * hash (high-cardinality, uniform by construction). Within a batch the
+    * keeper is the lexicographically smallest url (matching batch
+    * keep-first determinism); across batches the earlier batch wins. For
+    * streams where state must be evicted, compose `withWatermark` +
+    * `dropDuplicatesWithinWatermark` instead and give up the lineage
+    * column. */
+  def dedupStream(docs: Dataset[(String, String)])(
+      implicit spark: SparkSession): Dataset[(String, Boolean, String)] = {
+    import spark.implicits._
+    docs
+      .map { case (url, text) => (graft.Hashing.sha256Hex(text), url) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, String)], state: GroupState[String]) => {
+          val urls = rows.map(_._2).toVector.sorted
+          val keeper = state.getOption.getOrElse { state.update(urls.head); urls.head }
+          urls.iterator.map(u => (u, u != keeper, keeper))
+        })
+  }
 
   /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
     * pages directory once and stops — the streaming-native equivalent of the
