@@ -62,9 +62,14 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
     * it. */
   final case class State(keyVersions: Seq[(String, Int)], fileVersions: Seq[(String, Int)])
 
-  def state: State = {
-    val cur = currentVersion
-    val cv = math.min(checkpointVersion, cur)
+  def state: State = stateAt(currentVersion)
+
+  /** State as of snapshot `upTo` (time travel): newest checkpoint at or
+    * before `upTo`, plus the manifests after it. Versions are immutable
+    * once committed, so any historical snapshot replans exactly. */
+  def stateAt(upTo: Int): State = {
+    val cur = math.min(upTo, currentVersion)
+    val cv = latestCheckpointAtOrBefore(cur)
     val base = if (cv > 0) readCheckpoint(cv) else State(Nil, Nil)
     val kv = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     base.keyVersions.foreach { case (k, v) => kv.update(k, v) }
@@ -78,6 +83,27 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
       v += 1
     }
     State(kv.toSeq, fv.toSeq)
+  }
+
+  /** Newest checkpoint version ≤ `v`: the hint if it qualifies, else a
+    * directory scan for older ckpt files (time travel before the newest
+    * checkpoint is rare; O(versions) listing is acceptable there). */
+  private def latestCheckpointAtOrBefore(v: Int): Int = {
+    val hinted = checkpointVersion
+    if (hinted >= 1 && hinted <= v) hinted
+    else if (!Files.isDirectory(metaDir)) 0
+    else {
+      val ckptRe = "ckpt-v(\\d+)\\.json".r
+      val it = Files.list(metaDir).iterator()
+      var best = 0
+      while (it.hasNext) {
+        it.next().getFileName.toString match {
+          case ckptRe(n) if n.toInt <= v => best = math.max(best, n.toInt)
+          case _ =>
+        }
+      }
+      best
+    }
   }
 
   /** All data files across committed snapshots (append-table semantics). */
@@ -140,6 +166,13 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
 
   def read(spark: SparkSession): DataFrame = {
     val files = dataFiles
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Time-travel read: the table exactly as of snapshot `version`. */
+  def readAt(spark: SparkSession, version: Int): DataFrame = {
+    val files = stateAt(version).fileVersions.map(_._1)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files: _*)
   }

@@ -169,6 +169,39 @@ class LakeSpec extends SparkSuiteBase {
     assert(m.metrics("errs") >= 0.0)
   }
 
+  test("time travel: readAt(v) sees exactly the files of snapshots 1..v") {
+    val root = tmpDir()
+    val lake = new LakeTable(root)
+    (1 to 3).foreach { i =>
+      Seq((s"k$i", i)).toDF("k", "v").write.parquet(s"$root/data/v$i")
+      lake.commit(lake.listParquet(s"$root/data/v$i"), Seq(i.toString), Nil, Map.empty)
+    }
+    val t = new LakeTable(root)
+    assert(t.readAt(spark, 0).isEmpty)
+    assert(t.readAt(spark, 1).as[(String, Int)].collect().toSet == Set(("k1", 1)))
+    assert(t.readAt(spark, 2).as[(String, Int)].collect().toSet == Set(("k1", 1), ("k2", 2)))
+    // as-of-current == read(); beyond-current clamps to current
+    assert(t.readAt(spark, 3).count() == t.read(spark).count())
+    assert(t.readAt(spark, 99).count() == 3)
+  }
+
+  test("time travel before the newest checkpoint resolves from an older checkpoint") {
+    val root = tmpDir()
+    val lake = new LakeTable(root, checkpointInterval = 10)
+    (1 to 25).foreach { i =>
+      lake.commit(Seq(s"$root/data/v$i/f.parquet"), Seq(s"k$i"), Nil, Map.empty)
+    }
+    val t = new LakeTable(root, 10)
+    assert(t.checkpointVersion == 20)
+    // v15 < newest checkpoint: must resolve from ckpt-v10 + manifests 11..15
+    assert(t.stateAt(15).fileVersions.map(_._1).toSet ==
+      (1 to 15).map(i => s"$root/data/v$i/f.parquet").toSet)
+    // and still correct if the pre-checkpoint manifests were pruned
+    (1 to 10).foreach(v =>
+      Files.deleteIfExists(java.nio.file.Paths.get(root, "metadata", s"v$v.json")))
+    assert(new LakeTable(root, 10).stateAt(15).fileVersions.size == 15)
+  }
+
   test("checkpoint: a 50-commit table plans from the checkpoint alone (old manifests untouched)") {
     val root = tmpDir()
     val lake = new LakeTable(root, checkpointInterval = 10)
