@@ -18,13 +18,24 @@ class ComponentsSpec extends SparkSuiteBase {
   }
 
   test("Components.of: 50-hop chain converges within default maxIter (pointer jumping)") {
-    // diameter 49 > maxIter 20: plain label propagation would split this
-    // chain; pointer jumping doubles reach per iteration (~log2(49) ≈ 6)
+    // driverEdgeLimit = 0 forces the DISTRIBUTED loop. Diameter 49 >
+    // maxIter 20: plain label propagation would split this chain; pointer
+    // jumping doubles reach per iteration (~log2(49) ≈ 6)
     val ids = (0 until 50).map(i => f"n$i%02d")
     val pairs = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
-    val comps = Components.of(pairs).as[(String, String)].collect().toMap
+    val comps = Components.of(pairs, driverEdgeLimit = 0).as[(String, String)].collect().toMap
     assert(comps.size == 50)
     assert(comps.values.forall(_ == "n00"), comps.filterNot(_._2 == "n00").take(3).toString)
+  }
+
+  test("Components.of: driver union-find and distributed loop agree") {
+    // mixed shapes: chain, hub, disjoint pair, isolated edge
+    val pairs = Seq(("b", "c"), ("a", "b"), ("h1", "hub"), ("h2", "hub"),
+      ("p1", "p2"), ("q9", "q1")).toDF("id_a", "id_b")
+    val small = Components.of(pairs).as[(String, String)].collect().toMap
+    val dist = Components.of(pairs, driverEdgeLimit = 0).as[(String, String)].collect().toMap
+    assert(small == dist)
+    assert(small("c") == "a" && small("h2") == "h1" && small("q9") == "q1")
   }
 
   test("Components.of: disjoint clusters keep separate roots") {
