@@ -70,6 +70,43 @@ object CapabilityRun {
     val spin = graft.Bench.hostSpinEff()
     println(f"CAPRUN t8=$t8%.2f t32=$t32%.2f eff=$eff%.3f probe_post=$post%.2f spin=$spin%.3f")
     graft.Bench.recordCapability(t8, t32, eff, math.min(probe, post), spin, nBig)
+
+    // the OFFICIAL 2→8 pair on the standard (1x) corpus, same calm window
+    val nStd = 150000L
+    val stdDir = s"/dev/shm/graft-bench-pages-$nStd"
+    val init2 = session(8)
+    graft.Bench.writeCorpus(init2, nStd, stdDir)
+    init2.stop()
+    def measureStd(cores: Int): Double = {
+      val s = session(cores)
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      def pass(): Long = s.read.parquet(stdDir).select(col("url"), col("html"))
+        .as[(String, Array[Byte])]
+        .repartition(cores * 4, col("url"))
+        .mapPartitions { it =>
+          var n = 0L
+          it.foreach { case (u, h) =>
+            val d = graft.extract.Extract.extractOne(u, h)
+            if (d.err.isEmpty && d.text.nonEmpty)
+              n += graft.chunk.Chunker.chunkDocument(d.url, graft.Hashing.sha256Hex(d.text), d.text).length
+          }
+          Iterator.single(n)
+        }.reduce(_ + _)
+      val t0 = System.nanoTime()
+      pass()
+      val t = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      t
+    }
+    val probe28 = graft.Bench.hostMemBandwidthGBs()
+    if (probe28 >= calm) {
+      val t2 = measureStd(2)
+      val t8s = measureStd(8)
+      val eff28 = (t2 * 2) / (t8s * 8)
+      println(f"CAPRUN t2=$t2%.2f t8=$t8s%.2f eff28=$eff28%.3f probe=$probe28%.2f")
+      graft.Bench.recordCapability28(t2, t8s, eff28, probe28, spin, nStd)
+    } else println(f"CAPRUN-SKIP-28 window closed (probe=$probe28%.2f)")
     println("CAPRUN-DONE")
   }
 }
