@@ -84,7 +84,7 @@ object Bench {
     org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
 
-  private def pipeline(spark: SparkSession, dir: String, parts: Int): (Long, Long) = {
+  private[graft] def pipeline(spark: SparkSession, dir: String, parts: Int): (Long, Long) = {
     import spark.implicits._
     // explicit schema: no footer-inference job inflating fixed overhead
     val pages = spark.read.schema(pageSchema).parquet(dir).as[PageRow]
@@ -205,9 +205,10 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
-  private def writeCapability(c: Capability, path: String): Unit = {
+  private def writeCapability(c: Capability, path: String,
+                              loKey: String = "t8_sec", hiKey: String = "t32_sec"): Unit = {
     try java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      (capabilityJson(c) + "\n").getBytes("UTF-8"))
+      (capabilityJson(c, loKey, hiKey) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
   }
 
@@ -225,10 +226,8 @@ object Bench {
   private[graft] def recordCapability28(t2: Double, t8: Double, eff: Double,
                                         memGBs: Double, spinEff: Double, docs: Long): Unit = {
     if (readCapability(Capability28Path, "t2_sec", "t8_sec").forall(_.eff < eff))
-      try java.nio.file.Files.write(java.nio.file.Paths.get(Capability28Path),
-        (capabilityJson(Capability(t2, t8, eff, memGBs, spinEff,
-          System.currentTimeMillis(), docs), "t2_sec", "t8_sec") + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => }
+      writeCapability(Capability(t2, t8, eff, memGBs, spinEff,
+        System.currentTimeMillis(), docs), Capability28Path, "t2_sec", "t8_sec")
   }
 
   def main(args: Array[String]): Unit = {
@@ -304,7 +303,14 @@ object Bench {
       s.stop()
       t1
     }
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    // true median: even-length inputs average the middle two — with the
+    // clean-pair loops stopping at exactly 2 samples, taking s(len/2) would
+    // silently report the BETTER pair as the official number
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     // Budget: degrade sample counts instead of dying without the JSON line.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
     def withinBudget: Boolean = elapsedSec < budgetSec

@@ -281,8 +281,9 @@ object SparkEntry {
     // --- embedding-cosine near-dup removal (fifth dedup-family member):
     // corpus plus an exact copy of every vector under id+1000000 — each
     // planted pair shares every LSH bucket, so the copy is guaranteed a
-    // candidate and the lexicographically larger id of each >=0.995 pair
-    // is dropped. Output = surviving ids.
+    // candidate and each >=0.995 pair's id_b side (the VARCHAR-larger id;
+    // note "1000005" < "5" lexicographically) is dropped. Output =
+    // surviving ids.
     "q_emb_neardup" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       val planted = base.unionByName(

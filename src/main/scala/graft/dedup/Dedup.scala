@@ -250,14 +250,17 @@ object Components {
     * (exact while diameter <= ~2^maxIter).
     *
     * Size-gated execution: a verified edge set at or under
-    * `driverEdgeLimit` (after distinct) is solved EXACTLY on the driver by
-    * union-find in a single collect — the common case, since verified
-    * pairs are a vanishing fraction of the corpus, and it replaces ~6
-    * Spark jobs of fixed scheduling overhead with microseconds. Larger
-    * sets run the distributed pointer-jump loop. Both paths produce the
-    * identical (id, min-reachable-id) relation. */
+    * `driverEdgeLimit` DIRECTED rows (after distinct; 2× the undirected
+    * pairs) is solved EXACTLY on the driver by union-find in a single
+    * collect — the common case, since verified pairs are a vanishing
+    * fraction of the corpus, and it replaces ~6 Spark jobs of fixed
+    * scheduling overhead with microseconds. The default (2^18 rows ≈
+    * 131k pairs, tens of MB of id strings + maps) keeps the collect far
+    * from driver-heap pressure even with long urls; larger sets run the
+    * distributed pointer-jump loop. Both paths produce the identical
+    * (id, min-reachable-id) relation. */
   def of(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-         maxIter: Int = 20, driverEdgeLimit: Long = 1L << 20): DataFrame = {
+         maxIter: Int = 20, driverEdgeLimit: Long = 1L << 18): DataFrame = {
     // localCheckpoint (NOT persist): the self-join makes every iteration's
     // logical plan reference the previous iteration's plan 4× — persist
     // caches DATA but keeps the full lineage, so analyzer/optimizer work
@@ -306,11 +309,27 @@ object Components {
         .select("id", "comp")
         .localCheckpoint()
       changed = obs.get("changed").asInstanceOf[Long]
+      // release the superseded iteration's checkpoint blocks NOW —
+      // Dataset.unpersist is a no-op for checkpoints (they never enter the
+      // CacheManager) and waiting for the ContextCleaner needs a GC that a
+      // large fixed heap may not run for a long time
+      val prev = labels
       labels = next
       iter += 1
+      dropCheckpoint(prev)
     }
+    dropCheckpoint(edges)
     labels
   }
+
+  /** Unpersist the materialized RDD blocks behind a localCheckpoint'd
+    * Dataset (safe only once nothing will read it again — its lineage is
+    * truncated, so the blocks cannot be recomputed). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Exact small-set path: union-find with path compression over the
     * collected edges, then comp = min id per component. */

@@ -94,15 +94,18 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
     else if (!Files.isDirectory(metaDir)) 0
     else {
       val ckptRe = "ckpt-v(\\d+)\\.json".r
-      val it = Files.list(metaDir).iterator()
-      var best = 0
-      while (it.hasNext) {
-        it.next().getFileName.toString match {
-          case ckptRe(n) if n.toInt <= v => best = math.max(best, n.toInt)
-          case _ =>
+      val stream = Files.list(metaDir)
+      try {
+        val it = stream.iterator()
+        var best = 0
+        while (it.hasNext) {
+          it.next().getFileName.toString match {
+            case ckptRe(n) if n.toInt <= v => best = math.max(best, n.toInt)
+            case _ =>
+          }
         }
-      }
-      best
+        best
+      } finally stream.close()
     }
   }
 

@@ -65,9 +65,17 @@ object StreamExtract {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[(String, String)], state: GroupState[String]) => {
+          // exactly ONE non-duplicate emission per content, ever: the first
+          // sorted url of the first batch. Every other row — including a
+          // redelivered copy of the keeper url itself — annotates as a
+          // duplicate, mirroring batch ExactDedup.annotate's row_number>1.
           val urls = rows.map(_._2).toVector.sorted
-          val keeper = state.getOption.getOrElse { state.update(urls.head); urls.head }
-          urls.iterator.map(u => (u, u != keeper, keeper))
+          val existing = state.getOption
+          val keeper = existing.getOrElse { state.update(urls.head); urls.head }
+          val out =
+            if (existing.isEmpty) (urls.head, false, keeper) +: urls.tail.map(u => (u, true, keeper))
+            else urls.map(u => (u, true, keeper))
+          out.iterator
         })
   }
 

@@ -2,12 +2,18 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Minimal clean-window 8→32 capability measurement: probe the host, and
-  * only if the DRAM probe clears the calm threshold, run one warm + one
-  * measured 8/32 pair on the big corpus and let graft.Bench's persistence
-  * rules record it into BENCH/capability.json (via running the same logic
-  * inline here). Exists so a calm window can be exploited in ~90 s without
-  * paying the full bench (whose own burn ends the window).
+/** Minimal clean-window capability measurement: probe the host, and only
+  * if the DRAM probe clears the calm threshold, measure one warmed 8/32
+  * pair on the big corpus (diagnostic, BENCH/capability.json) and one
+  * warmed 2/8 pair on the standard corpus (the OFFICIAL pair,
+  * BENCH/capability_2_8.json), via graft.Bench's best-wins persistence.
+  * Exists so a calm window can be exploited in minutes without paying the
+  * full bench (whose own burn ends the window).
+  *
+  * All passes run `Bench.pipeline` — the SAME job body the bench times —
+  * so the persisted walls are comparable to bench-recorded ones, and each
+  * session is warmed with a small-corpus pass before its timed pass
+  * (matching the bench's warm-then-measure methodology).
   *
   * Usage: sbt "runMain graft.tools.CapabilityRun [calmGBs]"
   */
@@ -21,7 +27,10 @@ object CapabilityRun {
     if (probe < calm) { println("CAPRUN-SKIP window not calm"); return }
 
     val nBig = 600000L
+    val nStd = 150000L
     val bigDir = s"/dev/shm/graft-bench-pages-$nBig"
+    val stdDir = s"/dev/shm/graft-bench-pages-$nStd"
+    val warmDir = "/dev/shm/graft-bench-pages-warm"
     def session(cores: Int): SparkSession = {
       val s = SparkSession.builder().master(s"local[$cores]")
         .appName(s"graft-cap-$cores")
@@ -37,34 +46,24 @@ object CapabilityRun {
     }
     val init = session(32)
     graft.Bench.writeCorpus(init, nBig, bigDir)
+    graft.Bench.writeCorpus(init, nStd, stdDir)
+    graft.Bench.writeCorpus(init, 4000, warmDir)
     init.stop()
 
-    def measure(cores: Int, warmToo: Boolean): Double = {
+    /** One warmed, timed `Bench.pipeline` pass at `cores` over `dir`. */
+    def measure(cores: Int, dir: String): Double = {
       val s = session(cores)
-      import org.apache.spark.sql.functions.col
-      import s.implicits._
-      def pass(): Long = s.read.parquet(bigDir).select(col("url"), col("html"))
-        .as[(String, Array[Byte])]
-        .repartition(cores * 4, col("url"))
-        .mapPartitions { it =>
-          var n = 0L
-          it.foreach { case (u, h) =>
-            val d = graft.extract.Extract.extractOne(u, h)
-            if (d.err.isEmpty && d.text.nonEmpty)
-              n += graft.chunk.Chunker.chunkDocument(d.url, graft.Hashing.sha256Hex(d.text), d.text).length
-          }
-          Iterator.single(n)
-        }.reduce(_ + _)
-      if (warmToo) pass()
+      graft.Bench.pipeline(s, warmDir, cores) // JIT/codec/shuffle-path warm
       val t0 = System.nanoTime()
-      pass()
+      graft.Bench.pipeline(s, dir, cores)
       val t = (System.nanoTime() - t0) / 1e9
       s.stop()
       t
     }
-    // warm once at 32 (JIT persists in this JVM), then the measured pair
-    val t8 = measure(8, warmToo = true)
-    val t32 = measure(32, warmToo = false)
+
+    // 8→32 diagnostic on the 4x corpus
+    val t8 = measure(8, bigDir)
+    val t32 = measure(32, bigDir)
     val eff = (t8 * 8) / (t32 * 32)
     val post = graft.Bench.hostMemBandwidthGBs()
     val spin = graft.Bench.hostSpinEff()
@@ -72,37 +71,10 @@ object CapabilityRun {
     graft.Bench.recordCapability(t8, t32, eff, math.min(probe, post), spin, nBig)
 
     // the OFFICIAL 2→8 pair on the standard (1x) corpus, same calm window
-    val nStd = 150000L
-    val stdDir = s"/dev/shm/graft-bench-pages-$nStd"
-    val init2 = session(8)
-    graft.Bench.writeCorpus(init2, nStd, stdDir)
-    init2.stop()
-    def measureStd(cores: Int): Double = {
-      val s = session(cores)
-      import org.apache.spark.sql.functions.col
-      import s.implicits._
-      def pass(): Long = s.read.parquet(stdDir).select(col("url"), col("html"))
-        .as[(String, Array[Byte])]
-        .repartition(cores * 4, col("url"))
-        .mapPartitions { it =>
-          var n = 0L
-          it.foreach { case (u, h) =>
-            val d = graft.extract.Extract.extractOne(u, h)
-            if (d.err.isEmpty && d.text.nonEmpty)
-              n += graft.chunk.Chunker.chunkDocument(d.url, graft.Hashing.sha256Hex(d.text), d.text).length
-          }
-          Iterator.single(n)
-        }.reduce(_ + _)
-      val t0 = System.nanoTime()
-      pass()
-      val t = (System.nanoTime() - t0) / 1e9
-      s.stop()
-      t
-    }
     val probe28 = graft.Bench.hostMemBandwidthGBs()
     if (probe28 >= calm) {
-      val t2 = measureStd(2)
-      val t8s = measureStd(8)
+      val t2 = measure(2, stdDir)
+      val t8s = measure(8, stdDir)
       val eff28 = (t2 * 2) / (t8s * 8)
       println(f"CAPRUN t2=$t2%.2f t8=$t8s%.2f eff28=$eff28%.3f probe=$probe28%.2f")
       graft.Bench.recordCapability28(t2, t8s, eff28, probe28, spin, nStd)

@@ -35,6 +35,27 @@ class StreamDedupSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("dedupStream: redelivered keeper url annotates as duplicate, within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val out = StreamExtract.dedupStream(stream.toDS()).toDF("url", "is_duplicate", "duplicate_of")
+    val q = out.writeStream.format("memory").queryName("dedup_out3")
+      .outputMode("append").start()
+    try {
+      // batch 1: the keeper url itself arrives twice (source redelivery)
+      stream.addData(("a", "payload"), ("a", "payload"))
+      q.processAllAvailable()
+      // batch 2: the keeper url arrives again
+      stream.addData(("a", "payload"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, is_duplicate FROM dedup_out3")
+        .collect().map(r => (r.getString(0), r.getBoolean(1)))
+      // exactly ONE non-duplicate emission ever; the two redeliveries are dups
+      assert(rows.length == 3)
+      assert(rows.count(!_._2) == 1, rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("dedupStream: restarted content in a later batch still dedups within the batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, String)]
