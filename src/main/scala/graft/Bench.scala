@@ -273,7 +273,10 @@ object Bench {
     // corrupted beyond use). Min of 2 passes per query; the sweep is
     // bracketed by DRAM probes so a poisoned sweep is visible in-record.
     val queryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "150").toInt
-    val memGBsQueriesPre = memGBsStart // measured moments ago
+    // fresh probe: three corpus writes plus a full 32-core pipeline pass ran
+    // since the session-start probe — minutes of heavy memory-side work in
+    // which the weather can change invisibly if we alias the old reading
+    val memGBsQueriesPre = hostMemBandwidthGBs()
     val spark = newSession(cpus)
     val queryTimes: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

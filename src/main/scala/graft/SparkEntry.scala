@@ -382,6 +382,15 @@ object SparkEntry {
           .select(col("doc_id").cast("string").as("id"), col("text"),
             lit(false).as("is_duplicate"))
         val r = java.nio.file.Files.createTempDirectory("graft-index-").toString
+        // the memoized index tree is JVM-scoped scratch: remove it on exit
+        // so repeated Verify/Bench invocations don't accumulate under /tmp
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally walk.close()
+          } catch { case _: Throwable => () }))
         // segment 1: even ids plus ids < 10 (the overlap); segment 2: odd ids
         graft.jobs.IndexJob.build(s,
           docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
@@ -463,10 +472,11 @@ object SparkEntry {
     * max-cosine (tie → smallest centroid index) computed with the same
     * normalized formula, queries probe their nProbe nearest cells, exact
     * cosine over probed members, rank window. */
-  private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int, nQueries: Int): String =
+  private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int, nQueries: Int,
+                           dim: Int = 64): String =
     s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id AS nid, embedding::DOUBLE[] AS vec FROM embeddings),
        | cent AS (SELECT row_number() OVER (ORDER BY nid) - 1 AS cidx, vec AS cvec
-       |   FROM (SELECT nid, vec FROM v ORDER BY nid LIMIT $nCells)),
+       |   FROM (SELECT nid, vec FROM v WHERE len(vec) = $dim ORDER BY nid LIMIT $nCells)),
        | vc AS (SELECT v.id, v.nid, c.cidx,
        |     list_dot_product(v.vec, c.cvec)
        |       / greatest(sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec)), 1e-12) AS cos

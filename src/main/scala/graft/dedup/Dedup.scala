@@ -186,15 +186,23 @@ object MinHash {
       }
       .toDF("id", "band", "bhash")
 
-    // candidate pairs: ids sharing a (band, bhash) bucket
-    val sized = withBands
+    // candidate pairs: ids sharing a (band, bhash) bucket. Membership is
+    // capped BEFORE any aggregation: row_number over a window ranks ids per
+    // bucket through WindowExec's SPILLABLE buffer, so a degenerate hot
+    // bucket (millions of boilerplate-identical docs) never materializes
+    // as one multi-GB collect_list aggregation buffer — the agg below only
+    // ever sees <= maxBucket survivors per bucket. Same form as the DuckDB
+    // oracle (row_number() OVER (PARTITION BY band, bhash ORDER BY id)).
+    val ranked = withBands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band", $"bhash").orderBy($"id")))
+    val observed = drops.fold(ranked)(o => ranked.observe(o,
+        sum(when($"rn" > maxBucket, 1L).otherwise(0L)).as("dropped_members"),
+        sum(when($"rn" === maxBucket + 1, 1L).otherwise(0L)).as("overflow_buckets")))
+    val buckets = observed
+      .filter($"rn" <= maxBucket)
       .groupBy($"band", $"bhash")
-      .agg(collect_list($"id").as("all_ids"))
-      .withColumn("ids", slice(sort_array($"all_ids"), 1, maxBucket))
-      .withColumn("n_dropped", greatest(lit(0), size($"all_ids") - lit(maxBucket)))
-    val buckets = drops.fold(sized)(o => sized.observe(o,
-        sum(col("n_dropped").cast("long")).as("dropped_members"),
-        sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("overflow_buckets")))
+      .agg(sort_array(collect_list($"id")).as("ids"))
       .filter(size($"ids") > 1)
 
     val pairs = buckets
@@ -443,14 +451,17 @@ object SimHash {
         (0 until NumTables).iterator.map(k => (id, s, k, blockKey(s, k)))
       })
       .toDF("id", "sim", "tbl", "key")
-    val sized = banded
+    // pre-cap per bucket via spillable window rank (see MinHash.nearDupPairs)
+    val ranked = banded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tbl", $"key").orderBy($"id")))
+    val observed = drops.fold(ranked)(o => ranked.observe(o,
+        sum(when($"rn" > maxBucket, 1L).otherwise(0L)).as("dropped_members"),
+        sum(when($"rn" === maxBucket + 1, 1L).otherwise(0L)).as("overflow_buckets")))
+    val buckets = observed
+      .filter($"rn" <= maxBucket)
       .groupBy($"tbl", $"key")
-      .agg(collect_list(struct($"id", $"sim")).as("all_members"))
-      .withColumn("members", slice(array_sort($"all_members"), 1, maxBucket))
-      .withColumn("n_dropped", greatest(lit(0), size($"all_members") - lit(maxBucket)))
-    val buckets = drops.fold(sized)(o => sized.observe(o,
-        sum(col("n_dropped").cast("long")).as("dropped_members"),
-        sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("overflow_buckets")))
+      .agg(array_sort(collect_list(struct($"id", $"sim"))).as("members"))
       .filter(size($"members") > 1)
     buckets
       .select(explode(expr(

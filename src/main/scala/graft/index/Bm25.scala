@@ -35,20 +35,33 @@ object Bm25 {
   def docLen(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"), size(tokensCol(col(textCol))).cast("long").as("dl"))
 
-  final case class Index(postings: DataFrame, docLens: DataFrame, nDocs: Long, avgdl: Double)
+  final case class Index(postings: DataFrame, docLens: DataFrame) {
+    /** Driver-side corpus stats — LAZY, one pass over docLens only if a
+      * caller actually needs the scalars (specs). The production build path
+      * (IndexJob.build) instead rides these metrics on the doclen WRITE via
+      * observe(), so building a segment stays a zero-extra-pass operation
+      * at 100 TB. */
+    lazy val stats: (Long, Double) = {
+      val r = docLens.agg(count(lit(1)).as("n"),
+        coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    def nDocs: Long = stats._1
+    def avgdl: Double = stats._2
+  }
 
   /** Build the index tables. postings: (term, df, postings ARRAY<STRUCT<doc,tf>>)
-    * materialization-ready (SURVEY.md §2.8 R4); docLens: (doc, dl). */
+    * materialization-ready (SURVEY.md §2.8 R4); docLens: (doc, dl). Pure
+    * plan construction — no driver action happens here. */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val tf = termFreq(docs, idCol, textCol)
     // dl from tf (one tokenize; see scoredAll). Token-empty docs carry no
     // terms, so excluding them from doclen/stats matches retrieval exactly.
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl")).head()
     val postings = tf.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
-    Index(postings, dl, stats.getLong(0), stats.getDouble(1))
+    Index(postings, dl)
   }
 
   /** Classic TF-IDF scoring (the north star's other scorer): score =

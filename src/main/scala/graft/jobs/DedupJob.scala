@@ -38,8 +38,18 @@ object DedupJob {
     // into true connected components (chains A~B~C with A≁C keep exactly
     // one doc), each component's min-id root wins; losers' duplicate_of is
     // the root, not an arbitrary pair partner
-    val pairs = MinHash.nearDupPairs(exactClean, urlCol, textCol, jaccardThreshold,
+    val rawPairs = MinHash.nearDupPairs(exactClean, urlCol, textCol, jaccardThreshold,
       drops = drops)
+    // When the caller asked for the drops ledger, fire it with its OWN
+    // action before the pairs get embedded in Components.of's distinct/join
+    // pipeline: if Jaccard verification empties the pair set while buckets
+    // overflowed, AQE empty-relation propagation could cull the
+    // CollectMetrics node from the larger plan and the absence-means-zero
+    // read would return 0 despite real drops (the rule documented in
+    // MinHash.nearDupPairs). localCheckpoint is eager — the ledger fires
+    // here — and as a bonus the expensive verify lineage (referenced twice
+    // by the edges union) is materialized once instead of re-derived.
+    val pairs = if (drops.isDefined) rawPairs.localCheckpoint() else rawPairs
     val comps = graft.dedup.Components.of(pairs)
     val losers = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("loser"), col("comp").as("duplicate_of"))

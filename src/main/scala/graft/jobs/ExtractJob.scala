@@ -77,15 +77,16 @@ object ExtractJob {
     import spark.implicits._
     val lake = new LakeTable(tableRoot)
     val vf = vFullMap(lake)
-    val perV = lake.state.fileVersions.filter(_._1.contains("/errs/"))
-      .groupBy(_._2).toSeq.sortBy(_._1).map { case (v, fs) =>
-        spark.read.parquet(fs.map(_._1): _*).withColumn("v", lit(v))
-      }
-    if (perV.isEmpty)
+    // `v` is a data column written at commit time, so ALL live files read as
+    // ONE parquet relation — plan size stays O(1) in the number of commits
+    val files = lake.state.fileVersions.collect {
+      case (f, _) if f.contains("/errs/") => f
+    }
+    if (files.isEmpty)
       return Seq.empty[(Int, String, String, String, Int)]
         .toDF("bucket", "url", "kind", "err", "v")
     val vfDf = vf.toSeq.toDF("bucket", "vfull")
-    perV.reduce(_ unionByName _)
+    spark.read.parquet(files: _*)
       .join(broadcast(vfDf), "bucket")
       .filter(col("v") >= col("vfull"))
       .drop("vfull")
@@ -192,10 +193,16 @@ object ExtractJob {
     // ledger, billing.py:53-72): tokens = Σ_chunks max(1, len/4), cost at
     // the reference's default price. Derived from the persisted extraction
     // (chunking re-runs on the cached docs — billing is not the hot path).
+    // `v` is written as a DATA column (not derived from the manifest at read
+    // time): ledger readers then open every live file in ONE parquet
+    // relation instead of building one scan node per version — at 10^4
+    // commits the per-version union made every planning read carry
+    // thousands of scan nodes.
     val billing = chunks
       .groupBy("bucket", "url")
       .agg(sum("tokens").as("tokens"), count(lit(1)).as("n_chunks"))
       .withColumn("cost", col("tokens").cast("double") / 1000000.0 * Billing.PricePerMTokens)
+      .withColumn("v", lit(v))
     billing.write.mode("overwrite").parquet(s"$outBase/billing")
 
     // error ledger: failures always; retry attempts always (err = "" marks a
@@ -204,6 +211,7 @@ object ExtractJob {
       .filter(t => t._1.err.nonEmpty || t._3)
       .map { case (d, b, _) => (b, d.url, d.kind, d.err) }
       .toDF("bucket", "url", "kind", "err")
+      .withColumn("v", lit(v))
     errRows.write.mode("overwrite").parquet(s"$outBase/errs")
 
     // per-bucket lineage (the reference's per-file ledger rows,
@@ -277,15 +285,15 @@ object ExtractJob {
     import spark.implicits._
     val lake = new LakeTable(tableRoot)
     val vf = vFullMap(lake)
-    val perV = lake.state.fileVersions.filter(_._1.contains("/billing/"))
-      .groupBy(_._2).toSeq.sortBy(_._1).map { case (v, fs) =>
-        spark.read.parquet(fs.map(_._1): _*).withColumn("v", lit(v))
-      }
-    if (perV.isEmpty)
+    // one-relation read over all live files; see errLedger
+    val files = lake.state.fileVersions.collect {
+      case (f, _) if f.contains("/billing/") => f
+    }
+    if (files.isEmpty)
       return Seq.empty[(Int, String, Long, Long, Double, Int)]
         .toDF("bucket", "url", "tokens", "n_chunks", "cost", "v")
     val vfDf = vf.toSeq.toDF("bucket", "vfull")
-    perV.reduce(_ unionByName _)
+    spark.read.parquet(files: _*)
       .join(broadcast(vfDf), "bucket")
       .filter(col("v") >= col("vfull"))
       .drop("vfull")

@@ -40,10 +40,17 @@ object IndexJob {
     // scanning every posting file (the 100-TB layout lever)
     idx.postings.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
-    idx.docLens.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
+    // segment stats ride the doclen write via observe() — no separate stats
+    // job over dl. Safe from AQE metrics culling: the CollectMetrics node is
+    // the write's own root, nothing downstream can go empty and drop it.
+    val obs = org.apache.spark.sql.Observation()
+    idx.docLens.observe(obs, count(lit(1)).as("n"),
+        coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"segment-v$v"), Nil,
-      Map("n_docs" -> idx.nDocs.toDouble, "avgdl" -> idx.avgdl))
+      Map("n_docs" -> obs.get("n").asInstanceOf[Long].toDouble,
+        "avgdl" -> obs.get("avgdl").asInstanceOf[Double]))
     v
   }
 

@@ -135,7 +135,11 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
     val tmp = metaDir.resolve(s".hint.$v.tmp")
     Files.write(tmp, v.toString.getBytes(UTF_8))
     Files.move(tmp, hintFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    maybeCheckpoint(v)
+    // best-effort: the checkpoint is a pure cache (deleting it only slows
+    // readers down), and the commit above is already durably published —
+    // a stale ckpt file or transient IO error must not surface as a commit
+    // failure. Readers fall back to walking manifests.
+    try maybeCheckpoint(v) catch { case _: java.io.IOException => () }
     v
   }
 
@@ -273,8 +277,12 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
   def listParquet(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) Nil
-    else Files.walk(p).iterator().asScala
-      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .map(_.toString).toSeq.sorted
+    else {
+      val stream = Files.walk(p)
+      try stream.iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .map(_.toString).toSeq.sorted
+      finally stream.close()
+    }
   }
 }

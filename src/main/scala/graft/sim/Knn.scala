@@ -99,13 +99,17 @@ object Knn {
                              drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val ids = lshBuckets(df, idCol, vecCol, bits, tables, dim)
       .select(col("id"), col("tbl"), col("bucket"))
-    val sized = ids.groupBy("tbl", "bucket")
-      .agg(collect_list(col("id")).as("all_ids"))
-      .withColumn("ids", slice(sort_array(col("all_ids")), 1, maxBucket))
-      .withColumn("n_dropped", greatest(lit(0), size(col("all_ids")) - lit(maxBucket)))
-    drops.fold(sized)(o => sized.observe(o,
-        sum(col("n_dropped").cast("long")).as("dropped_members"),
-        sum(when(col("n_dropped") > 0, 1L).otherwise(0L)).as("overflow_buckets")))
+    // pre-cap per bucket via spillable window rank (see MinHash.nearDupPairs):
+    // the collect_list below only ever aggregates <= maxBucket survivors
+    val ranked = ids.withColumn("rn", row_number().over(
+      Window.partitionBy("tbl", "bucket").orderBy("id")))
+    val observed = drops.fold(ranked)(o => ranked.observe(o,
+        sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("dropped_members"),
+        sum(when(col("rn") === maxBucket + 1, 1L).otherwise(0L)).as("overflow_buckets")))
+    observed
+      .filter(col("rn") <= maxBucket)
+      .groupBy("tbl", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(expr(
         "filter(flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a, b)))), p -> p.a < p.b)"
@@ -159,9 +163,14 @@ object Knn {
     val vecs = corpus.select(col(idCol).cast("string").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     // centroids: smallest nCells ids in the id column's NATIVE order
-    // (matches the oracle's ORDER BY id LIMIT nCells)
+    // (matches the oracle's ORDER BY id LIMIT nCells). Malformed vectors
+    // (null / wrong dim) are excluded from centroid candidacy with the same
+    // guard members and queries get — otherwise one bad row among the
+    // smallest ids would make cellRanks index past the array and fail the
+    // job instead of skipping the row.
     val cents: Array[Array[Double]] = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) === dim)
       .orderBy(col(idCol)).limit(nCells)
       .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
     val bcCents = spark.sparkContext.broadcast(cents)

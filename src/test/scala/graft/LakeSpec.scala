@@ -233,4 +233,25 @@ class LakeSpec extends SparkSuiteBase {
     assert(tail.committedKeys == keys0 + "b=0:fp=999")
     assert(ExtractJob.committedFps(tail) == fps0 + (0 -> 999L))
   }
+
+  test("ledger reads across 100 commits plan ONE parquet scan (v is a data column)") {
+    val root = tmpDir()
+    val lake = new LakeTable(root, checkpointInterval = 25)
+    (1 to 100).foreach { v =>
+      Seq((v % 4, s"https://e.example/u$v", "html", "boom", v))
+        .toDF("bucket", "url", "kind", "err", "v")
+        .write.parquet(s"$root/data/v$v/errs")
+      lake.commit(lake.listParquet(s"$root/data/v$v"), Seq(s"b=${v % 4}:fp=$v"), Nil, Map.empty)
+    }
+    val ledger = ExtractJob.errLedger(spark, root)
+    // latest-full-commit-wins per bucket: vfull = {0->100, 1->97, 2->98, 3->99}
+    assert(ledger.select("v").as[Int].collect().sorted.toSeq == Seq(97, 98, 99, 100))
+    // plan-size check (VERDICT r3 #2): the per-version unionByName built one
+    // scan node per commit — O(versions) planning cost. With v as a data
+    // column, ALL live files read as one relation: exactly one parquet scan.
+    val scans = ledger.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size == 1, s"expected one parquet scan node, got ${scans.size}")
+  }
 }
