@@ -26,6 +26,23 @@ object SparkEntry {
     * query many — the production retrieval shape). */
   private val indexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** sf dir → facet-index root for q_facet_index (same memoization). */
+  private val facetIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** JVM-scoped scratch dir, removed on exit so repeated Verify/Bench
+    * invocations don't accumulate trees under /tmp. */
+  private def scratchDir(prefix: String): String = {
+    val r = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: Throwable => () }))
+    r
+  }
+
   /** Flagship: the north-rule extraction pipeline over a generated
     * Common-Crawl-style corpus — sniff → dispatch → extract → per-method
     * counts. Driver smoke-checks rows > 0 on sf0.001. */
@@ -59,6 +76,32 @@ object SparkEntry {
         val d = Extract.extractOne(s"doc://$id", PdfGen.classic(text))
         (id, d.method, d.text.replace('\n', ' '))
       }).toDF("doc_id", "method", "extracted")
+  }
+
+  /** Pipeline harness (q_pipeline_e2e): gate-passing documents rendered as
+    * HTML article pages, plus a planted EXACT copy (doc_id + 500000) and a
+    * planted NEAR-DUP mutant (doc_id + 1000000, marker words appended) per
+    * doc. The input is restricted to docs where every downstream stage has
+    * a closed oracle form: extraction roundtrips byte-identically (the
+    * q_extract_html gate) and chunking is single-chunk (the
+    * q_chunk_fallback no-blank-line restriction). */
+  private def pipelinePages(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[PageRow] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter(length(regexp_replace(col("text"), "\\s", "")) >= 50 &&
+        wsTokenCountCol(col("text")) >= 3 &&
+        !col("text").rlike("\\n\\s*\\n") && col("text").rlike("\\S"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Seq((id, text), (id + 500000L, text),
+            (id + 1000000L, text + " appended trailing marker"))
+          .map { case (pid, ptext) =>
+            PageRow(s"doc://$pid", new java.sql.Timestamp(1000L),
+              HtmlGen.article(s"Doc $pid", Seq(ptext), (pid % 97).toInt,
+                Seq("alpha beta related", "gamma delta entry")).getBytes("UTF-8"),
+              "", "en")
+          }
+      }
   }
 
   /** Near-dup harness: documents plus a mutated copy of each (doc_id +
@@ -381,16 +424,7 @@ object SparkEntry {
         val docs = t(s, dir, "documents")
           .select(col("doc_id").cast("string").as("id"), col("text"),
             lit(false).as("is_duplicate"))
-        val r = java.nio.file.Files.createTempDirectory("graft-index-").toString
-        // the memoized index tree is JVM-scoped scratch: remove it on exit
-        // so repeated Verify/Bench invocations don't accumulate under /tmp
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try {
-            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
-            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-            finally walk.close()
-          } catch { case _: Throwable => () }))
+        val r = scratchDir("graft-index-")
         // segment 1: even ids plus ids < 10 (the overlap); segment 2: odd ids
         graft.jobs.IndexJob.build(s,
           docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
@@ -399,6 +433,43 @@ object SparkEntry {
         r
       }))
       graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
+    }),
+    // --- R1×R2 facet-filtered retrieval over the MATERIALIZED index (the
+    // reference's where=-filtered collection query, question_rag.py:130-194):
+    // facets committed beside doclen at build time; search semi-joins the
+    // facet table before scoring, stats over the filtered set — identical to
+    // BM25 over the filtered corpus (the oracle), but touching only index
+    // tables. Two segments + compact exercise the facet-table merge.
+    "q_facet_index" -> ((s, dir) => {
+      val root = facetIndexRootFor.synchronized(facetIndexRootFor.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"), col("text"),
+            lit(false).as("is_duplicate"), col("lang"), col("source"))
+        val r = scratchDir("graft-fidx-")
+        graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 0), r,
+          facetCols = Seq("lang", "source"))
+        graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r,
+          facetCols = Seq("lang", "source"))
+        graft.jobs.IndexJob.compact(s, r)
+        r
+      }))
+      graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20,
+        facetWhere = Some("lang = 'en'"))
+    }),
+    // --- §3.1 the COMPOSED pipeline, end-to-end with a real oracle:
+    // render gate-passing docs (plus a planted exact copy and a planted
+    // near-dup mutant per doc) as HTML pages → ExtractJob (extract + chunk
+    // into a lake) → DedupJob (exact keep-first, MinHash + components
+    // keep-root) → IndexJob (build + compact) → BM25 search over the
+    // committed segments. Fresh pipeline root per invocation — this query
+    // times the PIPELINE, not a memoized read. The oracle composes the
+    // already-proven CTEs: extract roundtrip gate → single-chunk closed
+    // form → exact/near dedup → BM25.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val root = scratchDir("graft-pipe-")
+      val r = graft.jobs.PipelineJob.run(s, pipelinePages(s, dir), root,
+        nBuckets = 8, jaccardThreshold = 0.6)
+      graft.jobs.IndexJob.search(s, r.indexRoot, "spark filter join table", k = 1 << 20)
     }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
@@ -534,6 +605,52 @@ object SparkEntry {
        |UNION ALL
        |SELECT id AS url, 'near_duplicate' AS reason, comp AS duplicate_of
        |FROM comp WHERE id <> comp""".stripMargin
+
+  /** DuckDB replica of the COMPOSED pipeline (q_pipeline_e2e —
+    * [[graft.jobs.PipelineJob.run]] then [[graft.jobs.IndexJob.search]]):
+    * the same corpus restriction as the engine harness (extract-roundtrip
+    * gate + single-chunk shape), the planted exact copy and near-dup mutant,
+    * exact keep-first on content, MinHash pairs over survivors, recursive-CTE
+    * connected components with min-id roots, and BM25 over the cleaned
+    * corpus — one SQL statement spanning all three jobs. */
+  private def pipelineE2eOracleSql(threshold: Double, maxBucket: Int): String = {
+    val javaTrim = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT doc_id, trim(text, $javaTrim) AS text FROM documents
+       |  WHERE length(regexp_replace(text, '\\s', '', 'g')) >= 50
+       |    AND len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 3
+       |    AND NOT regexp_matches(text, '\\n\\s*\\n') AND regexp_matches(text, '\\S')),
+       | docs0 AS (
+       |  SELECT 'doc://' || doc_id::VARCHAR || '#0' AS id, text FROM gated
+       |  UNION ALL SELECT 'doc://' || (doc_id + 500000)::VARCHAR || '#0', text FROM gated
+       |  UNION ALL SELECT 'doc://' || (doc_id + 1000000)::VARCHAR || '#0', text || ' appended trailing marker' FROM gated),
+       | exact AS (SELECT id, text, min(id) OVER (PARTITION BY text) AS keeper FROM docs0),
+       | survivors AS (SELECT id, text FROM exact WHERE id = keeper),
+       |${minhashCtes("survivors", maxBucket)},
+       | pairs AS (${minhashPairSelect(threshold)}),
+       | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       | reach(id, r) AS (
+       |   SELECT src, src FROM edges
+       |   UNION
+       |   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       | comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       | clean AS (SELECT s.id, s.text FROM survivors s
+       |   LEFT JOIN (SELECT id FROM comp WHERE id <> comp) l ON l.id = s.id
+       |   WHERE l.id IS NULL),
+       | btoks AS (SELECT id AS doc,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+       |  FROM clean),
+       | btf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM btoks GROUP BY 1,2),
+       | bdl AS (SELECT doc, count(*)::DOUBLE AS dl FROM btoks GROUP BY 1),
+       | bstats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM bdl),
+       | bq(term) AS (SELECT unnest(['spark','filter','join','table'])),
+       | bdf AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM btf JOIN bq USING(term) GROUP BY 1)
+       |SELECT doc, round(sum(
+       |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+       |FROM btf JOIN bq USING(term) JOIN bdf USING(term) JOIN bdl USING(doc) CROSS JOIN bstats
+       |GROUP BY doc""".stripMargin
+  }
 
   /** DuckDB replica of [[Knn.dropEmbeddingNearDups]] on the planted-copy
     * corpus (each vector duplicated under id+1000000): same plane literals,
@@ -836,6 +953,10 @@ object SparkEntry {
       // segment overlap dedups to the plain corpus relation, so the oracle
       // is corpus BM25 with string doc ids (the index keys docs by chunk id)
       "q_index_search" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR"),
+      // facet-filtered search over committed segments == BM25 over the
+      // facet-filtered corpus (stats from the filtered set)
+      "q_facet_index" -> bm25OracleSql("WHERE lang = 'en'", idExpr = "doc_id::VARCHAR"),
+      "q_pipeline_e2e" -> pipelineE2eOracleSql(threshold = 0.6, maxBucket = 64),
       "q_billing" ->
         """SELECT doc_id, 1::INT AS n_chunks,
           | greatest(1, length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) // 4)::BIGINT AS tokens,

@@ -22,15 +22,22 @@ import graft.lake.LakeTable
 object IndexJob {
 
   /** Append one segment built from a chunk table. Returns the committed
-    * snapshot version (= segment id). */
-  def build(spark: SparkSession, chunks: DataFrame, indexRoot: String): Int = {
+    * snapshot version (= segment id).
+    *
+    * `facetCols` names metadata columns on `chunks` to commit beside doclen
+    * as the segment's facet table (doc, facets...) — the queryable metadata
+    * the reference stores per collection entry (question_rag.py:130-194,
+    * where= filters at :168-175). [[search]] filters against it without
+    * touching the corpus. */
+  def build(spark: SparkSession, chunks: DataFrame, indexRoot: String,
+            facetCols: Seq[String] = Nil): Int = {
     // chunk ids are content-derived (sha1(dochash:idx:chunkhash)), so
     // byte-identical documents under different urls yield identical ids —
     // indexing the same content id twice double-counts tf/dl. Dedup by id
     // within the segment; CROSS-segment content dedup is the upstream
     // DedupJob's responsibility (run it before chunking).
     val docs = chunks.filter(!col("is_duplicate"))
-      .select(col("id").as("doc"), col("text"))
+      .select((col("id").as("doc") +: (col("text") +: facetCols.map(col))): _*)
       .dropDuplicates("doc")
     val idx = Bm25.build(docs, "doc", "text")
     val lake = new LakeTable(indexRoot)
@@ -47,6 +54,8 @@ object IndexJob {
     idx.docLens.observe(obs, count(lit(1)).as("n"),
         coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl"))
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
+    if (facetCols.nonEmpty)
+      docs.drop("text").write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"segment-v$v"), Nil,
       Map("n_docs" -> obs.get("n").asInstanceOf[Long].toDouble,
@@ -70,13 +79,19 @@ object IndexJob {
 
   private val CompactKey = "compact-v(\\d+)".r
 
-  private def segments(spark: SparkSession, indexRoot: String): (DataFrame, DataFrame) = {
+  private def segments(spark: SparkSession,
+                       indexRoot: String): (DataFrame, DataFrame, Option[DataFrame]) = {
     val live = liveVersions(new LakeTable(indexRoot))
     val postings = live.map(i => spark.read.parquet(s"$indexRoot/data/v$i/postings"))
       .reduce(_ unionByName _)
     val doclen = live.map(i => spark.read.parquet(s"$indexRoot/data/v$i/doclen"))
       .reduce(_ unionByName _)
-    (postings, doclen)
+    val facetDirs = live.map(i => s"$indexRoot/data/v$i/facets")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    val facets =
+      if (facetDirs.isEmpty) None
+      else Some(facetDirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+    (postings, doclen, facets)
   }
 
   /** Merge all live segments into one and commit it as the new single live
@@ -84,7 +99,7 @@ object IndexJob {
     * IndexExprSpec. Per-query cost returns to a single segment; old dirs
     * remain on disk for snapshot time travel. */
   def compact(spark: SparkSession, indexRoot: String): Int = {
-    val (postingsAll, doclenAll) = segments(spark, indexRoot)
+    val (postingsAll, doclenAll, facetsAll) = segments(spark, indexRoot)
     // same defensive overlap semantics as search(): dedup (term,doc) keep
     // max tf, recompute df; dedup doclen by doc
     val flat = postingsAll
@@ -101,6 +116,8 @@ object IndexJob {
     postings.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
     doclen.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
+    facetsAll.foreach(f => f.dropDuplicates("doc")
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets"))
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"compact-v$v"), Nil, Map.empty)
     v
@@ -115,22 +132,36 @@ object IndexJob {
     * corpus (asserted in spec). The dedup shuffle only touches postings that
     * matched the broadcast query terms — bounded by query selectivity, not
     * corpus size. */
-  def search(spark: SparkSession, indexRoot: String, query: String, k: Int): DataFrame = {
+  def search(spark: SparkSession, indexRoot: String, query: String, k: Int,
+             facetWhere: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val (postingsAll, doclenRaw) = segments(spark, indexRoot)
-    val doclen = doclenRaw.dropDuplicates("doc")
-    // global stats as a broadcast 1-row relation (no eager head() — the
+    val (postingsAll, doclenRaw, facetsAll) = segments(spark, indexRoot)
+    // facet predicate (R1 x R2 — the reference's filtered-get-then-rank
+    // flow, question_rag.py:130-194): keep = docs matching the metadata
+    // predicate, applied to BOTH the posting rows (before the df window, so
+    // df counts only filtered docs) and doclen (so N/avgdl are stats of the
+    // FILTERED collection) — exactly the semantics of running BM25 over the
+    // filtered corpus, without touching corpus text.
+    val keep = facetWhere.map { w =>
+      val f = facetsAll.getOrElse(sys.error(
+        s"facet filter '$w' but no facets table committed in $indexRoot"))
+      f.filter(expr(w)).select("doc").dropDuplicates("doc")
+    }
+    val doclenAllDocs = doclenRaw.dropDuplicates("doc")
+    val doclen = keep.fold(doclenAllDocs)(kd => doclenAllDocs.join(kd, Seq("doc"), "left_semi"))
+    // stats as a broadcast 1-row relation (no eager head() — the
     // whole search is one job; at 100 TB doclen is a real table and the
     // extra driver action was a full pass over it per query)
     val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl").cast("double")).as("avgdl"))
 
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
-    postingsAll
+    val flat = postingsAll
       .join(broadcast(qTerms), "term")
       .select(col("term"), explode(col("postings")).as("p"))
       .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"))
       .groupBy("term", "doc").agg(max("tf").as("tf"))
+    keep.fold(flat)(kd => flat.join(kd, Seq("doc"), "left_semi"))
       .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .join(doclen, "doc")
       .crossJoin(broadcast(stats))
