@@ -471,6 +471,73 @@ object SparkEntry {
         nBuckets = 8, jaccardThreshold = 0.6)
       graft.jobs.IndexJob.search(s, r.indexRoot, "spark filter join table", k = 1 << 20)
     }),
+    // --- multimodal gate: planted deterministic binary PPM (P6) bytes per
+    // doc — header comment included on odd ids to exercise the parser —
+    // decoded by the REAL from-scratch Netpbm decoder (dispatch + comments
+    // + BT.601 integer luma), summed. The pixel formula is plain modular
+    // arithmetic, so the DuckDB oracle recomputes the luma sum exactly —
+    // no fixture pinning.
+    "q_mm_luma" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            rgb(p * 3) = ((id * 31 + p * 7) % 256).toByte
+            rgb(p * 3 + 1) = ((id * 17 + p * 11) % 256).toByte
+            rgb(p * 3 + 2) = ((id * 13 + p * 5) % 256).toByte
+            p += 1
+          }
+          val bytes =
+            if (id % 2 == 1)
+              s"P6\n# planted comment\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+            else graft.mm.Multimodal.ppm(w, h, rgb)
+          graft.mm.Multimodal.decodeImage(bytes) match {
+            case Right((dw, dh, px)) => (id, dw, dh, px.foldLeft(0L)(_ + _))
+            case Left(err) => (id, -1, -1, -1L)
+          }
+        }).toDF("doc_id", "w", "h", "luma_sum")
+    }),
+    // --- streaming parity gate (driver-visible): the SAME seed-42 corpus as
+    // q_pipeline, extracted+chunked through the Structured Streaming path
+    // (parquet file source → extractStream → AvailableNow parquet sink with
+    // a checkpoint), then compared chunk-id-for-chunk-id against the batch
+    // path, and drained a SECOND time against the same checkpoint to prove
+    // resume reprocesses nothing. The emitted relation is the parity
+    // verdict itself, so the oracle is a priori.
+    "q_stream_parity" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val root = scratchDir("graft-stream-")
+      val pages = s.range(400).repartition(8).map(i => PageGen.row(42L, i))
+      pages.write.parquet(s"$root/pages")
+      def drain(): Unit = {
+        val src = s.readStream.schema(pages.schema).parquet(s"$root/pages").as[PageRow]
+        graft.streaming.StreamExtract.availableNowWriter(
+          graft.streaming.StreamExtract.extractStream(src),
+          s"$root/out", s"$root/ckpt").start().awaitTermination()
+      }
+      drain()
+      val afterFirst = s.read.parquet(s"$root/out").count()
+      drain() // same checkpoint: source offsets say nothing is new
+      val sIds = s.read.parquet(s"$root/out").select(col("id"))
+      val bIds = pages
+        .mapPartitions(_.map(p => Extract.extractOne(p.url, p.html)))
+        .flatMap(d =>
+          if (d.err.isEmpty && d.text.nonEmpty)
+            Chunker.chunkDocument(d.url, Hashing.sha256Hex(d.text), d.text)
+          else Nil)
+        .toDF().select(col("id"))
+      val (sN, bN) = (sIds.count(), bIds.count())
+      val (sD, bD) = (sIds.distinct().count(), bIds.distinct().count())
+      val m = sIds.distinct().join(bIds.distinct(), Seq("id"), "inner").count()
+      Seq(
+        ("stream_equals_batch", sN == bN && sD == bD && m == sD && sN > 0),
+        ("resume_reprocessed_nothing", afterFirst == sN)
+      ).toDF("check", "ok")
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -980,6 +1047,24 @@ object SparkEntry {
       // seed-pinned constants of the frozen generator + extractor — the
       // oracle is the pinned table itself (recompute via
       // `Verify` if a frozen heuristic legitimately changes).
+      // the planted-PPM pixel formula is modular arithmetic over (doc_id,
+      // pixel index), so the luma sum replicates exactly: same BT.601
+      // integer weights, same // 1000 floor division
+      "q_mm_luma" ->
+        """WITH d AS (SELECT doc_id, (4 + doc_id % 13)::INT AS w, (3 + doc_id % 7)::INT AS h FROM documents),
+          | px AS (SELECT doc_id, w, h, unnest(range(0, w::BIGINT * h)) AS p FROM d),
+          | luma AS (SELECT doc_id, w, h,
+          |    (((doc_id*31 + p*7) % 256) * 299
+          |     + ((doc_id*17 + p*11) % 256) * 587
+          |     + ((doc_id*13 + p*5) % 256) * 114) // 1000 AS l
+          |  FROM px)
+          |SELECT doc_id, w, h, sum(l)::BIGINT AS luma_sum
+          |FROM luma GROUP BY 1, 2, 3""".stripMargin,
+      // the streaming query emits its own verdict relation; the oracle is
+      // what parity demands a priori
+      "q_stream_parity" ->
+        """SELECT 'stream_equals_batch' AS check, true AS ok
+          |UNION ALL SELECT 'resume_reprocessed_nothing', true""".stripMargin,
       "q_pipeline" ->
         """SELECT kind, method, cnt::BIGINT AS count FROM (VALUES
           | ('html', 'body', 41), ('html', 'lenient', 1), ('html', 'strict', 270),
