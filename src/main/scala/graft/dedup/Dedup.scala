@@ -191,8 +191,15 @@ object MinHash {
     // bucket through WindowExec's SPILLABLE buffer, so a degenerate hot
     // bucket (millions of boilerplate-identical docs) never materializes
     // as one multi-GB collect_list aggregation buffer — the agg below only
-    // ever sees <= maxBucket survivors per bucket. Same form as the DuckDB
-    // oracle (row_number() OVER (PARTITION BY band, bhash ORDER BY id)).
+    // ever sees <= maxBucket survivors per bucket. Better still, Catalyst
+    // rewrites the rn<=cap filter into WindowGroupLimit with a PARTIAL
+    // map-side phase (see PLANS.md q_minhash): a hot bucket is truncated to
+    // ~cap rows per input partition before the exchange even runs, so the
+    // shuffle itself stays bounded. Same form as the DuckDB oracle
+    // (row_number() OVER (PARTITION BY band, bhash ORDER BY id)).
+    // NOTE: the drops observation suppresses that rewrite (the counters
+    // must see every row), trading the map-side truncation for exact
+    // ledger counts — callers who don't ask for drops get the fast plan.
     val ranked = withBands
       .withColumn("rn", row_number().over(
         Window.partitionBy($"band", $"bhash").orderBy($"id")))

@@ -82,10 +82,12 @@ object IndexJob {
   private def segments(spark: SparkSession,
                        indexRoot: String): (DataFrame, DataFrame, Option[DataFrame]) = {
     val live = liveVersions(new LakeTable(indexRoot))
-    val postings = live.map(i => spark.read.parquet(s"$indexRoot/data/v$i/postings"))
-      .reduce(_ unionByName _)
-    val doclen = live.map(i => spark.read.parquet(s"$indexRoot/data/v$i/doclen"))
-      .reduce(_ unionByName _)
+    // postings/doclen have a fixed schema across segments: read every live
+    // segment dir as ONE parquet relation (a single scan node, not one per
+    // segment — the errLedger plan-size lesson applied here). Facet schemas
+    // may differ across builds, so facets union by name.
+    val postings = spark.read.parquet(live.map(i => s"$indexRoot/data/v$i/postings"): _*)
+    val doclen = spark.read.parquet(live.map(i => s"$indexRoot/data/v$i/doclen"): _*)
     val facetDirs = live.map(i => s"$indexRoot/data/v$i/facets")
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     val facets =
