@@ -538,6 +538,38 @@ object SparkEntry {
         ("resume_reprocessed_nothing", afterFirst == sN)
       ).toDF("check", "ok")
     }),
+    // --- streaming NEAR-dup (cross-batch keyed LSH-bucket state): the
+    // planted-pair corpus streamed through nearDupVerdicts via a parquet
+    // file source (single AvailableNow batch — <=32 files, far below the
+    // source's per-batch file cap, so arrival order is the deterministic
+    // url sort inside one batch). Oracle: candidates from the same band
+    // buckets, signature-estimated jaccard (count of equal signature
+    // slots / 128 — the documented streaming verification tradeoff)
+    // >= 0.8, verdict = (later url, earlier url). Exact because at 0.8 the
+    // est-similarity graph on this corpus is a perfect matching
+    // {orig, mutant}: greedy first-arrival membership then reduces to
+    // pair order, which IS the oracle's greatest/least.
+    "q_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = scratchDir("graft-sndup-")
+      val docs = docsWithNearDups(s, dir)
+        .select(col("doc_id").cast("string").as("url"), col("text"))
+      docs.write.parquet(s"$root/docs")
+      val src = {
+        import s.implicits._
+        s.readStream.schema(docs.schema).parquet(s"$root/docs").as[(String, String)]
+      }
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamExtract.nearDupVerdicts(src, threshold = 0.8)
+        .toDF("url", "duplicate_of")
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      // one verdict per matching band per batch (at-least-once, documented):
+      // consumers dedup by (url, keeper)
+      s.read.parquet(s"$root/out").distinct()
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -1090,6 +1122,24 @@ object SparkEntry {
            |LEFT JOIN n nb ON nb.doc_id = d.doc_id AND nb.m = 1
            |LEFT JOIN i ON i.doc_id = d.doc_id""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
+      // streaming near-dup: same band buckets, SIGNATURE-estimated jaccard
+      // (the streaming state can't hold texts). The operator's closed form:
+      // (u, v) with v earlier (= smaller url in the single batch), v within
+      // the bucket cap (one-sided — an over-cap arrival still COMPARES
+      // against members, it just doesn't join), shared bucket, est >= 0.8.
+      "q_stream_neardup" ->
+        s"""WITH $DocsWithNearDupsSql,
+           |${minhashCtes("docs", 64)},
+           | sc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |   FROM (SELECT * FROM mem WHERE rn <= 64) a
+           |   JOIN mem b ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+           | est AS (SELECT sc.id_a, sc.id_b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
+           |   FROM sc
+           |   JOIN sigs sa ON sa.id = sc.id_a
+           |   JOIN sigs sb ON sb.id = sc.id_b AND sb.j = sa.j
+           |   GROUP BY 1, 2)
+           |SELECT id_b AS url, id_a AS duplicate_of
+           |FROM est WHERE eq >= 128 * 0.8""".stripMargin,
       "q_components" -> componentsOracleSql(threshold = 0.6, maxBucket = 64),
       "q_dedup_job" -> dedupJobOracleSql(threshold = 0.6, maxBucket = 64),
       // Winnowing replica: same normalize (lower, \s+ collapse, trim), same

@@ -79,6 +79,65 @@ object StreamExtract {
         })
   }
 
+  /** Streaming MinHash NEAR-dup detection — the streaming member of the
+    * near-dup family beside [[dedupStream]]'s exact hash: cross-batch keyed
+    * state per LSH bucket, so a near-duplicate of a document seen in ANY
+    * earlier micro-batch is flagged the moment it arrives.
+    *
+    * Mechanics: each doc emits its 32 (band, bhash) keys in a narrow
+    * flatMap carrying the 128-slot signature (1 KB — the state payload);
+    * `flatMapGroupsWithState` keyed on the bucket holds the first
+    * `maxBucket` arrivals (url, signature) as members. An arrival emits one
+    * verdict row (url, duplicate_of = member url) for EVERY member whose
+    * signature-estimated Jaccard clears `threshold`, then joins the bucket
+    * itself while capacity lasts (matched or not). The output is therefore
+    * exactly the relation { (u, v) : v arrived before u, v within the
+    * bucket cap, u and v share a band bucket, estJaccard >= threshold } —
+    * a closed form under ANY similarity graph (chains included), which is
+    * what makes the operator end-to-end oracle-checkable; root-picking on
+    * the verdict graph is downstream clustering's job, exactly as batch
+    * `DedupJob` clusters verified pairs with `Components`.
+    *
+    * Streaming tradeoffs vs batch `MinHash.nearDupPairs`, stated rather
+    * than hidden: verification is SIGNATURE-estimated Jaccard (±~0.04 at
+    * 128 hashes) because exact verification would need full texts in state;
+    * precedence is arrival-order across batches (earlier batch wins,
+    * url-sorted within a batch — deterministic for a deterministic stream);
+    * a pair may be re-emitted once per shared band and per redelivery
+    * (consumers dedup by (url, duplicate_of) — at-least-once verdicts).
+    * State is bounded by distinct buckets × maxBucket × 1 KB — corpus
+    * content, not stream length; for unbounded-vocabulary streams compose
+    * a GroupStateTimeout eviction and accept recall decay on evicted
+    * buckets. */
+  def nearDupVerdicts(docs: Dataset[(String, String)], threshold: Double = 0.8,
+                      maxBucket: Int = 64)(
+      implicit spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    import graft.dedup.MinHash
+    val banded = docs.flatMap { case (url, text) =>
+      val sig = MinHash.signature(text)
+      MinHash.bandHashes(sig).zipWithIndex.map { case (h, b) => (b, h, url, sig) }
+    }
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, String, Array[Long])],
+         state: GroupState[Seq[(String, Array[Long])]]) => {
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(String, String)]
+          rows.toVector.sortBy(_._3).foreach { case (_, _, url, sig) =>
+            members.foreach { case (mu, ms) =>
+              if (mu != url && MinHash.estJaccard(ms, sig) >= threshold)
+                out += ((url, mu))
+            }
+            if (members.size < maxBucket && !members.exists(_._1 == url))
+              members = members :+ ((url, sig))
+          }
+          state.update(members)
+          out.result().iterator
+        })
+  }
+
   /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
     * pages directory once and stops — the streaming-native equivalent of the
     * reference's resume loop (checkpointed source offsets replace the

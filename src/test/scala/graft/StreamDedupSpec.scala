@@ -73,6 +73,74 @@ class StreamDedupSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("nearDupVerdicts: cross-batch NEAR-dups flagged via keyed LSH-bucket state") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "a sufficiently long paragraph body with plenty of words spread " +
+      "around to make the minhash signature stable and carry enough shingles " +
+      "for a reliable estimate of similarity between planted mutants"
+    val other = "completely different content about streams windows joins and " +
+      "aggregations that shares no shingles at all with the planted base " +
+      "paragraph used by the near duplicate family of documents here"
+    val stream = MemoryStream[(String, String)]
+    val out = StreamExtract.nearDupVerdicts(stream.toDS(), threshold = 0.8)
+      .toDF("url", "duplicate_of")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: A base, B = near-dup of A (trailing tokens → est j ~0.92),
+      // C unrelated
+      stream.addData(("a", base), ("b", base + " tail marker"), ("c", other))
+      q.processAllAvailable()
+      // batch 2: D near-dups A (STATE from batch 1 must flag it), E new,
+      // B redelivered (matches A again — B never became a member)
+      stream.addData(("d", base + " other ending"),
+        ("e", "an entirely new third document mentioning catalysts executors " +
+          "shuffles partitions broadcasts and nothing from either earlier text " +
+          "family so it shares no five word shingles with anything seen before"),
+        ("b", base + " tail marker"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, duplicate_of FROM neardup_out")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val byUrl = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSet).toMap
+      // b flagged against the earlier a (both batches — redelivery re-emits);
+      // d flagged against EVERY earlier near-matching member (a certainly;
+      // b too if est(b, d) clears the bar — compute the expectation from the
+      // operator's own published estimator rather than guessing)
+      import graft.dedup.MinHash
+      val sigs = Map(
+        "a" -> MinHash.signature(base),
+        "b" -> MinHash.signature(base + " tail marker"),
+        "d" -> MinHash.signature(base + " other ending"))
+      val dExpected = Seq("a", "b")
+        .filter(m => MinHash.estJaccard(sigs(m), sigs("d")) >= 0.8).toSet
+      assert(MinHash.estJaccard(sigs("a"), sigs("b")) >= 0.8) // planted pair is detectable
+      assert(byUrl.keySet == Set("b", "d"), s"got $byUrl")
+      assert(byUrl("b") == Set("a"), s"got $byUrl")
+      assert(byUrl("d") == dExpected, s"got $byUrl expected $dExpected")
+    } finally q.stop()
+  }
+
+  test("nearDupVerdicts: bucket membership is capped — verdicts only name the first cap arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    // identical text → one bucket per band, est jaccard 1.0. Membership is
+    // the first 4 sorted arrivals; every later doc compares against exactly
+    // those 4 (over-cap arrivals compare but never join), so the verdict
+    // relation is u_i -> {u_j : j < min(i, 4)}: 1+2+3 + 26*4 = 110 pairs.
+    val out = StreamExtract.nearDupVerdicts(stream.toDS(), threshold = 0.8, maxBucket = 4)
+      .toDF("url", "duplicate_of")
+    val q = out.writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      stream.addData((0 until 30).map(i => (f"u$i%02d", "identical body for cap test")): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT DISTINCT url, duplicate_of FROM neardup_cap")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length == 110, s"got ${rows.length}")
+      assert(rows.forall(_._2 < "u04"), "a verdict named an over-cap member")
+    } finally q.stop()
+  }
+
   private implicit class MapOps(rows: Array[(String, Boolean, String)]) {
     def toMap2: Map[String, (Boolean, String)] =
       rows.map { case (u, d, k) => u -> (d, k) }.toMap
