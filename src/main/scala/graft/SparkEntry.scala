@@ -29,6 +29,9 @@ object SparkEntry {
   /** sf dir → facet-index root for q_facet_index (same memoization). */
   private val facetIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** sf dir → materialized ANN index root for q_ann_index. */
+  private val annIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
+
   /** JVM-scoped scratch dir, removed on exit so repeated Verify/Bench
     * invocations don't accumulate trees under /tmp. */
   private def scratchDir(prefix: String): String = {
@@ -351,6 +354,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCells = 16, nProbe = 2)
+    }),
+    // --- MATERIALIZED ANN index (the reference's persistent Chroma
+    // collection, chroma_store.py:33-61): IVF cell lists committed as lake
+    // tables across two appended segments (stable centroids from the first
+    // build — segment 1 carries the globally smallest ids, so training
+    // matches the oracle's ORDER BY id LIMIT nCells), searched from the
+    // committed files with storage-level probed-cell pruning. Same
+    // determinism as q_ivf → same oracle.
+    "q_ann_index" -> ((s, dir) => {
+      val root = annIndexRootFor.synchronized(annIndexRootFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-annidx-")
+        val emb = t(s, dir, "embeddings")
+        graft.jobs.AnnIndexJob.build(s, emb.filter(col("vec_id") < 500), "vec_id", "embedding", r)
+        graft.jobs.AnnIndexJob.build(s, emb.filter(col("vec_id") >= 500), "vec_id", "embedding", r)
+        r
+      }))
+      graft.jobs.AnnIndexJob.search(s, root,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
     }),
     // --- A5 facet summary via grouping sets (cube)
     "q_facet_cube" -> ((s, dir) => {
@@ -1165,6 +1187,8 @@ object SparkEntry {
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
+      // the materialized path is determinism-identical to q_ivf
+      "q_ann_index" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(

@@ -1,0 +1,136 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** Materialized ANN index — the persistent vector collection the reference
+  * keeps in Chroma (chroma_store.py:33-61: embeddings upserted once,
+  * queried many times) rebuilt as committed IVF-flat tables:
+  *
+  *   build   vectors → centroids table + cell-assigned vector lists,
+  *           snapshot-committed (append-only: later builds ADD vectors,
+  *           assigned with the FIRST build's centroids, so cell ids stay
+  *           stable; re-training centroids = a new index root, exactly like
+  *           PipelineJob's index generations)
+  *   search  queries probe their nProbe nearest centroids and scan ONLY the
+  *           probed cells' vectors from the committed files — the corpus is
+  *           never touched at query time
+  *
+  * Layout lever: cell lists are written repartitioned+sorted by cell id, so
+  * the probed-cell filter prunes via parquet min/max row-group stats — at
+  * 10^9 vectors a search reads ~nProbe/nCells of the index bytes, which is
+  * the IVF cost envelope realized at the STORAGE layer, not just in the
+  * join. The probed-cell set collected to the driver is bounded by nCells
+  * ints (legitimately tiny, like the centroid broadcast).
+  *
+  * Determinism mirrors [[graft.sim.Knn.ivfTopK]] exactly (sampled
+  * smallest-id centroids with the wrong-dim guard, max-cosine assignment
+  * with smallest-index ties, 6-dp rounding), so the same DuckDB oracle
+  * covers the materialized path.
+  */
+object AnnIndexJob extends Serializable {
+
+  /** Append one vector segment. First build also commits the centroid
+    * table; later builds reuse it (stable cell ids). Returns the committed
+    * version. */
+  def build(spark: SparkSession, vectors: DataFrame, idCol: String, vecCol: String,
+            indexRoot: String, nCells: Int = 16, dim: Int = 64): Int = {
+    import spark.implicits._
+    val lake = new LakeTable(indexRoot)
+    val v = lake.currentVersion + 1
+    val vecs = vectors.select(col(idCol).cast("string").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+
+    val cents: Array[Array[Double]] =
+      if (v == 1) {
+        // sampled-centroid training, identical to Knn.ivfTopK: the nCells
+        // smallest ids (native order of the id column) with the dim guard
+        val cs = vectors
+          .select(col(idCol), col(vecCol).cast("array<double>").as("c"))
+          .filter(size(col("c")) === dim)
+          .orderBy(col(idCol)).limit(nCells)
+          .collect().map(_.getAs[scala.collection.Seq[Double]]("c").toArray)
+        cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cidx", "cvec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/data/v1/centroids")
+        cs
+      } else readCentroids(spark, indexRoot)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val members = vecs.as[(String, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        if (vec == null || vec.length != dim) Iterator.empty
+        else Iterator.single((id, cellOf(bc.value, vec, dim), vec))
+      }).toDF("id", "cell", "vec")
+    // sorted-by-cell layout: the probed-cell filter prunes row groups
+    members.repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/cells")
+
+    lake.commit(lake.listParquet(s"$indexRoot/data/v$v"), Seq(s"ann-segment-v$v"),
+      Nil, Map("n_cells" -> cents.length.toDouble))
+    v
+  }
+
+  /** Top-k per query against the committed index: probe nProbe cells, scan
+    * only those cells' vectors, exact cosine, rank window. Queries never
+    * touch the build-side corpus. */
+  def search(spark: SparkSession, indexRoot: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+             dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val lake = new LakeTable(indexRoot)
+    require(lake.currentVersion > 0, s"no committed ANN index at $indexRoot")
+    val cents = readCentroids(spark, indexRoot)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val qprobes = queries
+      .select(col(idCol).cast("string").as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .as[(String, Array[Double])]
+      .mapPartitions(_.flatMap { case (qid, vec) =>
+        if (vec == null || vec.length != dim) Iterator.empty
+        else cellsOf(bc.value, vec, dim, nProbe).iterator.map(c => (qid, c, vec))
+      }).toDF("qid", "cell", "qvec")
+
+    // the probed-cell set is <= nCells ints — a scalar-sized driver collect
+    // that turns the cell filter into storage-level pruning
+    val probed = qprobes.select("cell").distinct().as[Int].collect().toSeq
+    val cellDirs = (1 to lake.currentVersion).map(i => s"$indexRoot/data/v$i/cells")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    val cells = spark.read.parquet(cellDirs: _*)
+      .filter(col("cell").isin(probed: _*))
+
+    val scored = qprobes.join(cells, "cell")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(graft.sim.Knn.cosineCol(col("qvec"), col("vec")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def readCentroids(spark: SparkSession, indexRoot: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexRoot/data/v1/centroids")
+      .orderBy("cidx")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
+
+  private def cellOf(cents: Array[Array[Double]], vec: Array[Double], dim: Int): Int =
+    cellsOf(cents, vec, dim, 1)(0)
+
+  /** Top `n` centroid indices by (cosine desc, index asc) — identical
+    * arithmetic to Knn.ivfTopK.cellRanks. */
+  private def cellsOf(cents: Array[Array[Double]], vec: Array[Double], dim: Int,
+                      n: Int): Array[Int] = {
+    val cos = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < dim) { dot += vec(i) * c(i); nv += vec(i) * vec(i); nc += c(i) * c(i); i += 1 }
+      cos(j) = dot / math.max(math.sqrt(nv) * math.sqrt(nc), 1e-12)
+      j += 1
+    }
+    (0 until cents.length).sortBy(j => (-cos(j), j)).take(n).toArray
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.jobs.AnnIndexJob
+import graft.sim.Knn
+
+/** Materialized IVF index (AnnIndexJob) vs the in-memory operator
+  * (Knn.ivfTopK): both are deterministic by construction, so the committed
+  * path must reproduce the in-memory path exactly — including across
+  * appended segments sharing the first build's centroids. */
+class AnnIndexSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val emb = {
+    val d = dim // local copy: the closure must not capture the suite class
+    spark.range(200).map(i => (i,
+      Array.tabulate(d)(k => (Hashing.mix64(i * 131 + k) >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+    )).toDF("id", "v")
+  }
+
+  private def collectRanked(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Double, Int)] =
+    df.select(col("qid").cast("string"), col("id").cast("string"), col("cosine"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("materialized search == in-memory ivfTopK; two appended segments == one build") {
+    val queries = emb.filter(col("id") < 5)
+    val expected = collectRanked(
+      Knn.ivfTopK(emb, queries, "id", "v", k = 3, nCells = 8, nProbe = 2, dim = dim))
+    assert(expected.nonEmpty)
+
+    val single = Files.createTempDirectory("annidx-one").toString
+    AnnIndexJob.build(spark, emb, "id", "v", single, nCells = 8, dim = dim)
+    assert(collectRanked(AnnIndexJob.search(spark, single, queries, "id", "v",
+      k = 3, nProbe = 2, dim = dim)) == expected)
+
+    // append path: first segment holds the smallest ids (training set),
+    // second segment appends the rest under the SAME centroids
+    val split = Files.createTempDirectory("annidx-two").toString
+    AnnIndexJob.build(spark, emb.filter(col("id") < 100), "id", "v", split, nCells = 8, dim = dim)
+    AnnIndexJob.build(spark, emb.filter(col("id") >= 100), "id", "v", split, nCells = 8, dim = dim)
+    assert(collectRanked(AnnIndexJob.search(spark, split, queries, "id", "v",
+      k = 3, nProbe = 2, dim = dim)) == expected)
+  }
+
+  test("wrong-dim vectors are skipped at build and search, not failures") {
+    val poisoned = emb.unionByName(
+      Seq((900L, Array(1.0, 2.0))).toDF("id", "v")) // dim 2 row
+    val root = Files.createTempDirectory("annidx-bad").toString
+    AnnIndexJob.build(spark, poisoned, "id", "v", root, nCells = 8, dim = dim)
+    val out = AnnIndexJob.search(spark, root,
+      poisoned.filter(col("id") === 0 || col("id") === 900), "id", "v",
+      k = 3, nProbe = 2, dim = dim)
+    val qids = out.select("qid").distinct().as[String].collect().toSet
+    assert(qids == Set("0")) // the malformed query emitted no probes
+    assert(!out.select("id").as[String].collect().contains("900"))
+  }
+}
