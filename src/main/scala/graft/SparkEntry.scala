@@ -33,9 +33,19 @@ object SparkEntry {
   private val annIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
   /** JVM-scoped scratch dir, removed on exit so repeated Verify/Bench
-    * invocations don't accumulate trees under /tmp. */
+    * invocations don't accumulate trees under /tmp. Root overridable via
+    * the `graft.scratch` system property / `SPARK_GRAFT_SCRATCH` env —
+    * Bench points it at /dev/shm so measured passes never write through
+    * the ext4 page cache (the round-2 pollution lesson). */
   private def scratchDir(prefix: String): String = {
-    val r = java.nio.file.Files.createTempDirectory(prefix).toString
+    val base = sys.props.get("graft.scratch").orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+    val r = base match {
+      case Some(b) =>
+        val bp = java.nio.file.Paths.get(b)
+        java.nio.file.Files.createDirectories(bp)
+        java.nio.file.Files.createTempDirectory(bp, prefix).toString
+      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
