@@ -254,6 +254,30 @@ object SparkEntry {
         .filter(col("method") === "text_layer")
         .select(col("doc_id"), col("extracted"))
     }),
+    // --- X5 char-span offsets, driver-gated: gate-passing docs render to a
+    // single-block HTML article and a single-page PDF, so the span relation
+    // has a closed form — exactly one span covering [0, len(text)) per
+    // document per kind (the byte-identity contract extended to offsets).
+    "q_spans" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(length(regexp_replace(col("text"), "\\s", "")) >= 50 &&
+          wsTokenCountCol(col("text")) >= 3)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val h = Extract.extractOne(s"doc://$id",
+            HtmlGen.article(s"Doc $id", Seq(text), (id % 97).toInt,
+              Seq("alpha beta related", "gamma delta entry")).getBytes("UTF-8"))
+          val p = Extract.extractOne(s"doc://$id", PdfGen.classic(text))
+          Seq(
+            (id, "html", h.spans.length,
+              h.spans.headOption.map(_.start).getOrElse(-1),
+              h.spans.headOption.map(_.end).getOrElse(-1)),
+            (id, "pdf", p.spans.length,
+              p.spans.headOption.map(_.start).getOrElse(-1),
+              p.spans.headOption.map(_.end).getOrElse(-1)))
+        }).toDF("doc_id", "kind", "n_spans", "span_start", "span_end")
+    }),
     // --- R2/R4 BM25 scoring (all-docs scores; rounded for oracle parity)
     "q_bm25" -> ((s, dir) => {
       Bm25.scores(t(s, dir, "documents"), "doc_id", "text", "spark filter join table")
@@ -1045,6 +1069,14 @@ object SparkEntry {
            | AND len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 3""".stripMargin,
       "q_extract_pdf" ->
         s"SELECT doc_id, text AS extracted FROM documents WHERE $effGate",
+      // one span covering the whole extracted text, per kind — the offset
+      // form of the byte-identity contract
+      "q_spans" ->
+        s"""SELECT doc_id, k AS kind, 1 AS n_spans, 0 AS span_start,
+           |  length(text)::INT AS span_end
+           |FROM documents CROSS JOIN (SELECT unnest(['html', 'pdf']) AS k)
+           |WHERE $effGate
+           |  AND len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 3""".stripMargin,
       "q_facet_cube" ->
         """SELECT lang, source, count(*) AS cnt, round(avg(n_chars),2) AS avg_chars
           | FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
