@@ -180,6 +180,23 @@ object SparkEntry {
         qualityScoreCol(col("text")).as("quality"),
         readabilityCol(col("text")).as("readability"))
     }),
+    // --- Gopher/MassiveText repetition ratios (quality-filter family):
+    // the harness doubles each doc (text\ntext) so duplicate-line and
+    // duplicate-5-gram mass provably exists for the arithmetic to act on
+    "q_rep_ratios" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", concat(col("text"), lit("\n"), col("text")).as("t"))
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val (dl, d5, tw) = repetitionRatios(txt)
+          (id, dl, d5, tw)
+        }.toDF("doc_id", "dl", "d5", "tw")
+        .select(col("doc_id"),
+          round(col("dl"), 6).as("dup_line_frac"),
+          round(col("d5"), 6).as("dup_5gram_frac"),
+          round(col("tw"), 6).as("top_word_frac"))
+    }),
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         fingerprintCol(col("text")).as("fp"))
@@ -370,6 +387,21 @@ object SparkEntry {
         base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       Knn.dropEmbeddingNearDups(planted, "vec_id", "embedding", simThreshold = 0.995)
         .select(col("vec_id").cast("string").as("id"))
+    }),
+    // --- CCNet-style cross-corpus paragraph dedup (boilerplate removal):
+    // harness plants a shared boilerplate paragraph in every doc and each
+    // doc's own text as a paragraph of its successor — so the cleaner must
+    // keep the boilerplate exactly once (in the string-min doc) and strip
+    // each repeated body from the later of its two carriers.
+    "q_para_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = d.select(col("doc_id").as("nid"), col("text").as("ntext"))
+      val harness = d.join(next, d("doc_id") + 1 === next("nid"), "left")
+        .select(col("doc_id").cast("string").as("id"),
+          concat_ws("\n\n", col("text"),
+            lit("subscribe to our newsletter for weekly updates and offers"),
+            coalesce(col("ntext"), lit("final trailing document body"))).as("text"))
+      graft.dedup.ParagraphDedup.clean(harness, "id", "text")
     }),
     // --- SimHash near-dup pairs (rows-only)
     "q_simhash_neardup" -> ((s, dir) => {
@@ -1009,6 +1041,27 @@ object SparkEntry {
            |FROM documents""".stripMargin
       },
       "q_fingerprint" -> s"SELECT doc_id, $fp AS fp FROM documents",
+      // repetition ratios over the doubled harness; tokenizer == MinHash's
+      "q_rep_ratios" ->
+        """WITH h AS (SELECT doc_id, text || chr(10) || text AS t FROM documents),
+          | lines AS (SELECT doc_id, trim(l) AS l FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS l FROM h)
+          |  WHERE len(trim(l)) > 0),
+          | ls AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS d FROM lines GROUP BY 1),
+          | tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
+          | g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS gr
+          |   FROM tk WHERE len(toks) >= 5),
+          | gs AS (SELECT doc_id, count(*) AS n, count(DISTINCT gr) AS d FROM g GROUP BY 1),
+          | wc AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY 1, 2),
+          | ws AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM wc GROUP BY 1)
+          |SELECT d.doc_id,
+          |  round(coalesce(1.0 - ls.d::DOUBLE / ls.n, 0.0), 6) AS dup_line_frac,
+          |  round(coalesce(1.0 - gs.d::DOUBLE / gs.n, 0.0), 6) AS dup_5gram_frac,
+          |  round(coalesce(ws.mx::DOUBLE / ws.tot, 0.0), 6) AS top_word_frac
+          |FROM documents d
+          |LEFT JOIN ls ON ls.doc_id = d.doc_id
+          |LEFT JOIN gs ON gs.doc_id = d.doc_id
+          |LEFT JOIN ws ON ws.doc_id = d.doc_id""".stripMargin,
       "q_dedup_exact" ->
         s"""WITH f AS (SELECT doc_id, $fp AS fp FROM documents)
            |SELECT doc_id,
@@ -1227,6 +1280,30 @@ object SparkEntry {
       "q_emb_neardup" -> embNearDupOracleSql(simThreshold = 0.995, bits = 10,
         tables = 3, dim = 64, maxBucket = 256),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
+      // CCNet paragraph dedup over the planted-boilerplate harness: same
+      // split/trim/keep-first-by-(id,idx)/reassemble, pure SQL windows
+      "q_para_dedup" ->
+        """WITH harness AS (
+          |  SELECT a.doc_id::VARCHAR AS id,
+          |    a.text || chr(10) || chr(10) ||
+          |    'subscribe to our newsletter for weekly updates and offers' ||
+          |    chr(10) || chr(10) || coalesce(b.text, 'final trailing document body') AS text
+          |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+          | paras AS (
+          |  SELECT id, idx - 1 AS idx, para FROM (
+          |    SELECT id, unnest(list_transform(regexp_split_to_array(text, '\n\s*\n'), p -> trim(p))) AS para,
+          |           generate_subscripts(regexp_split_to_array(text, '\n\s*\n'), 1) AS idx
+          |    FROM harness)
+          |  WHERE len(para) > 0),
+          | kept AS (
+          |  SELECT id, idx, para,
+          |    row_number() OVER (PARTITION BY para ORDER BY id, idx) AS rn
+          |  FROM paras)
+          |SELECT h.id,
+          |  coalesce(string_agg(k.para, chr(10) || chr(10) ORDER BY k.idx), '') AS clean_text
+          |FROM harness h
+          |LEFT JOIN (SELECT * FROM kept WHERE rn = 1) k ON k.id = h.id
+          |GROUP BY h.id""".stripMargin,
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf

@@ -129,4 +129,45 @@ object TextAnalysis {
     }
     out.result().distinct
   }
+
+  /** Repetition ratios — the Gopher/MassiveText quality-filter family
+    * (published in "Scaling Language Models: Methods, Analysis & Insights
+    * from Training Gopher", Rae et al. 2021, Table A1): documents dominated
+    * by repeated lines, repeated n-grams, or a single token are
+    * low-quality boilerplate/spam. Returns
+    * (dup_line_frac, dup_5gram_frac, top_word_frac), each in [0, 1]:
+    *   dup_line_frac  = 1 − distinct/total over trimmed non-empty lines
+    *   dup_5gram_frac = 1 − distinct/total over word 5-grams
+    *                    (tokenizer shared with MinHash — same word model)
+    *   top_word_frac  = most frequent token count / total tokens
+    * Empty denominators yield 0.0. */
+  def repetitionRatios(text: String): (Double, Double, Double) = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val dupLine =
+      if (lines.isEmpty) 0.0
+      else 1.0 - lines.distinct.length.toDouble / lines.length
+    val toks = graft.dedup.MinHash.tokenize(text)
+    val n5 = toks.length - 4
+    val dup5 =
+      if (n5 <= 0) 0.0
+      else {
+        val grams = new Array[String](n5)
+        var i = 0
+        while (i < n5) {
+          val sb = new StringBuilder
+          var k = 0
+          while (k < 5) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+          grams(i) = sb.toString; i += 1
+        }
+        1.0 - grams.distinct.length.toDouble / n5
+      }
+    val topW =
+      if (toks.isEmpty) 0.0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+        counts.valuesIterator.max.toDouble / toks.length
+      }
+    (dupLine, dup5, topW)
+  }
 }
