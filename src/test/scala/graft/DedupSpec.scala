@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.dedup.{ExactDedup, MinHash, SimHash}
+import graft.dedup.{ExactDedup, MinHash, ParagraphDedup, SimHash}
 
 class DedupSpec extends SparkSuiteBase {
   import spark.implicits._
@@ -66,5 +66,34 @@ class DedupSpec extends SparkSuiteBase {
     val pairs = SimHash.nearDupPairs(docs.toDF("id", "text"), "id", "text", maxDist = 3)
       .select("id_a", "id_b").as[(String, String)].collect().toSet
     assert(pairs.contains(("d3", "dup")))
+  }
+
+  test("paragraph dedup: keep-first across docs, within-doc repeats, all-boilerplate and empty docs") {
+    val docs = Seq(
+      ("a", "own text of a\n\nshared footer"),
+      ("b", "own text of b\n\nshared footer\n\nown text of b"), // within-doc repeat
+      ("c", "shared footer"),                                   // pure boilerplate
+      ("d", ""),                                                 // empty
+      ("e", "own text of a")                                     // repeats a's paragraph
+    ).toDF("id", "text")
+    val out = ParagraphDedup.clean(docs, "id", "text")
+      .as[(String, String)].collect().toMap
+    assert(out == Map(
+      "a" -> "own text of a\n\nshared footer",
+      "b" -> "own text of b",  // footer seen in a; own second copy seen at idx 0
+      "c" -> "",               // lineage row survives with empty text
+      "d" -> "",
+      "e" -> ""))
+  }
+
+  test("repetition ratios: closed-form corner cases") {
+    import graft.text.TextAnalysis.repetitionRatios
+    assert(repetitionRatios("") == ((0.0, 0.0, 0.0)))
+    // six identical tokens on two identical lines: both lines dup (1/2),
+    // 5-grams "a a a a a" x2 -> 0.5 dup, top word frac 1.0
+    assert(repetitionRatios("a a a\na a a") == ((0.5, 0.5, 1.0)))
+    // all-distinct text: nothing repeated
+    val (dl, d5, tw) = repetitionRatios("one two three four five six")
+    assert(dl == 0.0 && d5 == 0.0 && math.abs(tw - 1.0 / 6) < 1e-12)
   }
 }
