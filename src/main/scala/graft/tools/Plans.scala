@@ -63,20 +63,39 @@ object Plans {
        graft.SparkEntry.queries("q_bm25")(spark, sfDir)),
       ("MinHash LSH near-dup (q_minhash_neardup)",
        """Check: signature+bands computed in a narrow MapPartitions (no shingle
-         |shuffle), ONE aggregate on (band,bhash) with the sorted-slice bucket cap,
-         |pair explode, shuffle (not broadcast) verify joins on id.""".stripMargin,
+         |shuffle); the bucket cap is a WindowGroupLimit with a PARTIAL map-side
+         |phase (hot buckets truncated to ~cap rows BEFORE the exchange), the
+         |collect_list aggregate only ever sees capped survivors; pair explode,
+         |shuffle (not broadcast) verify joins on id.""".stripMargin,
        graft.SparkEntry.queries("q_minhash_neardup")(spark, sfDir)),
       ("SimHash near-dup (q_simhash_neardup)",
        """Check: NO ScalaUDF anywhere — Hamming is the codegen'd native
          |`hamming` expression; band keys emitted by the same narrow map as the
-         |fingerprint; capped buckets like MinHash.""".stripMargin,
+         |fingerprint; WindowGroupLimit pre-cap like MinHash.""".stripMargin,
        graft.SparkEntry.queries("q_simhash_neardup")(spark, sfDir)),
       ("ANN via capped LSH buckets (q_ann)",
-       """Check: the bucket aggregate's input carries only (id, tbl, bucket) —
-         |the vector column is pruned before the exchange; buckets are
-         |sorted-slice capped; vectors re-join by id only for surviving pairs;
+       """Check: the bucket rank's input carries only (id, tbl, bucket) —
+         |the vector column is pruned before the exchange; WindowGroupLimit
+         |pre-cap; vectors re-join by id only for surviving pairs;
          |top-k is a rank-1 window, no global sort.""".stripMargin,
        graft.SparkEntry.queries("q_ann")(spark, sfDir)),
+      ("Facet-filtered index search (q_facet_index)",
+       """Check: query terms broadcast; the facet keep-set SEMI-joins both the
+         |exploded postings (before the df window — df counts filtered docs
+         |only) and doclen (stats of the filtered collection); no corpus scan
+         |anywhere — only committed postings/doclen/facets segment files.""".stripMargin,
+       graft.SparkEntry.queries("q_facet_index")(spark, sfDir)),
+      ("Materialized ANN search (q_ann_index)",
+       """Check: centroid table read once (driver, nCells rows); probes are a
+         |narrow map; the cells scan carries `cell IN (...probed...)` as a
+         |PushedFilters entry over the sorted-by-cell layout (row-group
+         |pruning); exact cosine only on probed members; rank-window top-k.""".stripMargin,
+       graft.SparkEntry.queries("q_ann_index")(spark, sfDir)),
+      ("Cross-corpus paragraph dedup (q_para_dedup)",
+       """Check: split/trim/posexplode narrow; ONE rank window keyed on the
+         |paragraph text (WindowGroupLimit-able keep-first, no aggregation
+         |buffer); one reassembly aggregate per doc.""".stripMargin,
+       graft.SparkEntry.queries("q_para_dedup")(spark, sfDir)),
       ("Exact dedup window (q_dedup_exact)",
        """Check: one Exchange on the high-cardinality fingerprint, one Window,
          |no join.""".stripMargin,
