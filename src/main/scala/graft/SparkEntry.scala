@@ -197,6 +197,15 @@ object SparkEntry {
           round(col("d5"), 6).as("dup_5gram_frac"),
           round(col("tw"), 6).as("top_word_frac"))
     }),
+    // --- quality filter gate (Gopher/Dolma/FineWeb rule composition):
+    // keep/drop with per-rule reasons — the harness doubles every 10th doc
+    // so the repetition rules provably fire alongside the length rule
+    "q_quality_filter" -> ((s, dir) => {
+      val harness = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit("\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.text.QualityFilter.annotate(s, harness, "doc_id", "text")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         fingerprintCol(col("text")).as("fp"))
@@ -1041,6 +1050,40 @@ object SparkEntry {
            |FROM documents""".stripMargin
       },
       "q_fingerprint" -> s"SELECT doc_id, $fp AS fp FROM documents",
+      // quality rule gate over the every-10th-doc-doubled harness; reasons
+      // assembled in the operator's fixed rule order
+      "q_quality_filter" ->
+        """WITH h AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 0 THEN text || chr(10) || text ELSE text END AS t
+          |  FROM documents),
+          | lines AS (SELECT doc_id, trim(l) AS l FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS l FROM h)
+          |  WHERE len(trim(l)) > 0),
+          | ls AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS d FROM lines GROUP BY 1),
+          | tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
+          | g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS gr
+          |   FROM tk WHERE len(toks) >= 5),
+          | gs AS (SELECT doc_id, count(*) AS n, count(DISTINCT gr) AS d FROM g GROUP BY 1),
+          | wc AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY 1, 2),
+          | wst AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM wc GROUP BY 1),
+          | wsn AS (SELECT doc_id, len(list_filter(regexp_split_to_array(t, '\s+'), x -> len(x) > 0)) AS ws FROM h),
+          | m AS (SELECT d.doc_id, wsn.ws,
+          |    coalesce(1.0 - ls.d::DOUBLE / ls.n, 0.0) AS dl,
+          |    coalesce(1.0 - gs.d::DOUBLE / gs.n, 0.0) AS d5,
+          |    coalesce(wst.mx::DOUBLE / wst.tot, 0.0) AS tw
+          |  FROM documents d
+          |  JOIN wsn ON wsn.doc_id = d.doc_id
+          |  LEFT JOIN ls ON ls.doc_id = d.doc_id
+          |  LEFT JOIN gs ON gs.doc_id = d.doc_id
+          |  LEFT JOIN wst ON wst.doc_id = d.doc_id),
+          | r AS (SELECT doc_id, coalesce(array_to_string(list_filter([
+          |    CASE WHEN ws < 20 THEN 'too_few_words' END,
+          |    CASE WHEN ws > 100000 THEN 'too_many_words' END,
+          |    CASE WHEN dl > 0.05 THEN 'too_repetitive_lines' END,
+          |    CASE WHEN d5 > 0.15 THEN 'too_repetitive_5grams' END,
+          |    CASE WHEN tw > 0.2 THEN 'dominant_word' END
+          |  ], x -> x IS NOT NULL), ','), '') AS reasons FROM m)
+          |SELECT doc_id, reasons = '' AS keep, reasons FROM r""".stripMargin,
       // repetition ratios over the doubled harness; tokenizer == MinHash's
       "q_rep_ratios" ->
         """WITH h AS (SELECT doc_id, text || chr(10) || text AS t FROM documents),
