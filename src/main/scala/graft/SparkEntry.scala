@@ -486,6 +486,22 @@ object SparkEntry {
         .filter(wsTokenCountCol(col("text")) >= 20)
         .select(col("doc_id"))
     }),
+    // --- deterministic stratified sampling (training-mix rates per lang):
+    // hash-based, not Bernoulli — a re-run keeps the identical subset
+    "q_sample" -> ((s, dir) => {
+      graft.text.Sampling.stratified(
+        t(s, dir, "documents"), col("doc_id"), col("lang"),
+        rates = Map("en" -> 50), defaultRate = 20)
+        .select(col("doc_id"), col("lang"))
+    }),
+    // --- per-host diversification cap (FineWeb-style domain balancing)
+    // over the synthetic url harness: keep the first 3 docs per host
+    "q_host_cap" -> ((s, dir) => {
+      val withHost = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("host"), (col("doc_id") % 97).cast("string"), lit(".example")).as("host"))
+      graft.text.Sampling.capPerHost(withHost, col("host"), col("doc_id"), maxPerHost = 3)
+        .select(col("doc_id"), col("host"))
+    }),
     // --- url-facet extraction (reference path_meta facets, web domain)
     "q_url_facets" -> ((s, dir) => {
       import s.implicits._
@@ -1207,6 +1223,18 @@ object SparkEntry {
           |FROM u""".stripMargin,
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
+      // deterministic sampling: md5-top-64 masked to 63 bits, mod 100,
+      // vs the per-stratum percentage
+      "q_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+          |        % 9223372036854775808) % 100)
+          |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+      "q_host_cap" ->
+        """SELECT doc_id, host FROM (
+          |  SELECT doc_id, 'host' || (doc_id % 97)::VARCHAR || '.example' AS host,
+          |    row_number() OVER (PARTITION BY doc_id % 97 ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn <= 3""".stripMargin,
       "q_bm25" -> bm25OracleSql(""),
       "q_facet_bm25" -> bm25OracleSql("WHERE lang = 'en'"),
       // segment overlap dedups to the plain corpus relation, so the oracle

@@ -34,11 +34,26 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "hamming"
 }
 
+/** First 8 bytes of MD5(UTF-8) as a signed Long bit pattern — the
+  * engine-wide oracle-replicable hash primitive
+  * (DuckDB: ('0x'||substr(md5(s),1,16))::UBIGINT), exposed as a codegen'd
+  * expression for column-level use (deterministic sampling, fingerprints). */
+case class Md5Top64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    graft.Hashing.md5Long(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.Hashing.md5Long($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Md5Top64 = copy(c)
+  override def prettyName: String = "md5_top64"
+}
+
 object GraftFunctions {
   /** Column forms resolve through the function registry (call register()
     * once per session); Spark 4 keeps Expression->Column private. */
   def simhash64(c: Column): Column = org.apache.spark.sql.functions.call_function("simhash64", c)
   def hamming(a: Column, b: Column): Column = org.apache.spark.sql.functions.call_function("hamming", a, b)
+  def md5Top64(c: Column): Column = org.apache.spark.sql.functions.call_function("md5_top64", c)
 
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -46,6 +61,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_top64", exprs => Md5Top64(exprs.head), "scala_udf")
   }
 }
 
@@ -62,5 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
       (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("md5_top64"),
+      new ExpressionInfo(classOf[Md5Top64].getName, "md5_top64"),
+      (exprs: Seq[Expression]) => Md5Top64(exprs.head)))
   }
 }

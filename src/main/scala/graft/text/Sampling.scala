@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training mixes — the sampling /
+  * diversification passes web-scale pipelines run after cleaning (the
+  * per-source mixture rates and per-domain caps described in the Dolma and
+  * FineWeb dataset reports).
+  *
+  * Both are DETERMINISTIC (hash-based, not Bernoulli-random): a re-run
+  * selects the identical subset — the same reproducibility discipline as
+  * everything else in the engine, and what makes them oracle-checkable.
+  */
+object Sampling {
+
+  /** Deterministic per-stratum sampling: keep a row iff
+    * md5-top-64(key) masked to 63 bits, mod 100, falls below its stratum's
+    * percentage rate. Rows in strata absent from `rates` get
+    * `defaultRate`. One narrow filter — no shuffle, no RNG state; the
+    * md5-top-64 primitive is the engine-wide oracle-replicable hash
+    * (DuckDB: ('0x'||substr(md5(k),1,16))::UBIGINT % ...).
+    */
+  def stratified(df: DataFrame, keyCol: Column, strataCol: Column,
+                 rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashMod = pmod(
+      graft.functions.GraftFunctions.md5Top64(keyCol.cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(100L))
+    val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashMod < rateExpr)
+  }
+
+  /** Per-domain diversification cap: keep at most `maxPerHost` rows per
+    * host, first by `order` (FineWeb-style domain balancing). One window
+    * shuffle on the host key; rank-limit shape (WindowGroupLimit-able —
+    * hot hosts truncate map-side). */
+  def capPerHost(df: DataFrame, hostCol: Column, order: Column,
+                 maxPerHost: Int): DataFrame = {
+    val w = Window.partitionBy(hostCol).orderBy(order)
+    df.withColumn("host_rank", row_number().over(w))
+      .filter(col("host_rank") <= maxPerHost)
+      .drop("host_rank")
+  }
+}
