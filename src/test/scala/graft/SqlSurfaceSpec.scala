@@ -48,4 +48,18 @@ class SqlSurfaceSpec extends SparkSuiteBase {
         | ORDER BY url LIMIT 5""".stripMargin).collect()
     assert(rows.nonEmpty) // the pinned passage appears in ~1/16 articles
   }
+
+  test("md5_top64 from SQL matches Hashing.md5Long; deterministic sampling usable as a WHERE clause") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT md5_top64('hello world')").head().getLong(0)
+    assert(got == Hashing.md5Long("hello world"))
+    // the sampling predicate in plain SQL keeps a stable, repeatable subset
+    val n1 = spark.sql(
+      "SELECT count(*) FROM docs_v WHERE pmod(md5_top64(url) & 9223372036854775807, 100) < 30")
+      .head().getLong(0)
+    val n2 = spark.sql(
+      "SELECT count(*) FROM docs_v WHERE pmod(md5_top64(url) & 9223372036854775807, 100) < 30")
+      .head().getLong(0)
+    assert(n1 == n2 && n1 > 0)
+  }
 }
