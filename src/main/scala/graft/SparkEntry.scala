@@ -486,6 +486,14 @@ object SparkEntry {
         .filter(wsTokenCountCol(col("text")) >= 20)
         .select(col("doc_id"))
     }),
+    // --- sequence packing (concat-and-split, seqLen 512) over the billing
+    // token estimate: the distributed two-pass prefix sum must equal the
+    // oracle's global window prefix exactly
+    "q_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        greatest(lit(1L), (length(col("text")) / 4).cast("long")).as("tokens"))
+      graft.text.Packing.packSequences(docs, "doc_id", "tokens", seqLen = 512L)
+    }),
     // --- deterministic stratified sampling (training-mix rates per lang):
     // hash-based, not Bernoulli — a re-run keeps the identical subset
     "q_sample" -> ((s, dir) => {
@@ -1223,6 +1231,15 @@ object SparkEntry {
           |FROM u""".stripMargin,
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
+      // concat-and-split packing == global prefix-sum window
+      "q_packing" ->
+        """WITH c AS (SELECT doc_id::VARCHAR AS id,
+          |    greatest(1, length(text) // 4)::BIGINT AS tokens FROM documents),
+          | p AS (SELECT id, tokens,
+          |    coalesce(sum(tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+          |  FROM c)
+          |SELECT id, tokens, (prefix // 512)::BIGINT AS seq_id,
+          |  (prefix % 512)::BIGINT AS seq_offset FROM p""".stripMargin,
       // deterministic sampling: md5-top-64 masked to 63 bits, mod 100,
       // vs the per-stratum percentage
       "q_sample" ->
