@@ -279,8 +279,11 @@ object Bench {
     val queryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "240").toInt
     // query scratch (pipeline roots, stream checkpoints, index builds) on
     // /dev/shm beside spark.local.dir — measured passes must not write
-    // through the ext4 page cache
-    sys.props("graft.scratch") = "/dev/shm/graft-scratch"
+    // through the ext4 page cache. Respect an explicit user override
+    // (SPARK_GRAFT_SCRATCH / -Dgraft.scratch): e.g. /dev/shm too small
+    // for the target SF.
+    if (!sys.props.contains("graft.scratch") && !sys.env.contains("SPARK_GRAFT_SCRATCH"))
+      sys.props("graft.scratch") = "/dev/shm/graft-scratch"
     // fresh probe: three corpus writes plus a full 32-core pipeline pass ran
     // since the session-start probe — minutes of heavy memory-side work in
     // which the weather can change invisibly if we alias the old reading

@@ -46,14 +46,29 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory(bp, prefix).toString
       case None => java.nio.file.Files.createTempDirectory(prefix).toString
     }
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r)))
+    r
+  }
+
+  private def deleteRecursively(r: String): Unit =
+    try {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(r))) {
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
         finally walk.close()
-      } catch { case _: Throwable => () }))
-    r
+      }
+    } catch { case _: Throwable => () }
+
+  /** Materialize `df` off its scratch files (localCheckpoint truncates the
+    * lineage to executor blocks), then delete the scratch root NOW instead
+    * of at JVM exit: the bench sweep's fresh-root queries (pipeline,
+    * streaming) must not accumulate corpus-sized lakes in /dev/shm across
+    * measured passes. The shutdown hook stays as a tolerant backstop. */
+  private def detachAndClean(df: DataFrame, root: String): DataFrame = {
+    val out = df.localCheckpoint()
+    deleteRecursively(root)
+    out
   }
 
   /** Flagship: the north-rule extraction pipeline over a generated
@@ -590,7 +605,9 @@ object SparkEntry {
       val root = scratchDir("graft-pipe-")
       val r = graft.jobs.PipelineJob.run(s, pipelinePages(s, dir), root,
         nBuckets = 8, jaccardThreshold = 0.6)
-      graft.jobs.IndexJob.search(s, r.indexRoot, "spark filter join table", k = 1 << 20)
+      detachAndClean(
+        graft.jobs.IndexJob.search(s, r.indexRoot, "spark filter join table", k = 1 << 20),
+        root)
     }),
     // --- multimodal gate: planted deterministic binary PPM (P6) bytes per
     // doc — header comment included on odd ids to exercise the parser —
@@ -654,10 +671,14 @@ object SparkEntry {
       val (sN, bN) = (sIds.count(), bIds.count())
       val (sD, bD) = (sIds.distinct().count(), bIds.distinct().count())
       val m = sIds.distinct().join(bIds.distinct(), Seq("id"), "inner").count()
-      Seq(
+      val verdict = Seq(
         ("stream_equals_batch", sN == bN && sD == bD && m == sD && sN > 0),
         ("resume_reprocessed_nothing", afterFirst == sN)
       ).toDF("check", "ok")
+      // all counts above are already driver scalars: the scratch root can
+      // go now (bench passes must not accumulate stream lakes in /dev/shm)
+      deleteRecursively(root)
+      verdict
     }),
     // --- streaming NEAR-dup (cross-batch keyed LSH-bucket state): the
     // planted-pair corpus streamed through nearDupVerdicts via a parquet
@@ -689,7 +710,7 @@ object SparkEntry {
         .start().awaitTermination()
       // one verdict per matching band per batch (at-least-once, documented):
       // consumers dedup by (url, keeper)
-      s.read.parquet(s"$root/out").distinct()
+      detachAndClean(s.read.parquet(s"$root/out").distinct(), root)
     }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
@@ -1080,9 +1101,9 @@ object SparkEntry {
         """WITH h AS (SELECT doc_id,
           |    CASE WHEN doc_id % 10 = 0 THEN text || chr(10) || text ELSE text END AS t
           |  FROM documents),
-          | lines AS (SELECT doc_id, trim(l) AS l FROM (
+          | lines AS (SELECT doc_id, trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS l FROM (
           |    SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS l FROM h)
-          |  WHERE len(trim(l)) > 0),
+          |  WHERE len(trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) > 0),
           | ls AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS d FROM lines GROUP BY 1),
           | tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
           | g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS gr
@@ -1111,9 +1132,9 @@ object SparkEntry {
       // repetition ratios over the doubled harness; tokenizer == MinHash's
       "q_rep_ratios" ->
         """WITH h AS (SELECT doc_id, text || chr(10) || text AS t FROM documents),
-          | lines AS (SELECT doc_id, trim(l) AS l FROM (
+          | lines AS (SELECT doc_id, trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS l FROM (
           |    SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS l FROM h)
-          |  WHERE len(trim(l)) > 0),
+          |  WHERE len(trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) > 0),
           | ls AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS d FROM lines GROUP BY 1),
           | tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
           | g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS gr

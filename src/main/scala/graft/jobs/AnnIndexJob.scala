@@ -97,8 +97,15 @@ object AnnIndexJob extends Serializable {
     val probed = qprobes.select("cell").distinct().as[Int].collect().toSeq
     val cellDirs = (1 to lake.currentVersion).map(i => s"$indexRoot/data/v$i/cells")
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    // distinct() defends overlapping appends (a re-run after partial
+    // failure re-appending the same vectors): without it a re-appended id
+    // occupies multiple top-k slots. Applied AFTER the probed-cell filter,
+    // so the dedup shuffle is bounded by probe selectivity, not index
+    // size. Same-id DIFFERENT-vector re-appends are a mutation — like
+    // PipelineJob's index generations, mutation needs a fresh index root.
     val cells = spark.read.parquet(cellDirs: _*)
       .filter(col("cell").isin(probed: _*))
+      .distinct()
 
     val scored = qprobes.join(cells, "cell")
       .filter(col("qid") =!= col("id"))

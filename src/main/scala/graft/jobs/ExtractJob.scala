@@ -77,19 +77,33 @@ object ExtractJob {
     import spark.implicits._
     val lake = new LakeTable(tableRoot)
     val vf = vFullMap(lake)
-    // `v` is a data column written at commit time, so ALL live files read as
-    // ONE parquet relation — plan size stays O(1) in the number of commits
-    val files = lake.state.fileVersions.collect {
-      case (f, _) if f.contains("/errs/") => f
-    }
+    val files = lake.state.fileVersions.filter(_._1.contains("/errs/"))
     if (files.isEmpty)
       return Seq.empty[(Int, String, String, String, Int)]
         .toDF("bucket", "url", "kind", "err", "v")
     val vfDf = vf.toSeq.toDF("bucket", "vfull")
-    spark.read.parquet(files: _*)
+    oneScanWithVersion(spark, files)
       .join(broadcast(vfDf), "bucket")
       .filter(col("v") >= col("vfull"))
       .drop("vfull")
+  }
+
+  /** ALL live files as ONE parquet relation (plan size O(1) in the number
+    * of commits), with each row's commit version derived from its FILE's
+    * manifest entry via input_file_name() + a broadcast path→version map.
+    * Provenance (not a data column) is the source of truth: it is correct
+    * for files written by any engine version — including pre-round-4
+    * ledgers that carry no `v` column — and for mixed old/new tables. */
+  private def oneScanWithVersion(spark: SparkSession,
+                                 files: Seq[(String, Int)]): DataFrame = {
+    import spark.implicits._
+    val pathV = files.map { case (f, v) => (f, v) }.toDF("__graft_path", "v")
+    spark.read.parquet(files.map(_._1): _*)
+      .drop("v") // ignore the self-describing data column if present
+      .withColumn("__graft_path",
+        regexp_replace(input_file_name(), "^file:/+", "/"))
+      .join(broadcast(pathV), "__graft_path")
+      .drop("__graft_path")
   }
 
   /** Urls whose LATEST attempt failed — the retry set for the next run. */
@@ -286,14 +300,12 @@ object ExtractJob {
     val lake = new LakeTable(tableRoot)
     val vf = vFullMap(lake)
     // one-relation read over all live files; see errLedger
-    val files = lake.state.fileVersions.collect {
-      case (f, _) if f.contains("/billing/") => f
-    }
+    val files = lake.state.fileVersions.filter(_._1.contains("/billing/"))
     if (files.isEmpty)
       return Seq.empty[(Int, String, Long, Long, Double, Int)]
         .toDF("bucket", "url", "tokens", "n_chunks", "cost", "v")
     val vfDf = vf.toSeq.toDF("bucket", "vfull")
-    spark.read.parquet(files: _*)
+    oneScanWithVersion(spark, files)
       .join(broadcast(vfDf), "bucket")
       .filter(col("v") >= col("vfull"))
       .drop("vfull")

@@ -34,11 +34,20 @@ object IndexJob {
     // chunk ids are content-derived (sha1(dochash:idx:chunkhash)), so
     // byte-identical documents under different urls yield identical ids —
     // indexing the same content id twice double-counts tf/dl. Dedup by id
-    // within the segment; CROSS-segment content dedup is the upstream
-    // DedupJob's responsibility (run it before chunking).
-    val docs = chunks.filter(!col("is_duplicate"))
+    // within the segment with a DETERMINISTIC winner (rank ordered by the
+    // payload columns — dropDuplicates picks an arbitrary row, and the
+    // facets write below is a separate job that re-runs the dedup, so an
+    // arbitrary pick could give search a different facet row than the
+    // postings saw). CROSS-segment content dedup is the upstream DedupJob's
+    // responsibility (run it before chunking).
+    val projected = chunks.filter(!col("is_duplicate"))
       .select((col("id").as("doc") +: (col("text") +: facetCols.map(col))): _*)
-      .dropDuplicates("doc")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+      .orderBy(("text" +: facetCols).map(col): _*)
+    val docs = projected
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
     val idx = Bm25.build(docs, "doc", "text")
     val lake = new LakeTable(indexRoot)
     val v = lake.currentVersion + 1
@@ -92,7 +101,8 @@ object IndexJob {
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     val facets =
       if (facetDirs.isEmpty) None
-      else Some(facetDirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+      else Some(facetDirs.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
     (postings, doclen, facets)
   }
 
@@ -118,8 +128,14 @@ object IndexJob {
     postings.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
     doclen.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
-    facetsAll.foreach(f => f.dropDuplicates("doc")
-      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets"))
+    facetsAll.foreach { f =>
+      // deterministic winner per doc (see build): order by the facet payload
+      val fw = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+        .orderBy(f.columns.filterNot(_ == "doc").map(col): _*)
+      f.withColumn("__graft_rn", row_number().over(fw))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
+    }
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"compact-v$v"), Nil, Map.empty)
     v

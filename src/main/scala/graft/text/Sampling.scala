@@ -41,8 +41,9 @@ object Sampling {
   def capPerHost(df: DataFrame, hostCol: Column, order: Column,
                  maxPerHost: Int): DataFrame = {
     val w = Window.partitionBy(hostCol).orderBy(order)
-    df.withColumn("host_rank", row_number().over(w))
-      .filter(col("host_rank") <= maxPerHost)
-      .drop("host_rank")
+    // collision-safe temp name: a caller's own "host_rank" column survives
+    df.withColumn("__graft_host_rank", row_number().over(w))
+      .filter(col("__graft_host_rank") <= maxPerHost)
+      .drop("__graft_host_rank")
   }
 }
