@@ -712,6 +712,31 @@ object SparkEntry {
       // consumers dedup by (url, keeper)
       detachAndClean(s.read.parquet(s"$root/out").distinct(), root)
     }),
+    // --- streaming watermarked windowed aggregation, driver-gated: the
+    // events table drained through eventCounts (5-min tumbling windows,
+    // 10-min watermark, APPEND mode). Append emits a window only once the
+    // watermark (max event time − 10 min, advanced by the trailing no-data
+    // micro-batch) passes its END — so the oracle's HAVING clause IS the
+    // watermark semantics: windows ending within the last 10 minutes of
+    // event time are correctly withheld.
+    "q_stream_events" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = scratchDir("graft-sevt-")
+      // watermarks require TIMESTAMP (ltz); the table stores NTZ — under
+      // the engine's pinned UTC session the cast is epoch-identity
+      val ev = t(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      ev.write.parquet(s"$root/in")
+      val src = s.readStream.schema(ev.schema).parquet(s"$root/in")
+      graft.streaming.StreamExtract.eventCounts(src)
+        .select(col("win_start").cast("long").as("win_start"),
+          col("event_type"), col("cnt"), round(col("total"), 2).as("total"))
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      detachAndClean(s.read.parquet(s"$root/out"), root)
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -1318,6 +1343,15 @@ object SparkEntry {
           |  FROM px)
           |SELECT doc_id, w, h, sum(l)::BIGINT AS luma_sum
           |FROM luma GROUP BY 1, 2, 3""".stripMargin,
+      // 5-min tumbling windows; HAVING = append-mode watermark finalization
+      "q_stream_events" ->
+        """WITH e AS (SELECT floor(epoch(ts))::BIGINT AS tse, event_type, value FROM events),
+          | mx AS (SELECT max(tse) AS mts FROM e)
+          |SELECT (tse // 300) * 300 AS win_start, event_type,
+          |  count(*) AS cnt, round(sum(value), 2) AS total
+          |FROM e CROSS JOIN mx
+          |GROUP BY 1, 2, mts
+          |HAVING (tse // 300) * 300 + 300 <= mts - 600""".stripMargin,
       // the streaming query emits its own verdict relation; the oracle is
       // what parity demands a priori
       "q_stream_parity" ->
