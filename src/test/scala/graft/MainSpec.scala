@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.corpus.PageGen
+
+/** The spark-submit CLI surface (graft.Main): every stage runnable from
+  * the command line over parquet inputs — the reference user's driver
+  * without writing Scala. Commands are driven through Main.run (main()
+  * would stop the shared test session). */
+class MainSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("CLI: extract -> compact pipeline -> search finds the pinned passage") {
+    val base = Files.createTempDirectory("graft-cli").toString
+    val pages = spark.range(300).map(i => PageGen.row(42L, i))
+    pages.write.parquet(s"$base/pages")
+
+    Main.run(spark, List("pipeline", s"$base/pages", s"$base/root", "8", "0.8"))
+    // resume: identical input quiesces (covered in PipelineSpec; here the
+    // CLI path itself must survive a re-run)
+    Main.run(spark, List("pipeline", s"$base/pages", s"$base/root", "8", "0.8"))
+
+    val gen = new java.io.File(s"$base/root/index").listFiles().map(_.getName).sorted
+    assert(gen.nonEmpty, s"no index generation under $base/root/index")
+    val hits = jobs.IndexJob.search(spark, s"$base/root/index/${gen.head}",
+      "newton raphson method", 3).collect()
+    assert(hits.nonEmpty)
+
+    // standalone index + search commands over a chunk parquet with facets
+    val chunks = (0 until 20)
+      .map(i => (s"c$i", s"body text number $i with spark filter join table terms",
+        false, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "text", "is_duplicate", "lang")
+    chunks.write.parquet(s"$base/chunks")
+    Main.run(spark, List("index", s"$base/chunks", s"$base/idx"))
+    Main.run(spark, List("compact", s"$base/idx"))
+    Main.run(spark, List("search", s"$base/idx", "spark filter", "5", "lang = 'en'"))
+    val filtered = jobs.IndexJob.search(spark, s"$base/idx", "spark filter", 100,
+      Some("lang = 'en'")).collect()
+    assert(filtered.length == 10) // only the en half matches the facet
+
+    // ann-build / ann-search over (id, vec) parquet
+    val vecs = spark.range(50).map(i => (i.toString,
+      Array.tabulate(16)(d => (Hashing.mix64(i * 31 + d) >>> 12).toDouble))).toDF("id", "vec")
+    vecs.write.parquet(s"$base/vecs")
+    Main.run(spark, List("ann-build", s"$base/vecs", s"$base/ann", "8", "16"))
+    Main.run(spark, List("ann-search", s"$base/ann", s"$base/vecs", "3", "2", "16"))
+    assert(jobs.AnnIndexJob.search(spark, s"$base/ann",
+      spark.read.parquet(s"$base/vecs").limit(5), "id", "vec", 3, 2, 16).count() > 0)
+  }
+}
