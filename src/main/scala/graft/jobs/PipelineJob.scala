@@ -72,11 +72,15 @@ object PipelineJob {
           Seq(s"dedup-extract-v${er.version}"), Nil, Map.empty)
         val nDropped = obs.get("n").asInstanceOf[Long]
 
-        // stage 3: index the cleaned corpus, compact to one live segment
+        // stage 3: index the cleaned corpus, compact to one live segment.
+        // The url host rides along as a committed facet so the composed
+        // index supports the reference's where=-filtered retrieval
+        // (question_rag.py:130-194) out of the box.
         IndexJob.build(spark,
           dr.clean.select(col("cid").as("id"), col("text"),
-            lit(false).as("is_duplicate")),
-          indexRoot)
+            lit(false).as("is_duplicate"),
+            graft.text.TextAnalysis.urlHostCol(col("cid")).as("host")),
+          indexRoot, facetCols = Seq("host"))
         IndexJob.compact(spark, indexRoot)
 
         // stage barrier: downstream stages for this extract version are done

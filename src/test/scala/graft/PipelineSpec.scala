@@ -108,5 +108,13 @@ class PipelineSpec extends SparkSuiteBase {
     val hits3 = IndexJob.search(spark, r3.indexRoot, "rewritten five", 5)
       .collect()
     assert(hits3.nonEmpty && hits3.head.getString(0).startsWith("https://p.example/d5#"))
+
+    // the composed index carries the url host as a committed facet
+    val onHost = IndexJob.search(spark, r3.indexRoot, "spark filter join table", 100,
+      facetWhere = Some("host = 'p.example'")).collect()
+    assert(onHost.length == 20)
+    val offHost = IndexJob.search(spark, r3.indexRoot, "spark filter join table", 100,
+      facetWhere = Some("host = 'nowhere.example'")).collect()
+    assert(offHost.isEmpty)
   }
 }
