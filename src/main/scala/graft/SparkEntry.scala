@@ -525,6 +525,42 @@ object SparkEntry {
       graft.text.Sampling.capPerHost(withHost, col("host"), col("doc_id"), maxPerHost = 3)
         .select(col("doc_id"), col("host"))
     }),
+    // --- the reference's OWN path_meta facet parser (path_meta.py:18-58),
+    // behavioral-parity-exact over a deterministic course-archive path
+    // harness that exercises every branch: level cleanup + number
+    // inference, semester table, folder-vs-filename course regex fallback,
+    // PQ/GENERAL categories, group-key composition
+    "q_path_meta" -> ((s, dir) => {
+      import s.implicits._
+      val parts = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("source").as("dept"),
+        when(col("doc_id") % 4 === 0, "Level 100")
+          .when(col("doc_id") % 4 === 1, "200 Level")
+          .when(col("doc_id") % 4 === 2, "lvl")
+          .otherwise("LEVEL300").as("level_raw"),
+        when(col("doc_id") % 5 === 0, "SEM1")
+          .when(col("doc_id") % 5 === 1, "Second")
+          .when(col("doc_id") % 5 === 2, "1")
+          .when(col("doc_id") % 5 === 3, "Semester 2")
+          .otherwise("fall").as("sem_raw"),
+        when(col("doc_id") % 3 === 0, "CS 101")
+          .when(col("doc_id") % 3 === 1, "PQS")
+          .otherwise("GENERAL").as("folder"),
+        when(col("doc_id") % 3 === 1,
+            lit("MTH-305 past questions.pdf"))
+          .otherwise(concat(lit("notes"), col("doc_id"), lit(".pdf"))).as("fname"))
+      parts.select(col("doc_id"),
+          concat_ws("/", col("dept"), col("level_raw"), col("sem_raw"),
+            col("folder"), col("fname")).as("path"))
+        .as[(Long, String)]
+        .map { case (id, p) =>
+          val m = graft.text.PathMeta.parse(p)
+          (id, m.department, m.level, m.semester, m.category,
+            m.course_code, m.course_number, m.stem, m.group_key)
+        }.toDF("doc_id", "department", "level", "semester", "category",
+          "course_code", "course_number", "stem", "group_key")
+    }),
     // --- url-facet extraction (reference path_meta facets, web domain)
     "q_url_facets" -> ((s, dir) => {
       import s.implicits._
@@ -1265,6 +1301,53 @@ object SparkEntry {
       "q_min_words" ->
         """SELECT doc_id FROM documents
           | WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) >= 20""".stripMargin,
+      // path_meta rules replicated field by field over the same harness
+      // parts (the engine joins them with '/' and re-splits — equivalent,
+      // since no part contains a slash)
+      "q_path_meta" ->
+        """WITH h AS (SELECT doc_id, source AS dept,
+          |   CASE doc_id % 4 WHEN 0 THEN 'Level 100' WHEN 1 THEN '200 Level'
+          |     WHEN 2 THEN 'lvl' ELSE 'LEVEL300' END AS level_raw,
+          |   CASE doc_id % 5 WHEN 0 THEN 'SEM1' WHEN 1 THEN 'Second'
+          |     WHEN 2 THEN '1' WHEN 3 THEN 'Semester 2' ELSE 'fall' END AS sem_raw,
+          |   CASE doc_id % 3 WHEN 0 THEN 'CS 101' WHEN 1 THEN 'PQS' ELSE 'GENERAL' END AS folder,
+          |   CASE doc_id % 3 WHEN 1 THEN 'MTH-305 past questions.pdf'
+          |     ELSE 'notes' || doc_id::VARCHAR || '.pdf' END AS fname
+          |  FROM documents),
+          | f AS (SELECT doc_id, dept, folder, fname,
+          |   regexp_extract(regexp_replace(level_raw, '(?i)level', '', 'g'),
+          |     '(100|200|300|400|500)', 1) AS level0,
+          |   CASE upper(replace(trim(sem_raw), ' ', ''))
+          |     WHEN '1' THEN '1' WHEN '2' THEN '2' WHEN 'FIRST' THEN '1'
+          |     WHEN 'SECOND' THEN '2' WHEN 'SEM1' THEN '1' WHEN 'SEM2' THEN '2'
+          |     WHEN 'SEMESTER1' THEN '1' WHEN 'SEMESTER2' THEN '2' ELSE '' END AS semester,
+          |   regexp_replace(fname, '\.[^.]*$', '') AS stem
+          |  FROM h),
+          | c AS (SELECT *,
+          |   regexp_extract(folder, '([A-Za-z]{2,})\s*[-_ ]*\s*([0-9]{2,3})', 1) AS cf,
+          |   regexp_extract(folder, '([A-Za-z]{2,})\s*[-_ ]*\s*([0-9]{2,3})', 2) AS nf,
+          |   regexp_extract(stem, '([A-Za-z]{2,})\s*[-_ ]*\s*([0-9]{2,3})', 1) AS cs,
+          |   regexp_extract(stem, '([A-Za-z]{2,})\s*[-_ ]*\s*([0-9]{2,3})', 2) AS ns
+          |  FROM f),
+          | m AS (SELECT doc_id, dept, folder, fname, level0, semester, stem,
+          |   upper(CASE WHEN cf <> '' AND nf <> '' THEN cf ELSE cs END) AS code,
+          |   CASE WHEN cf <> '' AND nf <> '' THEN nf ELSE ns END AS num
+          |  FROM c)
+          |SELECT doc_id, dept AS department,
+          |  CASE WHEN level0 = '' AND len(num) >= 3
+          |         AND substr(num, 1, 1) IN ('1','2','3','4','5')
+          |       THEN substr(num, 1, 1) || '00' ELSE level0 END AS level,
+          |  semester,
+          |  CASE WHEN upper(folder) IN ('PQ','PQS','PASTQUESTIONS')
+          |         OR contains(upper(fname), 'PQ')
+          |         OR contains(upper(fname), 'PAST QUESTION') THEN 'PQ'
+          |       WHEN upper(folder) = 'GENERAL' THEN 'GENERAL' ELSE '' END AS category,
+          |  code AS course_code, num AS course_number, stem,
+          |  CASE WHEN dept <> '' AND code <> '' AND num <> '' THEN dept || '-' || code || '-' || num
+          |       WHEN code <> '' AND num <> '' THEN code || '-' || num
+          |       WHEN dept <> '' THEN dept
+          |       WHEN code <> '' THEN code ELSE 'MISC' END AS group_key
+          |FROM m""".stripMargin,
       "q_url_facets" ->
         """WITH u AS (SELECT doc_id,
           |  'https://host' || (doc_id % 97)::VARCHAR || '.example/' || source || '/item' || doc_id::VARCHAR AS url
