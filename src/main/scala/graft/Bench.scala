@@ -428,9 +428,26 @@ object Bench {
       f""""queries":$qs,"sf":"$sfDir","pages":$nPagesBig,"chunks":$nChunks,""" +
       f""""extract_wall_sec":$tHi%.3f,"scaling":$scaling}"""
     println(line)
-    // belt-and-braces for the driver: also leave the line on disk
+    // The full line grows with the query count and can outgrow the driver's
+    // tail-capture window (round 4's record lost its parsed form exactly
+    // this way) — so ALWAYS follow it with a compact headline-only record
+    // (no per-query map, no pair arrays) that fits any tail. Consumers take
+    // the LAST parseable line.
+    val compact =
+      f"""{"metric":"extract_throughput_docs_per_sec","value":$throughput%.1f,"unit":"docs/sec",""" +
+      f""""sf":"$sfDir","pages":$nPagesBig,"chunks":$nChunks,"extract_wall_sec":$tHi%.3f,""" +
+      f""""compact":true,"efficiency":$eff%.3f,"efficiency_pair":"2->8",""" +
+      f""""efficiency_2_to_8":$eff28%.3f,""" +
+      eff28Clean.map(e => f""""efficiency_2_to_8_clean":$e%.3f,""").getOrElse(""""efficiency_2_to_8_clean":null,""") +
+      capability28.map(c => s""""capability_2_8":${capabilityJson(c, "t2_sec", "t8_sec")},""").getOrElse(""""capability_2_8":null,""") +
+      f""""efficiency_8_to_32":$eff832%.3f,""" +
+      eff832Clean.map(e => f""""efficiency_8_to_32_clean":$e%.3f,""").getOrElse(""""efficiency_8_to_32_clean":null,""") +
+      capability.map(c => s""""capability_8_32":${capabilityJson(c)},""").getOrElse(""""capability_8_32":null,""") +
+      f""""host_mem_gbs_1t":$memGBsStart%.2f,"host_spin_eff_8_to_32":$hostEff%.3f}"""
+    println(compact)
+    // belt-and-braces for the driver: also leave both lines on disk
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft-bench.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
   }
 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *   search    <indexRoot> <query> [k] [facetWhere]         BM25 over the index
   *   ann-build <vecParquet> <indexRoot> [nCells] [dim]      materialized IVF
   *   ann-search <indexRoot> <queryParquet> [k] [nProbe] [dim]
+  *   ann-compact <indexRoot>                                merge cell segments
   *
   * Input schemas are the engine's public row types: pages
   * (url, warc_ts, html, text, lang), docs (url, text), chunks
@@ -50,7 +51,7 @@ object Main {
         val r = jobs.PipelineJob.run(spark,
           spark.read.parquet(pages).as[PageRow], root, nBuckets, jaccard)
         println(s"""{"command":"pipeline","extract_version":${r.extractVersion},""" +
-          s""""index_root":"${r.indexRoot}","dedup_dropped":${r.dedupDropped},""" +
+          s""""index_root":"${lake.LakeTable.esc(r.indexRoot)}","dedup_dropped":${r.dedupDropped},""" +
           s""""resumed":${r.resumed}}""")
 
       case "extract" :: pages :: tableRoot :: rest =>
@@ -68,7 +69,7 @@ object Main {
         r.dropped.write.mode("overwrite").parquet(s"$outDir/dropped")
         val (c, d) = (spark.read.parquet(s"$outDir/clean").count(),
           spark.read.parquet(s"$outDir/dropped").count())
-        println(s"""{"command":"dedup","clean":$c,"dropped":$d,"out":"$outDir"}""")
+        println(s"""{"command":"dedup","clean":$c,"dropped":$d,"out":"${lake.LakeTable.esc(outDir)}"}""")
 
       case "index" :: chunks :: indexRoot :: Nil =>
         val df = spark.read.parquet(chunks)
@@ -84,7 +85,11 @@ object Main {
         val k = rest.headOption.map(_.toInt).getOrElse(10)
         val where = rest.lift(1)
         val hits = jobs.IndexJob.search(spark, indexRoot, query, k, where).collect()
-        val rows = hits.map(r => s"""{"doc":"${r.getString(0)}","score":${r.getDouble(1)}}""")
+        // doc ids come from arbitrary user chunk tables — escape through the
+        // lake's shared JSON codec so a quote/backslash-bearing id can't
+        // corrupt the one-line-JSON contract
+        val rows = hits.map(r =>
+          s"""{"doc":"${lake.LakeTable.esc(r.getString(0))}","score":${r.getDouble(1)}}""")
         println(s"""{"command":"search","k":$k,"hits":[${rows.mkString(",")}]}""")
 
       case "ann-build" :: vecs :: indexRoot :: rest =>
@@ -102,12 +107,16 @@ object Main {
           spark.read.parquet(queries), "id", "vec", k, nProbe, dim).count()
         println(s"""{"command":"ann-search","result_rows":$n}""")
 
+      case "ann-compact" :: indexRoot :: Nil =>
+        val v = jobs.AnnIndexJob.compact(spark, indexRoot)
+        println(s"""{"command":"ann-compact","segment":$v}""")
+
       case other => throw new IllegalArgumentException(
         s"unknown command: ${other.headOption.getOrElse("")}\n$usage")
     }
   }
 
   private val usage: String =
-    """usage: graft.Main <pipeline|extract|dedup|index|compact|search|ann-build|ann-search> <args...>
+    """usage: graft.Main <pipeline|extract|dedup|index|compact|search|ann-build|ann-search|ann-compact> <args...>
       |see the object scaladoc for per-command arguments""".stripMargin
 }

@@ -32,6 +32,9 @@ object SparkEntry {
   /** sf dir → materialized ANN index root for q_ann_index. */
   private val annIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** sf dir → tombstone-upserted index root for q_index_upsert. */
+  private val upsertIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
+
   /** JVM-scoped scratch dir, removed on exit so repeated Verify/Bench
     * invocations don't accumulate trees under /tmp. Root overridable via
     * the `graft.scratch` system property / `SPARK_GRAFT_SCRATCH` env —
@@ -219,7 +222,10 @@ object SparkEntry {
       val harness = t(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 10 === 0, concat(col("text"), lit("\n"), col("text")))
           .otherwise(col("text")).as("text"))
+      // operator keeps ids as strings (url-keyed corpora); the numeric
+      // driver gate casts back in the QUERY, per the operator's contract
       graft.text.QualityFilter.annotate(s, harness, "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("keep"), col("reasons"))
     }),
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -449,8 +455,10 @@ object SparkEntry {
     // collection, chroma_store.py:33-61): IVF cell lists committed as lake
     // tables across two appended segments (stable centroids from the first
     // build — segment 1 carries the globally smallest ids, so training
-    // matches the oracle's ORDER BY id LIMIT nCells), searched from the
-    // committed files with storage-level probed-cell pruning. Same
+    // matches the oracle's ORDER BY id LIMIT nCells), then COMPACTED to one
+    // merged segment (the gate thus covers the compaction path: merged
+    // cells must answer identically to the segment union), searched from
+    // the committed files with storage-level probed-cell pruning. Same
     // determinism as q_ivf → same oracle.
     "q_ann_index" -> ((s, dir) => {
       val root = annIndexRootFor.synchronized(annIndexRootFor.getOrElseUpdate(dir, {
@@ -458,6 +466,7 @@ object SparkEntry {
         val emb = t(s, dir, "embeddings")
         graft.jobs.AnnIndexJob.build(s, emb.filter(col("vec_id") < 500), "vec_id", "embedding", r)
         graft.jobs.AnnIndexJob.build(s, emb.filter(col("vec_id") >= 500), "vec_id", "embedding", r)
+        graft.jobs.AnnIndexJob.compact(s, r)
         r
       }))
       graft.jobs.AnnIndexJob.search(s, root,
@@ -549,6 +558,8 @@ object SparkEntry {
           .otherwise("GENERAL").as("folder"),
         when(col("doc_id") % 3 === 1,
             lit("MTH-305 past questions.pdf"))
+          .when(col("doc_id") % 7 === 0, lit(".hidden"))    // pathlib: stem keeps the dot
+          .when(col("doc_id") % 7 === 1, lit("file."))       // pathlib: trailing dot kept
           .otherwise(concat(lit("notes"), col("doc_id"), lit(".pdf"))).as("fname"))
       parts.select(col("doc_id"),
           concat_ws("/", col("dept"), col("level_raw"), col("sem_raw"),
@@ -602,6 +613,28 @@ object SparkEntry {
           docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
         graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r)
         graft.jobs.IndexJob.compact(s, r)
+        r
+      }))
+      graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
+    }),
+    // --- doc-level TOMBSTONE upsert over the materialized index (the
+    // reference's per-id upsert, chroma_store.py:33-61): segment 1 holds
+    // the whole corpus; every 10th doc is then tombstoned and RE-APPENDED
+    // under the SAME id with rewritten text that adds a query term ('spark'
+    // — so any stale posting row provably shifts tf/df/scores). Search must
+    // equal BM25 over the post-upsert corpus: the tv>sv version comparison
+    // kills exactly the superseded rows while the re-appended ones survive.
+    "q_index_upsert" -> ((s, dir) => {
+      val root = upsertIndexRootFor.synchronized(upsertIndexRootFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-upsidx-")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"), col("text"),
+            lit(false).as("is_duplicate"))
+        graft.jobs.IndexJob.build(s, docs, r)
+        val changed = docs.filter(col("id").cast("long") % 10 === 0)
+        graft.jobs.IndexJob.tombstone(s, r, changed.select(col("id").as("doc")))
+        graft.jobs.IndexJob.build(s,
+          changed.withColumn("text", concat(col("text"), lit(" spark upsert gain"))), r)
         r
       }))
       graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
@@ -790,11 +823,12 @@ object SparkEntry {
     * avgdl, df) come from the filtered relation, mirroring Bm25.scores.
     * `idExpr` lets the same oracle serve the long-id corpus queries and the
     * string-id materialized-index query. */
-  private def bm25OracleSql(where: String, idExpr: String = "doc_id"): String =
+  private def bm25OracleSql(where: String, idExpr: String = "doc_id",
+                            src: String = "documents"): String =
     s"""WITH toks AS (
        |  SELECT $idExpr AS doc,
        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
-       |  FROM documents $where),
+       |  FROM $src $where),
        | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
        | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
        | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
@@ -1311,7 +1345,9 @@ object SparkEntry {
           |   CASE doc_id % 5 WHEN 0 THEN 'SEM1' WHEN 1 THEN 'Second'
           |     WHEN 2 THEN '1' WHEN 3 THEN 'Semester 2' ELSE 'fall' END AS sem_raw,
           |   CASE doc_id % 3 WHEN 0 THEN 'CS 101' WHEN 1 THEN 'PQS' ELSE 'GENERAL' END AS folder,
-          |   CASE doc_id % 3 WHEN 1 THEN 'MTH-305 past questions.pdf'
+          |   CASE WHEN doc_id % 3 = 1 THEN 'MTH-305 past questions.pdf'
+          |     WHEN doc_id % 7 = 0 THEN '.hidden'
+          |     WHEN doc_id % 7 = 1 THEN 'file.'
           |     ELSE 'notes' || doc_id::VARCHAR || '.pdf' END AS fname
           |  FROM documents),
           | f AS (SELECT doc_id, dept, folder, fname,
@@ -1321,7 +1357,7 @@ object SparkEntry {
           |     WHEN '1' THEN '1' WHEN '2' THEN '2' WHEN 'FIRST' THEN '1'
           |     WHEN 'SECOND' THEN '2' WHEN 'SEM1' THEN '1' WHEN 'SEM2' THEN '2'
           |     WHEN 'SEMESTER1' THEN '1' WHEN 'SEMESTER2' THEN '2' ELSE '' END AS semester,
-          |   regexp_replace(fname, '\.[^.]*$', '') AS stem
+          |   regexp_replace(fname, '(.)\.[^.]+$', '\1') AS stem
           |  FROM h),
           | c AS (SELECT *,
           |   regexp_extract(folder, '([A-Za-z]{2,})\s*[-_ ]*\s*([0-9]{2,3})', 1) AS cf,
@@ -1386,6 +1422,13 @@ object SparkEntry {
       // segment overlap dedups to the plain corpus relation, so the oracle
       // is corpus BM25 with string doc ids (the index keys docs by chunk id)
       "q_index_search" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR"),
+      // tombstone upsert == BM25 over the POST-upsert corpus: every 10th
+      // doc's text rewritten (same id), stale rows dead by tv>sv
+      "q_index_upsert" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR",
+        src = """(SELECT doc_id,
+                 |   CASE WHEN doc_id % 10 = 0 THEN text || ' spark upsert gain'
+                 |        ELSE text END AS text
+                 | FROM documents)""".stripMargin),
       // facet-filtered search over committed segments == BM25 over the
       // facet-filtered corpus (stats from the filtered set)
       "q_facet_index" -> bm25OracleSql("WHERE lang = 'en'", idExpr = "doc_id::VARCHAR"),

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * (doc id, paragraph index) order.
   *
   * Whole plan is built-ins: split/trim/posexplode (narrow) → one window
-  * shuffle keyed on the paragraph text (high-cardinality — boilerplate
-  * paragraphs form hot keys, but the window only ranks and keeps rank 1,
-  * a WindowGroupLimit-able shape, not an aggregation buffer) → one
-  * groupBy(doc) reassembly. Two shuffles total, no UDFs.
+  * shuffle keyed on `(md5_top64(para), para)` — hash FIRST so the exchange
+  * partitioner and the within-partition sort compare 8-byte longs before
+  * ever touching the arbitrary-length paragraph string; the full text stays
+  * in the key as a collision tiebreaker, so exactness is unchanged. The
+  * window only ranks and keeps rank 1 (a WindowGroupLimit-able shape, not
+  * an aggregation buffer) → one groupBy(doc) reassembly. Two shuffles
+  * total, no UDFs (md5_top64 is a codegen'd native expression).
   */
 object ParagraphDedup {
 
@@ -25,12 +28,14 @@ object ParagraphDedup {
     * paragraph was seen before collapses to the empty string (it was pure
     * boilerplate — the row survives for lineage). */
   def clean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val segs = filter(
       transform(split(col(textCol), "\\n\\s*\\n"), p => trim(p)),
       p => length(p) > 0)
     val paras = df
       .select(col(idCol).cast("string").as("id"), posexplode(segs).as(Seq("idx", "para")))
-    val w = Window.partitionBy("para").orderBy("id", "idx")
+      .withColumn("ph", graft.functions.GraftFunctions.md5Top64(col("para")))
+    val w = Window.partitionBy("ph", "para").orderBy("id", "idx")
     val kept = paras
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -16,6 +16,8 @@ import graft.lake.LakeTable
   *   search  queries probe their nProbe nearest centroids and scan ONLY the
   *           probed cells' vectors from the committed files — the corpus is
   *           never touched at query time
+  *   compact merge all live cell segments into one (key `ann-compact-vN`),
+  *           so unbounded append counts never degrade query-time unions
   *
   * Layout lever: cell lists are written repartitioned+sorted by cell id, so
   * the probed-cell filter prunes via parquet min/max row-group stats — at
@@ -95,15 +97,13 @@ object AnnIndexJob extends Serializable {
     // the probed-cell set is <= nCells ints — a scalar-sized driver collect
     // that turns the cell filter into storage-level pruning
     val probed = qprobes.select("cell").distinct().as[Int].collect().toSeq
-    val cellDirs = (1 to lake.currentVersion).map(i => s"$indexRoot/data/v$i/cells")
-      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     // distinct() defends overlapping appends (a re-run after partial
     // failure re-appending the same vectors): without it a re-appended id
     // occupies multiple top-k slots. Applied AFTER the probed-cell filter,
     // so the dedup shuffle is bounded by probe selectivity, not index
     // size. Same-id DIFFERENT-vector re-appends are a mutation — like
     // PipelineJob's index generations, mutation needs a fresh index root.
-    val cells = spark.read.parquet(cellDirs: _*)
+    val cells = spark.read.parquet(liveCellFiles(lake): _*)
       .filter(col("cell").isin(probed: _*))
       .distinct()
 
@@ -114,6 +114,44 @@ object AnnIndexJob extends Serializable {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private val AnnCompactKey = "ann-compact-v(\\d+)".r
+  private val CellsFile = ".*/data/v(\\d+)/cells/.*\\.parquet".r
+
+  /** Live cell files, **manifest-resolved** (`lake.state.fileVersions`, the
+    * same object-store-friendly liveness discipline as ExtractJob/IndexJob
+    * — never a `Files.exists` probe): cell files of versions at or after
+    * the newest compaction. Compacted-away segment dirs stay on disk for
+    * time travel but leave the query union. */
+  private def liveCellFiles(lake: LakeTable): Seq[String] = {
+    val compactedAt = lake.committedKeys.collect {
+      case AnnCompactKey(n) => n.toInt
+    }.foldLeft(0)(math.max)
+    val files = lake.state.fileVersions.map(_._1).collect {
+      case f @ CellsFile(v) if v.toInt >= math.max(1, compactedAt) => f
+    }
+    require(files.nonEmpty, s"no live cell segments committed at ${lake.root}")
+    files
+  }
+
+  /** Merge every live cell segment into ONE (key `ann-compact-vN`),
+    * bounding [[search]]'s union to a single segment again — the unbounded-
+    * append-count fix, mirroring IndexJob.compact. Merge semantics mirror
+    * search's own defensive read exactly (distinct over identical
+    * re-appended rows), so search results are provably identical before and
+    * after (AnnIndexSpec). Old dirs stay for snapshot time travel. */
+  def compact(spark: SparkSession, indexRoot: String): Int = {
+    val lake = new LakeTable(indexRoot)
+    require(lake.currentVersion > 0, s"no committed ANN index at $indexRoot")
+    val merged = spark.read.parquet(liveCellFiles(lake): _*).distinct()
+    val v = lake.currentVersion + 1
+    // keep the sorted-by-cell layout: row-group pruning must survive merges
+    merged.repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/cells")
+    lake.commit(lake.listParquet(s"$indexRoot/data/v$v"),
+      Seq(s"ann-compact-v$v"), Nil, Map.empty)
+    v
   }
 
   private def readCentroids(spark: SparkSession, indexRoot: String): Array[Array[Double]] =

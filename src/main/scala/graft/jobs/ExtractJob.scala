@@ -97,13 +97,30 @@ object ExtractJob {
   private def oneScanWithVersion(spark: SparkSession,
                                  files: Seq[(String, Int)]): DataFrame = {
     import spark.implicits._
-    val pathV = files.map { case (f, v) => (f, v) }.toDF("__graft_path", "v")
-    spark.read.parquet(files.map(_._1): _*)
+    // Join key is the part-file BASENAME, not the full path: Spark part
+    // files embed a per-write-job UUID (part-NNNNN-<uuid>…parquet), so the
+    // tail is unique across the table and — unlike full-path equality —
+    // immune to relative-vs-absolute roots, file:/ scheme variants, and
+    // input_file_name()'s URI escaping (spaces → %20). Basenames are
+    // Spark-generated [A-Za-z0-9.-], never escaped.
+    // distinct: a dynamic-partition write reuses one basename across its
+    // partition dirs (bucket=1/part-00000-<uuid>…, bucket=2/part-00000-…);
+    // those are the same job → same commit → same v, so collapsing keeps
+    // the basename→v map single-valued (no join multiplicity)
+    val pathV = files.map { case (f, v) => (f.substring(f.lastIndexOf('/') + 1), v) }
+      .distinct.toDF("__graft_file", "v")
+    val matched = spark.read.parquet(files.map(_._1): _*)
       .drop("v") // ignore the self-describing data column if present
-      .withColumn("__graft_path",
-        regexp_replace(input_file_name(), "^file:/+", "/"))
-      .join(broadcast(pathV), "__graft_path")
-      .drop("__graft_path")
+      .withColumn("__graft_file", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(pathV), Seq("__graft_file"), "left")
+    // loud-failure guard: a provenance row that matches no manifest entry
+    // means the join premise broke — fail the query rather than silently
+    // returning an empty/partial ledger (which would stop error retries)
+    matched
+      .withColumn("v", when(col("v").isNotNull, col("v"))
+        .otherwise(raise_error(concat(
+          lit("graft manifest/provenance mismatch for file: "), col("__graft_file")))))
+      .drop("__graft_file")
   }
 
   /** Urls whose LATEST attempt failed — the retry set for the next run. */

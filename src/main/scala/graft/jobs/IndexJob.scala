@@ -18,6 +18,22 @@ import graft.lake.LakeTable
   * union, so incremental corpus growth never rewrites existing segments —
   * the 100-TB maintenance property. Query: broadcast the query terms,
   * score, top-k; no corpus re-tokenization at query time.
+  *
+  * **Doc-level tombstones** (the reference's per-id upsert semantics,
+  * chroma_store.py:33-61, without rewriting segments): [[tombstone]]
+  * commits a (doc, tv) marker table as its own snapshot; a doc row from a
+  * segment committed at version `sv` is dead iff a live tombstone has
+  * `tv > sv`. The version comparison is what makes REPLACE work: tombstone
+  * the old id, then append a new segment carrying the id again — the new
+  * rows (sv > tv) survive the same markers that kill the old ones. Search
+  * and compaction both honor tombstones; compaction purges dead rows and
+  * retires the markers (they fall out of the live-version range). Every
+  * segment row therefore carries its commit version as a constant data
+  * column `sv` (RLE-compressed to nothing in parquet).
+  *
+  * Segment discovery is **manifest-resolved** (`lake.state.fileVersions`),
+  * never a filesystem probe — the same object-store-friendly liveness
+  * discipline as ExtractJob's ledger reads.
   */
 object IndexJob {
 
@@ -54,21 +70,47 @@ object IndexJob {
     // term-range layout: repartition by term and sort within partitions so
     // retrieval's term semi-join prunes via parquet min/max stats instead of
     // scanning every posting file (the 100-TB layout lever)
-    idx.postings.repartition(col("term")).sortWithinPartitions("term")
+    idx.postings.withColumn("sv", lit(v))
+      .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
+    // doclen carries a CONTENT hash per doc (md5-top-64 of the text): the
+    // identity diff incremental callers (PipelineJob) need to sync index ↔
+    // corpus — (doc, dochash) equality means "already indexed, unchanged".
+    graft.functions.GraftFunctions.register(spark)
+    val docHash = docs.select(col("doc"),
+      graft.functions.GraftFunctions.md5Top64(col("text")).as("dochash"))
     // segment stats ride the doclen write via observe() — no separate stats
     // job over dl. Safe from AQE metrics culling: the CollectMetrics node is
     // the write's own root, nothing downstream can go empty and drop it.
     val obs = org.apache.spark.sql.Observation()
-    idx.docLens.observe(obs, count(lit(1)).as("n"),
+    idx.docLens.join(docHash, "doc").withColumn("sv", lit(v))
+      .observe(obs, count(lit(1)).as("n"),
         coalesce(avg(col("dl").cast("double")), lit(0.0)).as("avgdl"))
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
     if (facetCols.nonEmpty)
-      docs.drop("text").write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
+      docs.drop("text").withColumn("sv", lit(v))
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"segment-v$v"), Nil,
       Map("n_docs" -> obs.get("n").asInstanceOf[Long].toDouble,
         "avgdl" -> obs.get("avgdl").asInstanceOf[Double]))
+    v
+  }
+
+  /** Commit doc-level delete markers: every id in `docIds` (column `doc`)
+    * is dead in all segments committed BEFORE this call; segments appended
+    * after carry the id live again (upsert = tombstone + build). Markers
+    * are their own snapshot (key `tombstone-vN`) — no segment is rewritten.
+    * Returns the committed version. */
+  def tombstone(spark: SparkSession, indexRoot: String, docIds: DataFrame): Int = {
+    val lake = new LakeTable(indexRoot)
+    require(lake.currentVersion > 0, s"no committed index at $indexRoot")
+    val v = lake.currentVersion + 1
+    docIds.select(col("doc").cast("string").as("doc")).dropDuplicates("doc")
+      .withColumn("tv", lit(v))
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/tombstones")
+    lake.commit(lake.listParquet(s"$indexRoot/data/v$v"),
+      Seq(s"tombstone-v$v"), Nil, Map.empty)
     v
   }
 
@@ -87,53 +129,94 @@ object IndexJob {
   }
 
   private val CompactKey = "compact-v(\\d+)".r
+  private val KindDir = ".*/data/v(\\d+)/(postings|doclen|facets|tombstones)/.*\\.parquet".r
 
-  private def segments(spark: SparkSession,
-                       indexRoot: String): (DataFrame, DataFrame, Option[DataFrame]) = {
-    val live = liveVersions(new LakeTable(indexRoot))
-    // postings/doclen have a fixed schema across segments: read every live
-    // segment dir as ONE parquet relation (a single scan node, not one per
-    // segment — the errLedger plan-size lesson applied here). Facet schemas
-    // may differ across builds, so facets union by name.
-    val postings = spark.read.parquet(live.map(i => s"$indexRoot/data/v$i/postings"): _*)
-    val doclen = spark.read.parquet(live.map(i => s"$indexRoot/data/v$i/doclen"): _*)
-    val facetDirs = live.map(i => s"$indexRoot/data/v$i/facets")
-      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
-    val facets =
-      if (facetDirs.isEmpty) None
-      else Some(facetDirs.map(spark.read.parquet(_))
-        .reduce(_.unionByName(_, allowMissingColumns = true)))
-    (postings, doclen, facets)
+  private final case class Segments(postings: DataFrame, doclen: DataFrame,
+                                    facets: Option[DataFrame], tombs: Option[DataFrame])
+
+  /** Resolve the live relations purely from manifest state — which versions
+    * have facet/tombstone tables is a fact of the COMMIT RECORD, not of
+    * directory existence (`Files.exists` breaks on object stores and on any
+    * manifest/filesystem divergence). */
+  private def segments(spark: SparkSession, indexRoot: String): Segments = {
+    val lake = new LakeTable(indexRoot)
+    val liveSet = liveVersions(lake).toSet
+    val byKind: Map[String, Seq[String]] = lake.state.fileVersions
+      .map(_._1)
+      .collect { case f @ KindDir(v, kind) if liveSet(v.toInt) => kind -> f }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    def read(kind: String): Option[DataFrame] =
+      byKind.get(kind).filter(_.nonEmpty).map(fs => spark.read.parquet(fs: _*))
+    // postings/doclen have a fixed schema across segments: one parquet
+    // relation (a single scan node, not one per segment — the errLedger
+    // plan-size lesson applied here).
+    val postings = read("postings").getOrElse(
+      sys.error(s"no live postings segments in $indexRoot"))
+    val doclen = read("doclen").getOrElse(
+      sys.error(s"no live doclen segments in $indexRoot"))
+    // facet schemas may differ across builds → union by name per version dir
+    val facets = byKind.get("facets").filter(_.nonEmpty).map { fs =>
+      fs.groupBy { case KindDir(v, _) => v.toInt }
+        .values.map(g => spark.read.parquet(g: _*)).toSeq
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    Segments(postings, doclen, facets, read("tombstones"))
+  }
+
+  /** Drop rows whose doc has a live tombstone NEWER than the row's segment
+    * (`tv > sv`) — the version comparison that lets a re-appended id
+    * coexist with the markers that killed its older incarnation. */
+  private def dropTombstoned(rows: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(rows) { tb =>
+      rows.join(tb, rows("doc") === tb("doc") && tb("tv") > rows("sv"), "left_anti")
+    }
+
+  /** Live (doc, dochash) across segments — the index's committed content
+    * identity, for callers diffing index-vs-corpus (PipelineJob's
+    * incremental sync). Empty-schema-safe only for v ≥ 1 tables. */
+  def liveDocs(spark: SparkSession, indexRoot: String): DataFrame = {
+    val seg = segments(spark, indexRoot)
+    dropTombstoned(seg.doclen, seg.tombs)
+      .select("doc", "dochash").dropDuplicates("doc")
   }
 
   /** Merge all live segments into one and commit it as the new single live
-    * segment (key `compact-vN`). Search equality before/after is asserted in
-    * IndexExprSpec. Per-query cost returns to a single segment; old dirs
-    * remain on disk for snapshot time travel. */
+    * segment (key `compact-vN`): tombstoned rows are PURGED here, and the
+    * markers retire with the pre-compaction versions. Search equality
+    * before/after is asserted in IndexExprSpec. Per-query cost returns to a
+    * single segment; old dirs remain on disk for snapshot time travel. */
   def compact(spark: SparkSession, indexRoot: String): Int = {
-    val (postingsAll, doclenAll, facetsAll) = segments(spark, indexRoot)
+    val seg = segments(spark, indexRoot)
+    val lake = new LakeTable(indexRoot)
+    val v = lake.currentVersion + 1
     // same defensive overlap semantics as search(): dedup (term,doc) keep
-    // max tf, recompute df; dedup doclen by doc
-    val flat = postingsAll
-      .select(col("term"), explode(col("postings")).as("p"))
-      .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"))
+    // max tf, recompute df; dedup doclen by doc. Rows re-stamp sv = the
+    // compacted segment's own version, so future tombstones apply to them.
+    val flat = dropTombstoned(
+      seg.postings
+        .select(col("term"), col("sv"), explode(col("postings")).as("p"))
+        .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"), col("sv")),
+      seg.tombs)
       .groupBy("term", "doc").agg(max("tf").as("tf"))
     val postings = flat.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
-    val doclen = doclenAll.dropDuplicates("doc")
+    val doclen = dropTombstoned(seg.doclen, seg.tombs).dropDuplicates("doc")
 
-    val lake = new LakeTable(indexRoot)
-    val v = lake.currentVersion + 1
-    postings.repartition(col("term")).sortWithinPartitions("term")
+    postings.withColumn("sv", lit(v))
+      .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/postings")
-    doclen.write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
-    facetsAll.foreach { f =>
+    doclen.drop("sv").withColumn("sv", lit(v))
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/doclen")
+    seg.facets.foreach { f0 =>
+      val f = dropTombstoned(f0, seg.tombs)
       // deterministic winner per doc (see build): order by the facet payload
+      val payload = f.columns.filterNot(c => c == "doc" || c == "sv")
       val fw = org.apache.spark.sql.expressions.Window.partitionBy("doc")
-        .orderBy(f.columns.filterNot(_ == "doc").map(col): _*)
+        .orderBy(payload.map(col): _*)
       f.withColumn("__graft_rn", row_number().over(fw))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        .drop("sv").withColumn("sv", lit(v))
         .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
     }
     val files = lake.listParquet(s"$indexRoot/data/v$v")
@@ -142,18 +225,20 @@ object IndexJob {
   }
 
   /** Retrieval join over all live segments (R2): query terms ⨝ postings on
-    * term → explode → dedup (term,doc) by max tf (defensive: a chunk id
-    * indexed into two overlapping segments must not double-count tf or
-    * inflate df/N) → recompute global df per term → per-doc BM25 sum →
-    * top-k. Global stats (N, avgdl) come from the doc-deduped doclen union,
-    * so scores are identical to a fresh single-segment build over the whole
-    * corpus (asserted in spec). The dedup shuffle only touches postings that
-    * matched the broadcast query terms — bounded by query selectivity, not
-    * corpus size. */
+    * term → explode → drop tombstoned → dedup (term,doc) by max tf
+    * (defensive: a chunk id indexed into two overlapping segments must not
+    * double-count tf or inflate df/N) → recompute global df per term →
+    * per-doc BM25 sum → top-k. Global stats (N, avgdl) come from the
+    * doc-deduped, tombstone-filtered doclen union, so scores are identical
+    * to a fresh single-segment build over the live corpus (asserted in
+    * spec). The dedup shuffle only touches postings that matched the
+    * broadcast query terms — bounded by query selectivity, not corpus
+    * size; the tombstone anti-join on the postings side is equally
+    * query-bounded. */
   def search(spark: SparkSession, indexRoot: String, query: String, k: Int,
              facetWhere: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val (postingsAll, doclenRaw, facetsAll) = segments(spark, indexRoot)
+    val seg = segments(spark, indexRoot)
     // facet predicate (R1 x R2 — the reference's filtered-get-then-rank
     // flow, question_rag.py:130-194): keep = docs matching the metadata
     // predicate, applied to BOTH the posting rows (before the df window, so
@@ -161,11 +246,11 @@ object IndexJob {
     // FILTERED collection) — exactly the semantics of running BM25 over the
     // filtered corpus, without touching corpus text.
     val keep = facetWhere.map { w =>
-      val f = facetsAll.getOrElse(sys.error(
+      val f = seg.facets.getOrElse(sys.error(
         s"facet filter '$w' but no facets table committed in $indexRoot"))
-      f.filter(expr(w)).select("doc").dropDuplicates("doc")
+      dropTombstoned(f, seg.tombs).filter(expr(w)).select("doc").dropDuplicates("doc")
     }
-    val doclenAllDocs = doclenRaw.dropDuplicates("doc")
+    val doclenAllDocs = dropTombstoned(seg.doclen, seg.tombs).dropDuplicates("doc")
     val doclen = keep.fold(doclenAllDocs)(kd => doclenAllDocs.join(kd, Seq("doc"), "left_semi"))
     // stats as a broadcast 1-row relation (no eager head() — the
     // whole search is one job; at 100 TB doclen is a real table and the
@@ -174,14 +259,16 @@ object IndexJob {
       avg(col("dl").cast("double")).as("avgdl"))
 
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
-    val flat = postingsAll
-      .join(broadcast(qTerms), "term")
-      .select(col("term"), explode(col("postings")).as("p"))
-      .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"))
+    val flat = dropTombstoned(
+      seg.postings
+        .join(broadcast(qTerms), "term")
+        .select(col("term"), col("sv"), explode(col("postings")).as("p"))
+        .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"), col("sv")),
+      seg.tombs)
       .groupBy("term", "doc").agg(max("tf").as("tf"))
     keep.fold(flat)(kd => flat.join(kd, Seq("doc"), "left_semi"))
       .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
-      .join(doclen, "doc")
+      .join(doclen.select("doc", "dl"), "doc")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
       .withColumn("score",

@@ -2,7 +2,7 @@ package graft.jobs
 
 import graft.PageRow
 import graft.lake.LakeTable
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed production pipeline — the reference driver's
@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   *   ExtractJob.run   pages → chunk lake at  root/extract   (bucket resume)
   *   DedupJob.run     chunks → clean + dropped lineage at   root/dedup
-  *   IndexJob.build   clean  → BM25 segments at             root/index/g{v}
+  *   IndexJob         clean  → ONE BM25 index at            root/index
   *
   * Cross-stage resume: after dedup+index complete for extract version v,
   * the key `indexed-extract-v{v}` is committed to root/pipeline. A re-run
@@ -21,26 +21,37 @@ import org.apache.spark.sql.functions._
   * already make stage 1 a no-op, so a fully quiesced pipeline run touches
   * only manifests (the reference's progress_store fast path).
   *
-  * Index generations: each extract version indexes into a FRESH generation
-  * dir (root/index/g{v}). A changed page re-extracts its bucket and may
-  * REWRITE a chunk id's text; appending that as a segment would mix old and
-  * new postings under one doc id (the (term,doc) max-tf overlap dedup keeps
-  * the max, not the newest). Within a static or append-only corpus the
-  * generation contains ordinary append segments + compaction; doc-level
-  * mutation forces a new generation — the honest trade until doc
-  * tombstoning exists.
+  * **Incremental index sync** (the reference's per-id upsert,
+  * chroma_store.py:33-61): there is ONE index root for the pipeline's
+  * lifetime. The first indexing run builds + compacts it; every later run
+  * DIFFS the index's committed content identity (IndexJob.liveDocs —
+  * (doc, dochash) from the doclen tables) against the current deduped
+  * corpus:
+  *
+  *   toRemove = indexed ∖ corpus   on (doc, dochash)  → IndexJob.tombstone
+  *   toAdd    = corpus  ∖ indexed  on (doc, dochash)  → IndexJob.build
+  *
+  * A changed page therefore costs one tombstone commit + one segment
+  * append proportional to the CHANGE, not a rebuild of the whole corpus's
+  * index — and the diff also absorbs dedup flips (a doc whose duplicate
+  * vanished enters `toAdd`; a doc newly shadowed enters `toRemove`).
+  * Content identity (not just id) is diffed, so a rewritten chunk id
+  * (same `url#idx`, new text) lands in BOTH sets: its stale posting rows
+  * die by tombstone while the appended segment re-adds the id live —
+  * exactly the upsert semantics of the reference. Search over the synced
+  * index is provably identical to a fresh build over the current clean
+  * corpus (PipelineSpec asserts score equality).
   */
 object PipelineJob {
 
   final case class Result(extractVersion: Int, indexRoot: String,
-                          dedupDropped: Long, resumed: Boolean)
-
-  private val StageKey = "indexed-extract-v(\\d+)".r
+                          dedupDropped: Long, resumed: Boolean,
+                          tombstoned: Long = 0, appended: Long = 0)
 
   def run(spark: SparkSession, pages: Dataset[PageRow], root: String,
           nBuckets: Int = 16, jaccardThreshold: Double = 0.8): Result = {
     val er = ExtractJob.run(spark, pages, s"$root/extract", nBuckets)
-    val indexRoot = s"$root/index/g${er.version}"
+    val indexRoot = s"$root/index"
     val plake = new LakeTable(s"$root/pipeline")
     val stageKey = s"indexed-extract-v${er.version}"
     val done = plake.state.keyVersions.collectFirst {
@@ -72,20 +83,54 @@ object PipelineJob {
           Seq(s"dedup-extract-v${er.version}"), Nil, Map.empty)
         val nDropped = obs.get("n").asInstanceOf[Long]
 
-        // stage 3: index the cleaned corpus, compact to one live segment.
+        // stage 3: sync the ONE pipeline index to the cleaned corpus.
         // The url host rides along as a committed facet so the composed
         // index supports the reference's where=-filtered retrieval
         // (question_rag.py:130-194) out of the box.
-        IndexJob.build(spark,
-          dr.clean.select(col("cid").as("id"), col("text"),
-            lit(false).as("is_duplicate"),
-            graft.text.TextAnalysis.urlHostCol(col("cid")).as("host")),
-          indexRoot, facetCols = Seq("host"))
-        IndexJob.compact(spark, indexRoot)
+        val clean = dr.clean.select(col("cid").as("id"), col("text"),
+          lit(false).as("is_duplicate"),
+          graft.text.TextAnalysis.urlHostCol(col("cid")).as("host"))
+        val ilake = new LakeTable(indexRoot)
+        val (nTomb, nAdd) =
+          if (ilake.currentVersion == 0) {
+            // first build: whole corpus as one segment, compacted to one
+            IndexJob.build(spark, clean, indexRoot, facetCols = Seq("host"))
+            IndexJob.compact(spark, indexRoot)
+            (0L, -1L) // -1 = full build (appended count not tracked)
+          } else incrementalSync(spark, clean, indexRoot)
 
         // stage barrier: downstream stages for this extract version are done
         plake.commit(Nil, Seq(stageKey), Nil, Map("dropped" -> nDropped.toDouble))
-        Result(er.version, indexRoot, nDropped, resumed = false)
+        Result(er.version, indexRoot, nDropped, resumed = false,
+          tombstoned = nTomb, appended = nAdd)
     }
+  }
+
+  /** Diff the committed index identity against the current corpus; commit
+    * only the delta (one tombstone snapshot + one appended segment, either
+    * skipped when empty). Returns (tombstoned, appended) doc counts —
+    * driver-visible scalars for lineage, ridden on the writes (the
+    * tombstone/build jobs themselves), not separate count() jobs. */
+  private def incrementalSync(spark: SparkSession, clean: DataFrame,
+                              indexRoot: String): (Long, Long) = {
+    graft.functions.GraftFunctions.register(spark)
+    val indexed = IndexJob.liveDocs(spark, indexRoot)
+    val current = clean.select(col("id").as("doc"),
+      graft.functions.GraftFunctions.md5Top64(col("text")).as("dochash"))
+    // identity = (doc, dochash): same id with rewritten text shows up in
+    // both deltas, which is exactly upsert
+    val toRemove = indexed.join(current, Seq("doc", "dochash"), "left_anti")
+    val toAdd = current.join(indexed, Seq("doc", "dochash"), "left_anti")
+      .select("doc")
+    // the deltas drive commit decisions (scalars) — their size is bounded
+    // by the corpus CHANGE, not the corpus
+    val nRemove = toRemove.count()
+    val nAdd = toAdd.count()
+    if (nRemove > 0) IndexJob.tombstone(spark, indexRoot, toRemove.select("doc"))
+    if (nAdd > 0)
+      IndexJob.build(spark,
+        clean.join(toAdd.withColumnRenamed("doc", "id"), Seq("id"), "left_semi"),
+        indexRoot, facetCols = Seq("host"))
+    (nRemove, nAdd)
   }
 }

@@ -188,20 +188,7 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
   // Hand-rolled (no JSON lib beyond Spark's internals is guaranteed):
   // flat structure, strings escaped.
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    // Brackets/braces are the readManifest field terminators (the lazy
-    // regexes stop at the first ']' / '}'): escaping them in string content
-    // makes the codec injective — a path or lineage value containing ']' can
-    // no longer truncate the files/keys array or garble a lineage row.
-    case c @ ('[' | ']' | '{' | '}') => f"\\u${c.toInt}%04x"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def esc(s: String): String = LakeTable.esc(s)
 
   private def manifestJson(m: Manifest): String = {
     val files = m.files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
@@ -279,10 +266,32 @@ final class LakeTable(val root: String, val checkpointInterval: Int = 16) {
     if (!Files.exists(p)) Nil
     else {
       val stream = Files.walk(p)
+      // absolute+normalized at record time: manifest entries must join
+      // exactly against scan-side provenance regardless of how the caller
+      // spelled the table root (a relative root reaches here via the CLI)
       try stream.iterator().asScala
         .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-        .map(_.toString).toSeq.sorted
+        .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
       finally stream.close()
     }
+  }
+}
+
+/** Engine-wide JSON string escaper — ONE codec for every hand-built JSON
+  * surface (manifests, checkpoints, the CLI's one-line results), so a doc
+  * id or path containing quotes/backslashes/control chars can never emit
+  * corrupt JSON anywhere. Brackets/braces also escape (as `[` etc.,
+  * still-valid JSON) because the manifest reader's lazy field terminators
+  * require an injective codec. */
+object LakeTable {
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c @ ('[' | ']' | '{' | '}') => f"\\u${c.toInt}%04x"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }

@@ -106,9 +106,9 @@ object StreamExtract {
     * a pair may be re-emitted once per shared band and per redelivery
     * (consumers dedup by (url, duplicate_of) — at-least-once verdicts).
     * State is bounded by distinct buckets × maxBucket × 1 KB — corpus
-    * content, not stream length; for unbounded-vocabulary streams compose
-    * a GroupStateTimeout eviction and accept recall decay on evicted
-    * buckets. */
+    * content, not stream length; for unbounded-vocabulary streams use
+    * [[nearDupVerdictsEvicting]], which bounds state by watermark-driven
+    * eviction at the price of recall decay on evicted buckets. */
   def nearDupVerdicts(docs: Dataset[(String, String)], threshold: Double = 0.8,
                       maxBucket: Int = 64)(
       implicit spark: SparkSession): Dataset[(String, String)] = {
@@ -135,6 +135,62 @@ object StreamExtract {
           }
           state.update(members)
           out.result().iterator
+        })
+  }
+
+  /** [[nearDupVerdicts]] with **watermark-driven state eviction** — the
+    * unbounded-vocabulary-stream form: rows carry an event timestamp, and
+    * an LSH bucket whose newest arrival has fallen `evictAfterMs` behind
+    * the event-time watermark is REMOVED from state
+    * (`GroupStateTimeout.EventTimeTimeout`). State is then bounded by the
+    * bucket-arrival rate × the eviction horizon — independent of total
+    * stream vocabulary, the property `NoTimeout` cannot give.
+    *
+    * The documented tradeoff is RECALL DECAY: a near-duplicate of a
+    * document whose buckets were evicted is NOT flagged (it re-seeds the
+    * buckets as a fresh member instead). Precision is unaffected — every
+    * emitted verdict still names a genuinely co-bucketed, estimator-passing
+    * member. StreamDedupSpec pins both halves: the bounded-state row count
+    * after eviction and the missed verdict on an evicted bucket. */
+  def nearDupVerdictsEvicting(docs: Dataset[(String, String, java.sql.Timestamp)],
+                              threshold: Double = 0.8, maxBucket: Int = 64,
+                              watermarkDelay: String = "0 seconds",
+                              evictAfterMs: Long = 10 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[(String, String)] = {
+    import spark.implicits._
+    import graft.dedup.MinHash
+    val banded = docs.flatMap { case (url, text, ts) =>
+      val sig = MinHash.signature(text)
+      MinHash.bandHashes(sig).zipWithIndex.map { case (h, b) => (b, h, url, sig, ts) }
+    }.withWatermark("_5", watermarkDelay)
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long),
+         rows: Iterator[(Int, Long, String, Array[Long], java.sql.Timestamp)],
+         state: GroupState[Seq[(String, Array[Long])]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[(String, String)]
+            var maxTs = Long.MinValue
+            rows.toVector.sortBy(_._3).foreach { case (_, _, url, sig, ts) =>
+              maxTs = math.max(maxTs, ts.getTime)
+              members.foreach { case (mu, ms) =>
+                if (mu != url && MinHash.estJaccard(ms, sig) >= threshold)
+                  out += ((url, mu))
+              }
+              if (members.size < maxBucket && !members.exists(_._1 == url))
+                members = members :+ ((url, sig))
+            }
+            state.update(members)
+            // evict when the watermark passes the bucket's newest arrival by
+            // the horizon (clamped above the current watermark — Spark
+            // rejects timeouts at or below it)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1) + evictAfterMs)
+            out.result().iterator
+          }
         })
   }
 

@@ -38,7 +38,11 @@ object PathMeta {
     "SEM1" -> "1", "SEM2" -> "2", "SEMESTER1" -> "1", "SEMESTER2" -> "2")
 
   def parse(path: String): Meta = {
-    val parts = path.split("/").filter(_.nonEmpty)
+    // pathlib parity: Path.parts keeps the root anchor as its own leading
+    // part, so an absolute 4-segment path yields department "/" (exactly
+    // what the reference's parts[-5] sees), not "".
+    val split = path.split("/").filter(_.nonEmpty)
+    val parts = if (path.startsWith("/")) "/" +: split else split
     def at(i: Int) = if (parts.length >= i) parts(parts.length - i) else ""
     val filename = at(1)
     val courseFolder = at(2)
@@ -49,7 +53,12 @@ object PathMeta {
     val levelFromSegment =
       LevelRe.findFirstIn(levelRaw.replaceAll("(?i)level", "")).getOrElse("")
     val sem = Sem.getOrElse(semesterRaw.trim.toUpperCase.replace(" ", ""), "")
-    val stem = filename.replaceAll("\\.[^.]*$", "")
+    // pathlib Path.stem parity (CPython: strip name[i:] only when
+    // 0 < i < len-1 for i = name.rfind('.')): ".hidden" and "file." keep
+    // their dot — a plain strip-last-suffix regex diverges on both.
+    val dot = filename.lastIndexOf('.')
+    val stem =
+      if (dot > 0 && dot < filename.length - 1) filename.substring(0, dot) else filename
 
     val fromFolder = CourseRe.findFirstMatchIn(courseFolder)
       .map(m => (m.group(1).toUpperCase, m.group(2)))

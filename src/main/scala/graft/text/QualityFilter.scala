@@ -31,13 +31,17 @@ object QualityFilter {
       maxDup5Frac: Double = 0.15,
       maxTopWordFrac: Double = 0.2)
 
-  /** (id, keep, reasons) per document. */
+  /** (id, keep, reasons) per document. Ids stay STRINGS like every sibling
+    * operator (DedupJob/IndexJob/Knn) — url- or chunk-keyed relations
+    * (`doc://5#0`) pass through unchanged; numeric callers cast the output.
+    * Null text is treated as empty (gated by too_few_words, not a crash). */
   def annotate(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                t: Thresholds = Thresholds()): DataFrame = {
     import spark.implicits._
     val th = t // local copy — the closure must not capture `this`
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-      .as[(Long, String)]
+    docs.select(col(idCol).cast("string").as("id"),
+        coalesce(col(textCol).cast("string"), lit("")).as("text"))
+      .as[(String, String)]
       .map { case (id, text) =>
         val ws = text.split("\\s+").count(_.nonEmpty)
         val (dl, d5, tw) = TextAnalysis.repetitionRatios(text)

@@ -45,6 +45,38 @@ class AnnIndexSpec extends SparkSuiteBase {
       k = 3, nProbe = 2, dim = dim)) == expected)
   }
 
+  test("compaction: merged cells search-identical; later appends still work") {
+    val queries = emb.filter(col("id") < 5)
+    val root = Files.createTempDirectory("annidx-cmp").toString
+    // three appended segments under shared centroids
+    AnnIndexJob.build(spark, emb.filter(col("id") < 80), "id", "v", root, nCells = 8, dim = dim)
+    AnnIndexJob.build(spark, emb.filter(col("id") >= 80 && col("id") < 140), "id", "v",
+      root, nCells = 8, dim = dim)
+    AnnIndexJob.build(spark, emb.filter(col("id") >= 140), "id", "v", root, nCells = 8, dim = dim)
+    val before = collectRanked(AnnIndexJob.search(spark, root, queries, "id", "v",
+      k = 3, nProbe = 2, dim = dim))
+    val cv = AnnIndexJob.compact(spark, root)
+    assert(cv == 4)
+    val after = collectRanked(AnnIndexJob.search(spark, root, queries, "id", "v",
+      k = 3, nProbe = 2, dim = dim))
+    assert(after == before, "compaction changed ANN search results")
+    // the merged segment is the ONLY live one: exactly one cells dir feeds
+    // the post-compaction union (bounded-segment-count property)
+    val lake = new graft.lake.LakeTable(root)
+    val liveCellDirs = lake.state.fileVersions.map(_._1)
+      .filter(_.contains("/cells/"))
+      .map(_.replaceAll("/cells/.*$", "")).distinct
+    assert(liveCellDirs.exists(_.endsWith(s"/v$cv")))
+    // a segment appended AFTER compaction participates again
+    val extra = Seq((500L, Array.tabulate(dim)(k =>
+      (Hashing.mix64(500L * 131 + k) >>> 11).toDouble / (1L << 53).toDouble - 0.5)))
+      .toDF("id", "v")
+    AnnIndexJob.build(spark, extra, "id", "v", root, nCells = 8, dim = dim)
+    val withExtra = AnnIndexJob.search(spark, root, queries, "id", "v",
+      k = 200, nProbe = 8, dim = dim)
+    assert(withExtra.filter(col("id") === "500").count() > 0)
+  }
+
   test("wrong-dim vectors are skipped at build and search, not failures") {
     val poisoned = emb.unionByName(
       Seq((900L, Array(1.0, 2.0))).toDF("id", "v")) // dim 2 row

@@ -189,6 +189,63 @@ class IndexExprSpec extends SparkSuiteBase {
     chunks.unpersist()
   }
 
+  test("tombstones: delete + same-id upsert honored by search, purged by compact") {
+    def freshOver(rows: Seq[(String, String)], q: String): Seq[(String, Double)] = {
+      val r = Files.createTempDirectory("graft-tomb-ref").toString
+      IndexJob.build(spark, rows.toDF("id", "text").withColumn("is_duplicate", lit(false)), r)
+      IndexJob.search(spark, r, q, 10).collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    }
+    def hits(root: String, q: String): Seq[(String, Double)] =
+      IndexJob.search(spark, root, q, 10).collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+
+    val idxRoot = Files.createTempDirectory("graft-tomb").toString
+    IndexJob.build(spark, Seq(
+      ("c1", "alpha beta gamma"), ("c2", "alpha alpha delta"), ("c3", "beta epsilon zeta"))
+      .toDF("id", "text").withColumn("is_duplicate", lit(false)), idxRoot)
+
+    // DELETE: tombstone c2 — scores (incl. df/N/avgdl) match a fresh build
+    // over the surviving corpus, not merely a filtered result list
+    IndexJob.tombstone(spark, idxRoot, Seq("c2").toDF("doc"))
+    assert(hits(idxRoot, "alpha beta") ==
+      freshOver(Seq(("c1", "alpha beta gamma"), ("c3", "beta epsilon zeta")), "alpha beta"))
+
+    // UPSERT: tombstone c1 then re-append the SAME id with new text — the
+    // newer segment's rows survive the older markers (tv > sv comparison)
+    IndexJob.tombstone(spark, idxRoot, Seq("c1").toDF("doc"))
+    IndexJob.build(spark, Seq(("c1", "omega beta psi"))
+      .toDF("id", "text").withColumn("is_duplicate", lit(false)), idxRoot)
+    val want = Seq(("c1", "omega beta psi"), ("c3", "beta epsilon zeta"))
+    for (q <- Seq("omega", "beta", "alpha gamma", "epsilon beta omega"))
+      assert(hits(idxRoot, q) == freshOver(want, q), s"query '$q' diverged")
+    // the index's committed content identity reflects the upsert
+    assert(IndexJob.liveDocs(spark, idxRoot).select("doc").as[String].collect().toSet
+      == Set("c1", "c3"))
+
+    // COMPACT: purges dead rows, retires markers, search unchanged
+    IndexJob.compact(spark, idxRoot)
+    for (q <- Seq("omega", "beta", "alpha gamma"))
+      assert(hits(idxRoot, q) == freshOver(want, q), s"post-compact query '$q' diverged")
+    assert(hits(idxRoot, "delta").isEmpty) // c2 really purged
+  }
+
+  test("mixed segments: facet-less segment discovered via manifest, filtered search sound") {
+    val idxRoot = Files.createTempDirectory("graft-mixf").toString
+    IndexJob.build(spark, Seq(("f1", "alpha beta", "en"), ("f2", "alpha gamma", "de"))
+      .toDF("id", "text", "lang").withColumn("is_duplicate", lit(false)),
+      idxRoot, facetCols = Seq("lang"))
+    // second segment commits NO facet table — discovery must come from the
+    // manifest record, not a directory probe
+    IndexJob.build(spark, Seq(("f3", "alpha delta"))
+      .toDF("id", "text").withColumn("is_duplicate", lit(false)), idxRoot)
+    // unfiltered search sees all three docs
+    assert(IndexJob.search(spark, idxRoot, "alpha", 10).collect().length == 3)
+    // facet-filtered search: only docs present in the committed facet tables
+    // can match the predicate
+    val en = IndexJob.search(spark, idxRoot, "alpha", 10, facetWhere = Some("lang = 'en'"))
+      .collect().map(_.getString(0)).toSeq
+    assert(en == Seq("f1"))
+  }
+
   test("overlapping segments: doc indexed twice does not double-count tf/df/N") {
     val idxRoot = Files.createTempDirectory("graft-ovl").toString
     val refRoot = Files.createTempDirectory("graft-ovl-ref").toString

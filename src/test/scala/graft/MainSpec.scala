@@ -21,9 +21,8 @@ class MainSpec extends SparkSuiteBase {
     // CLI path itself must survive a re-run)
     Main.run(spark, List("pipeline", s"$base/pages", s"$base/root", "8", "0.8"))
 
-    val gen = new java.io.File(s"$base/root/index").listFiles().map(_.getName).sorted
-    assert(gen.nonEmpty, s"no index generation under $base/root/index")
-    val hits = jobs.IndexJob.search(spark, s"$base/root/index/${gen.head}",
+    // single index root for the pipeline's lifetime (upsert-synced)
+    val hits = jobs.IndexJob.search(spark, s"$base/root/index",
       "newton raphson method", 3).collect()
     assert(hits.nonEmpty)
 
@@ -46,7 +45,31 @@ class MainSpec extends SparkSuiteBase {
     vecs.write.parquet(s"$base/vecs")
     Main.run(spark, List("ann-build", s"$base/vecs", s"$base/ann", "8", "16"))
     Main.run(spark, List("ann-search", s"$base/ann", s"$base/vecs", "3", "2", "16"))
+    Main.run(spark, List("ann-compact", s"$base/ann"))
     assert(jobs.AnnIndexJob.search(spark, s"$base/ann",
       spark.read.parquet(s"$base/vecs").limit(5), "id", "vec", 3, 2, 16).count() > 0)
+  }
+
+  test("CLI search: quote/backslash-bearing doc ids emit valid one-line JSON") {
+    val base = Files.createTempDirectory("graft-cli-esc").toString
+    // doc ids come from arbitrary user chunk tables — adversarial ids here
+    val chunks = Seq(
+      ("""he said "hello" \ there""", "spark filter join table terms", false),
+      ("plain-id", "spark filter join table terms too", false))
+      .toDF("id", "text", "is_duplicate")
+    chunks.write.parquet(s"$base/chunks")
+    Main.run(spark, List("index", s"$base/chunks", s"$base/idx"))
+
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, List("search", s"$base/idx", "spark filter", "5"))
+    }
+    val line = buf.toString("UTF-8").linesIterator
+      .find(_.startsWith("""{"command":"search"""")).getOrElse(fail("no search line"))
+    // must parse as JSON and round-trip the adversarial id
+    val parsed = spark.read.json(Seq(line).toDS())
+    val docs = parsed.select(explode(col("hits")).as("h")).select("h.doc")
+      .as[String].collect().toSet
+    assert(docs == Set("""he said "hello" \ there""", "plain-id"), s"got $docs")
   }
 }

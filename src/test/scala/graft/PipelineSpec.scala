@@ -95,7 +95,9 @@ class PipelineSpec extends SparkSuiteBase {
 
     // a changed page (new crawl timestamp — change detection is metadata-
     // only, like the reference's size/mtime check) invalidates its bucket:
-    // new extract version, new index generation, downstream stages re-run
+    // new extract version, downstream stages re-run — but the ONE index is
+    // UPSERTED (tombstone the rewritten chunk id + append one delta
+    // segment), never rebuilt
     val pages3 = spark.createDataset(
       (0 until 20).map(i =>
         if (i == 5) page(i, body("rewritten five now"), ts = 2000L)
@@ -104,10 +106,45 @@ class PipelineSpec extends SparkSuiteBase {
     val r3 = graft.jobs.PipelineJob.run(spark, pages3, root,
       nBuckets = 4, jaccardThreshold = 0.8)
     assert(!r3.resumed && r3.extractVersion > r1.extractVersion)
-    assert(r3.indexRoot != r1.indexRoot)
+    // SINGLE index generation: same root object, synced in place
+    assert(r3.indexRoot == r1.indexRoot)
+    // the delta is proportional to the CHANGE (one rewritten chunk id),
+    // not the 20-doc corpus — the tombstone+append upsert, not a rebuild
+    assert(r3.tombstoned == 1, s"tombstoned=${r3.tombstoned}")
+    assert(r3.appended == 1, s"appended=${r3.appended}")
+    val ilake = new graft.lake.LakeTable(r3.indexRoot)
+    assert(ilake.committedKeys.exists(_.startsWith("tombstone-v")))
     val hits3 = IndexJob.search(spark, r3.indexRoot, "rewritten five", 5)
       .collect()
     assert(hits3.nonEmpty && hits3.head.getString(0).startsWith("https://p.example/d5#"))
+    // the superseded text is gone from retrieval: "variant5" only ever
+    // appeared in d5's OLD body, whose posting rows are now tombstoned
+    assert(IndexJob.search(spark, r3.indexRoot, "variant5", 5).collect().isEmpty)
+
+    // upsert-synced index ≡ fresh build over the current corpus: identical
+    // scores for the corpus-wide query (df/N/avgdl all reflect the synced
+    // live doc set exactly)
+    val freshRoot = Files.createTempDirectory("graft-pjob-fresh").toString
+    val curChunks = graft.jobs.ExtractJob.readChunks(spark, s"$root/extract")
+    val curDocs = curChunks.filter(!col("is_duplicate"))
+      .select(concat(col("url"), lit("#"), col("chunk_index")).as("cid"), col("text"))
+    val curClean = DedupJob.run(spark, curDocs, urlCol = "cid", textCol = "text",
+      jaccardThreshold = 0.8).clean
+    IndexJob.build(spark, curClean.select(col("cid").as("id"), col("text"),
+      lit(false).as("is_duplicate")), freshRoot)
+    val freshHits = IndexJob.search(spark, freshRoot, "spark filter join table", 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val syncedHits = IndexJob.search(spark, r3.indexRoot, "spark filter join table", 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(syncedHits == freshHits)
+
+    // compaction PURGES tombstoned rows and retires the markers; search is
+    // unchanged across it
+    IndexJob.compact(spark, r3.indexRoot)
+    val compactedHits = IndexJob.search(spark, r3.indexRoot, "spark filter join table", 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(compactedHits == syncedHits)
+    assert(IndexJob.search(spark, r3.indexRoot, "variant5", 5).collect().isEmpty)
 
     // the composed index carries the url host as a committed facet
     val onHost = IndexJob.search(spark, r3.indexRoot, "spark filter join table", 100,

@@ -141,6 +141,54 @@ class StreamDedupSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("nearDupVerdictsEvicting: idle buckets evicted — bounded state, recall decay pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val base = "a sufficiently long paragraph body with plenty of words spread " +
+      "around to make the minhash signature stable and carry enough shingles " +
+      "for a reliable estimate of similarity between planted mutants"
+    val noise1 = "completely different content about streams windows joins and " +
+      "aggregations that shares no shingles at all with the planted base paragraph"
+    val noise2 = "an entirely new third document mentioning catalysts executors " +
+      "shuffles partitions broadcasts and nothing from either earlier text family"
+    val stream = MemoryStream[(String, String, java.sql.Timestamp)]
+    val out = StreamExtract.nearDupVerdictsEvicting(stream.toDS(),
+      threshold = 0.8, evictAfterMs = 60 * 1000L).toDF("url", "duplicate_of")
+    val q = out.writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    try {
+      // timestamps sit well above epoch 0: the query starts with watermark
+      // 0, and a row whose event time ties the watermark is dropped as late
+      // — t=0 data would never seed state
+      // b1: seed a@t=1000
+      stream.addData(("a", base, ts(1000)))
+      q.processAllAvailable()
+      // b2: b@t=1030 — INSIDE the 60 s horizon (watermark 1000) → flagged
+      stream.addData(("b", base + " tail marker", ts(1030)))
+      q.processAllAvailable()
+      // b3 advances the watermark past a/b's timeout (1030 s + 60 s);
+      // b4 is the batch where those groups actually time out (timeouts fire
+      // against the PREVIOUS batch's watermark)
+      stream.addData(("x1", noise1, ts(1600)))
+      q.processAllAvailable()
+      stream.addData(("x2", noise2, ts(1610)))
+      q.processAllAvailable()
+      // b5: c is a near-dup of a, but a's buckets were evicted → NO verdict
+      // (the recall-decay half of the contract); c re-seeds as fresh member
+      stream.addData(("c", base + " other ending", ts(1620)))
+      q.processAllAvailable()
+
+      val rows = spark.sql("SELECT url, duplicate_of FROM neardup_evict")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows.nonEmpty && rows.forall(_ == ("b", "a")), s"got $rows")
+
+      // the bounded-state half: only x1/x2/c's buckets remain (≤ 3 × 32
+      // band keys); had a/b's groups survived, the count would exceed 128
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 96, s"state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
+
   private implicit class MapOps(rows: Array[(String, Boolean, String)]) {
     def toMap2: Map[String, (Boolean, String)] =
       rows.map { case (u, d, k) => u -> (d, k) }.toMap
