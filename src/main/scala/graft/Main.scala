@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *   dedup     <docsParquet> <outDir> [jaccard]             corpus dedup + lineage
   *   index     <chunksParquet> <indexRoot>                  append a BM25 segment
   *   compact   <indexRoot>                                  merge live segments
+  *   tombstone <indexRoot> <docIdsParquet>                  per-doc delete markers
   *   search    <indexRoot> <query> [k] [facetWhere]         BM25 over the index
   *   ann-build <vecParquet> <indexRoot> [nCells] [dim]      materialized IVF
   *   ann-search <indexRoot> <queryParquet> [k] [nProbe] [dim]
   *   ann-compact <indexRoot>                                merge cell segments
+  *   ann-tombstone <indexRoot> <idsParquet>                 per-id delete markers
   *
   * Input schemas are the engine's public row types: pages
   * (url, warc_ts, html, text, lang), docs (url, text), chunks
@@ -30,10 +32,16 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
-    val spark = SparkSession.builder()
+    // spark-submit supplies spark.master as a system property; absent that
+    // (plain `sbt runMain`), default to local mode as the scaladoc promises
+    val builder = SparkSession.builder()
       .appName(s"graft-${args.head}")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
+      builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toList)
     finally spark.stop()
@@ -107,9 +115,21 @@ object Main {
           spark.read.parquet(queries), "id", "vec", k, nProbe, dim).count()
         println(s"""{"command":"ann-search","result_rows":$n}""")
 
+      case "tombstone" :: indexRoot :: ids :: Nil =>
+        val df = spark.read.parquet(ids)
+        val v = jobs.IndexJob.tombstone(spark, indexRoot,
+          df.select(col(df.columns.head).as("doc")))
+        println(s"""{"command":"tombstone","segment":$v}""")
+
       case "ann-compact" :: indexRoot :: Nil =>
         val v = jobs.AnnIndexJob.compact(spark, indexRoot)
         println(s"""{"command":"ann-compact","segment":$v}""")
+
+      case "ann-tombstone" :: indexRoot :: ids :: Nil =>
+        val df = spark.read.parquet(ids)
+        val v = jobs.AnnIndexJob.tombstone(spark, indexRoot,
+          df.select(col(df.columns.head).as("id")))
+        println(s"""{"command":"ann-tombstone","segment":$v}""")
 
       case other => throw new IllegalArgumentException(
         s"unknown command: ${other.headOption.getOrElse("")}\n$usage")
@@ -117,6 +137,6 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.Main <pipeline|extract|dedup|index|compact|search|ann-build|ann-search|ann-compact> <args...>
+    """usage: graft.Main <pipeline|extract|dedup|index|compact|tombstone|search|ann-build|ann-search|ann-compact|ann-tombstone> <args...>
       |see the object scaladoc for per-command arguments""".stripMargin
 }

@@ -35,6 +35,9 @@ object SparkEntry {
   /** sf dir → tombstone-upserted index root for q_index_upsert. */
   private val upsertIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** sf dir → tombstone-upserted ANN index root for q_ann_upsert. */
+  private val annUpsertRootFor = scala.collection.mutable.HashMap.empty[String, String]
+
   /** JVM-scoped scratch dir, removed on exit so repeated Verify/Bench
     * invocations don't accumulate trees under /tmp. Root overridable via
     * the `graft.scratch` system property / `SPARK_GRAFT_SCRATCH` env —
@@ -473,6 +476,32 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
+    // --- per-id VECTOR upsert over the materialized ANN index (the
+    // reference's chroma upsert, chroma_store.py:33-61): full corpus as
+    // segment 1; every vec_id % 20 == 17 is then tombstoned and re-appended
+    // with its NEGATED vector (exact in floating point, so the DuckDB
+    // oracle replicates it with list_transform). Mutated ids are all ≥ 17 —
+    // outside the 16 smallest training ids — so centroids match the
+    // oracle's ORDER BY id LIMIT nCells over the updated source. Search
+    // must rank against the POST-upsert vectors: stale cell rows die by
+    // tv > sv, the re-appended rows (possibly in different cells) survive.
+    "q_ann_upsert" -> ((s, dir) => {
+      val root = annUpsertRootFor.synchronized(annUpsertRootFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-annups-")
+        val emb = t(s, dir, "embeddings")
+        graft.jobs.AnnIndexJob.build(s, emb, "vec_id", "embedding", r)
+        val changed = emb.filter(col("vec_id") % 20 === 17)
+        graft.jobs.AnnIndexJob.tombstone(s, r,
+          changed.select(col("vec_id").cast("string").as("id")))
+        graft.jobs.AnnIndexJob.build(s,
+          changed.withColumn("embedding", transform(col("embedding"), x => -x)),
+          "vec_id", "embedding", r)
+        r
+      }))
+      graft.jobs.AnnIndexJob.search(s, root,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+    }),
     // --- A5 facet summary via grouping sets (cube)
     "q_facet_cube" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -880,8 +909,8 @@ object SparkEntry {
     * normalized formula, queries probe their nProbe nearest cells, exact
     * cosine over probed members, rank window. */
   private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int, nQueries: Int,
-                           dim: Int = 64): String =
-    s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id AS nid, embedding::DOUBLE[] AS vec FROM embeddings),
+                           dim: Int = 64, src: String = "embeddings"): String =
+    s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id AS nid, embedding::DOUBLE[] AS vec FROM $src),
        | cent AS (SELECT row_number() OVER (ORDER BY nid) - 1 AS cidx, vec AS cvec
        |   FROM (SELECT nid, vec FROM v WHERE len(vec) = $dim ORDER BY nid LIMIT $nCells)),
        | vc AS (SELECT v.id, v.nid, c.cidx,
@@ -1577,6 +1606,14 @@ object SparkEntry {
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf
       "q_ann_index" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
+      // per-id vector upsert == IVF over the POST-upsert vector source
+      // (negation is exact in floating point; mutated ids are outside the
+      // centroid training prefix, so cells/centroids replicate)
+      "q_ann_upsert" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10,
+        src = """(SELECT vec_id,
+                 |   CASE WHEN vec_id % 20 = 17 THEN list_transform(embedding, x -> -x)
+                 |        ELSE embedding END AS embedding
+                 | FROM embeddings)""".stripMargin),
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(

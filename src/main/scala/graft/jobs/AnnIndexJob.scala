@@ -18,6 +18,9 @@ import graft.lake.LakeTable
   *           never touched at query time
   *   compact merge all live cell segments into one (key `ann-compact-vN`),
   *           so unbounded append counts never degrade query-time unions
+  *   tombstone per-id delete markers honored by search/compact via the
+  *           tv>sv version rule — tombstone + re-append = per-id vector
+  *           UPSERT (the reference's chroma upsert, chroma_store.py:33-61)
   *
   * Layout lever: cell lists are written repartitioned+sorted by cell id, so
   * the probed-cell filter prunes via parquet min/max row-group stats — at
@@ -65,8 +68,11 @@ object AnnIndexJob extends Serializable {
         if (vec == null || vec.length != dim) Iterator.empty
         else Iterator.single((id, cellOf(bc.value, vec, dim), vec))
       }).toDF("id", "cell", "vec")
-    // sorted-by-cell layout: the probed-cell filter prunes row groups
-    members.repartition(col("cell")).sortWithinPartitions("cell")
+    // sorted-by-cell layout: the probed-cell filter prunes row groups.
+    // `sv` = the segment's commit version (constant column, RLE ≈ free):
+    // the tombstone tv>sv comparison needs each row's segment age.
+    members.withColumn("sv", lit(v))
+      .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/cells")
 
     lake.commit(lake.listParquet(s"$indexRoot/data/v$v"), Seq(s"ann-segment-v$v"),
@@ -97,15 +103,12 @@ object AnnIndexJob extends Serializable {
     // the probed-cell set is <= nCells ints — a scalar-sized driver collect
     // that turns the cell filter into storage-level pruning
     val probed = qprobes.select("cell").distinct().as[Int].collect().toSeq
-    // distinct() defends overlapping appends (a re-run after partial
-    // failure re-appending the same vectors): without it a re-appended id
-    // occupies multiple top-k slots. Applied AFTER the probed-cell filter,
-    // so the dedup shuffle is bounded by probe selectivity, not index
-    // size. Same-id DIFFERENT-vector re-appends are a mutation — like
-    // PipelineJob's index generations, mutation needs a fresh index root.
-    val cells = spark.read.parquet(liveCellFiles(lake): _*)
-      .filter(col("cell").isin(probed: _*))
-      .distinct()
+    // liveCells: probed-cell filter FIRST (storage-level pruning; the
+    // tombstone anti-join and the defensive distinct against identical
+    // re-appends are both bounded by probe selectivity, not index size).
+    // Same-id DIFFERENT-vector updates are first-class now: tombstone the
+    // id, then build a segment with the new vector ([[tombstone]]).
+    val cells = liveCells(spark, lake, _.filter(col("cell").isin(probed: _*)))
 
     val scored = qprobes.join(cells, "cell")
       .filter(col("qid") =!= col("id"))
@@ -116,8 +119,56 @@ object AnnIndexJob extends Serializable {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Commit per-id delete markers (key `ann-tombstone-vN`): every id in
+    * `ids` (column `id`) is dead in all cell segments committed BEFORE this
+    * call; a later [[build]] may re-append the id with a NEW vector and the
+    * newer rows survive the same markers (`tv > sv`) — per-id vector UPSERT,
+    * the reference's chroma upsert semantics (chroma_store.py:33-61),
+    * without rewriting any segment. */
+  def tombstone(spark: SparkSession, indexRoot: String, ids: DataFrame): Int = {
+    val lake = new LakeTable(indexRoot)
+    require(lake.currentVersion > 0, s"no committed ANN index at $indexRoot")
+    val v = lake.currentVersion + 1
+    ids.select(col("id").cast("string").as("id")).dropDuplicates("id")
+      .withColumn("tv", lit(v))
+      .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/tombstones")
+    lake.commit(lake.listParquet(s"$indexRoot/data/v$v"),
+      Seq(s"ann-tombstone-v$v"), Nil, Map.empty)
+    v
+  }
+
   private val AnnCompactKey = "ann-compact-v(\\d+)".r
   private val CellsFile = ".*/data/v(\\d+)/cells/.*\\.parquet".r
+  private val TombFile = ".*/data/v(\\d+)/tombstones/.*\\.parquet".r
+
+  /** Live cell rows: manifest-resolved union of live cell files, minus
+    * rows whose id has a live tombstone newer than the row's segment
+    * (tv > sv), with `sv` dropped and the defensive distinct applied AFTER
+    * the version filter (identical re-appends at different versions must
+    * still collapse to one row). `preFilter` narrows the scan (probed-cell
+    * pruning) before the anti-join. */
+  private def liveCells(spark: SparkSession, lake: LakeTable,
+                        preFilter: DataFrame => DataFrame): DataFrame = {
+    val floor = compactFloor(lake)
+    val tombFiles = lake.state.fileVersions.map(_._1).collect {
+      case f @ TombFile(v) if v.toInt >= floor => f
+    }
+    val cells = preFilter(spark.read.parquet(liveCellFiles(lake): _*))
+    val alive =
+      if (tombFiles.isEmpty) cells
+      else {
+        val tb = spark.read.parquet(tombFiles: _*)
+        cells.join(tb, cells("id") === tb("id") && tb("tv") > cells("sv"), "left_anti")
+      }
+    alive.drop("sv").distinct()
+  }
+
+  private def compactFloor(lake: LakeTable): Int = {
+    val compactedAt = lake.committedKeys.collect {
+      case AnnCompactKey(n) => n.toInt
+    }.foldLeft(0)(math.max)
+    math.max(1, compactedAt)
+  }
 
   /** Live cell files, **manifest-resolved** (`lake.state.fileVersions`, the
     * same object-store-friendly liveness discipline as ExtractJob/IndexJob
@@ -125,11 +176,9 @@ object AnnIndexJob extends Serializable {
     * the newest compaction. Compacted-away segment dirs stay on disk for
     * time travel but leave the query union. */
   private def liveCellFiles(lake: LakeTable): Seq[String] = {
-    val compactedAt = lake.committedKeys.collect {
-      case AnnCompactKey(n) => n.toInt
-    }.foldLeft(0)(math.max)
+    val floor = compactFloor(lake)
     val files = lake.state.fileVersions.map(_._1).collect {
-      case f @ CellsFile(v) if v.toInt >= math.max(1, compactedAt) => f
+      case f @ CellsFile(v) if v.toInt >= floor => f
     }
     require(files.nonEmpty, s"no live cell segments committed at ${lake.root}")
     files
@@ -144,10 +193,13 @@ object AnnIndexJob extends Serializable {
   def compact(spark: SparkSession, indexRoot: String): Int = {
     val lake = new LakeTable(indexRoot)
     require(lake.currentVersion > 0, s"no committed ANN index at $indexRoot")
-    val merged = spark.read.parquet(liveCellFiles(lake): _*).distinct()
+    // tombstoned rows are PURGED here; the markers retire with the
+    // pre-compaction versions (compactFloor moves past them)
+    val merged = liveCells(spark, lake, identity)
     val v = lake.currentVersion + 1
     // keep the sorted-by-cell layout: row-group pruning must survive merges
-    merged.repartition(col("cell")).sortWithinPartitions("cell")
+    merged.withColumn("sv", lit(v))
+      .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/cells")
     lake.commit(lake.listParquet(s"$indexRoot/data/v$v"),
       Seq(s"ann-compact-v$v"), Nil, Map.empty)

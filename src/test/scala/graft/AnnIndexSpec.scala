@@ -77,6 +77,39 @@ class AnnIndexSpec extends SparkSuiteBase {
     assert(withExtra.filter(col("id") === "500").count() > 0)
   }
 
+  test("tombstones: vector delete + same-id upsert == fresh index; purge at compact") {
+    val queries = emb.filter(col("id") < 5)
+    // nProbe = all cells → exhaustive probing; k past the corpus → the FULL
+    // ranked relation is compared, not a top-k sliver
+    def ranked(root: String) = collectRanked(AnnIndexJob.search(spark, root,
+      queries, "id", "v", k = 250, nProbe = 8, dim = dim))
+
+    val root = Files.createTempDirectory("annidx-tomb").toString
+    AnnIndexJob.build(spark, emb, "id", "v", root, nCells = 8, dim = dim)
+    // DELETE id 150; UPSERT id 100 with its negated vector (both outside
+    // the 8 smallest training ids, so centroids stay comparable to a
+    // fresh build over the updated corpus)
+    AnnIndexJob.tombstone(spark, root, Seq("150").toDF("id"))
+    AnnIndexJob.tombstone(spark, root, Seq("100").toDF("id"))
+    AnnIndexJob.build(spark,
+      emb.filter(col("id") === 100)
+        .withColumn("v", transform(col("v"), x => -x)),
+      "id", "v", root, nCells = 8, dim = dim)
+
+    val freshRoot = Files.createTempDirectory("annidx-tomb-ref").toString
+    val updated = emb.filter(col("id") =!= 150)
+      .withColumn("v",
+        when(col("id") === 100, transform(col("v"), x => -x)).otherwise(col("v")))
+    AnnIndexJob.build(spark, updated, "id", "v", freshRoot, nCells = 8, dim = dim)
+    val want = ranked(freshRoot)
+    assert(ranked(root) == want, "upserted index != fresh build over updated corpus")
+    assert(!want.exists(_._2 == "150")) // the delete is visible in the relation
+
+    // compaction purges dead rows + retires markers; relation unchanged
+    AnnIndexJob.compact(spark, root)
+    assert(ranked(root) == want, "compaction changed the upserted relation")
+  }
+
   test("wrong-dim vectors are skipped at build and search, not failures") {
     val poisoned = emb.unionByName(
       Seq((900L, Array(1.0, 2.0))).toDF("id", "v")) // dim 2 row
