@@ -38,6 +38,11 @@ object SparkEntry {
   /** sf dir → tombstone-upserted ANN index root for q_ann_upsert. */
   private val annUpsertRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** sf dir → materialized two-batch incremental-dedup output for
+    * q_dedup_incr (the lake state mutates on every run, so the harness
+    * runs once per dir and the query re-reads the committed result). */
+  private val incrDedupOutFor = scala.collection.mutable.HashMap.empty[String, String]
+
   /** JVM-scoped scratch dir, removed on exit so repeated Verify/Bench
     * invocations don't accumulate trees under /tmp. Root overridable via
     * the `graft.scratch` system property / `SPARK_GRAFT_SCRATCH` env —
@@ -435,6 +440,68 @@ object SparkEntry {
             lit("subscribe to our newsletter for weekly updates and offers"),
             coalesce(col("ntext"), lit("final trailing document body"))).as("text"))
       graft.dedup.ParagraphDedup.clean(harness, "id", "text")
+    }),
+    // --- benchmark n-gram decontamination (GPT-3 appendix C / Dolma /
+    // FineWeb test-set-leakage scrub): docs with doc_id % 37 == 5 play the
+    // eval set; any shared word 8-gram marks a doc contaminated. The bench
+    // gram set broadcasts (one BroadcastHashJoin); the corpus side is one
+    // narrow flatMap + one doc-id aggregation exchange.
+    "q_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 5).select(col("text"))
+      graft.text.Decontam.flag(docs, "doc_id", "text", bench, "text", n = 8)
+        .select(col("id").cast("long").as("doc_id"),
+          col("n_grams"), col("hits"), col("contaminated"))
+    }),
+    // --- PII detect + redact (Dolma/FineWeb anonymization): deterministic
+    // harness plants an email / phone / IPv4 by doc_id residue (the base
+    // corpus is digit-free word salad, so counts are exact); counts are
+    // taken on the original text, clean_text is the 3-pass redaction in
+    // the contractual email → phone → ip order.
+    "q_pii" -> ((s, dir) => {
+      val id = col("doc_id")
+      val harness = t(s, dir, "documents").select(id,
+        concat(col("text"),
+          when(id % 3 === 1, concat(lit(" contact user"), id.cast("string"),
+            lit("@mail.example.org asap"))).otherwise(lit("")),
+          when(id % 4 === 2, concat(lit(" call 555-"),
+            lpad((id % 1000).cast("string"), 3, "0"), lit("-0142"))).otherwise(lit("")),
+          when(id % 5 === 3, concat(lit(" gateway 10."),
+            (id % 200).cast("string"), lit(".0.77 logged"))).otherwise(lit(""))
+        ).as("text"))
+      graft.text.Pii.annotate(harness, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("clean_text"))
+    }),
+    // --- lake-backed INCREMENTAL exact dedup (the batch-arrival pattern):
+    // batch 0 = the base corpus; batch 1 = planted copies (doc_id % 7 == 2
+    // texts under +10000 ids → dropped against PRIOR state) plus an
+    // in-batch dup pair (doc_id % 13 == 4 texts || ' v2' under +40000 and
+    // +50000 → keep-first WITHIN the batch). Output = both runs' dropped
+    // lineage; the oracle is one global keep-first window over the
+    // batch-ordered union — the incremental history must agree with a
+    // full-corpus re-dedup row-for-row.
+    "q_dedup_incr" -> ((s, dir) => {
+      val out = incrDedupOutFor.synchronized(incrDedupOutFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-incr-")
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val b0 = base.select(col("doc_id").cast("string").as("url"), col("text"))
+        val b1 = base.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 10000).cast("string").as("url"), col("text"))
+          .unionByName(base.filter(col("doc_id") % 13 === 4)
+            .select((col("doc_id") + 40000).cast("string").as("url"),
+              concat(col("text"), lit(" v2")).as("text")))
+          .unionByName(base.filter(col("doc_id") % 13 === 4)
+            .select((col("doc_id") + 50000).cast("string").as("url"),
+              concat(col("text"), lit(" v2")).as("text")))
+        val r0 = graft.jobs.DedupJob.incremental(s, b0, s"$r/state")
+        val r1 = graft.jobs.DedupJob.incremental(s, b1, s"$r/state")
+        r0.dropped.withColumn("batch", lit(0L))
+          .unionByName(r1.dropped.withColumn("batch", lit(1L)))
+          .write.mode("overwrite").parquet(s"$r/out")
+        r
+      }))
+      s.read.parquet(s"$out/out")
     }),
     // --- SimHash near-dup pairs (rows-only)
     "q_simhash_neardup" -> ((s, dir) => {
@@ -1602,6 +1669,63 @@ object SparkEntry {
           |FROM harness h
           |LEFT JOIN (SELECT * FROM kept WHERE rn = 1) k ON k.id = h.id
           |GROUP BY h.id""".stripMargin,
+      // Decontamination replica: same tokenize (lower, [^a-z0-9]+), word
+      // 8-grams (short docs hash their whole token string — the MinHash
+      // shingle rule), md5-top-64 gram hashes; bench set = distinct grams
+      // of the doc_id % 37 = 5 docs; hits counted over per-doc DISTINCT
+      // grams; gram-less docs report zeros.
+      "q_decontam" ->
+        """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM documents),
+          | grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+          |     WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+          |     ELSE list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' ')) END) AS g
+          |   FROM toks),
+          | dg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams),
+          | bset AS (SELECT DISTINCT h FROM dg WHERE doc_id % 37 = 5),
+          | agg AS (SELECT d.doc_id, count(*) AS n_grams, count(b.h) AS hits
+          |   FROM dg d LEFT JOIN bset b ON b.h = d.h GROUP BY 1)
+          |SELECT t.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+          |  coalesce(a.hits, 0) AS hits, coalesce(a.hits, 0) >= 1 AS contaminated
+          |FROM documents t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin,
+      // PII replica: identical harness construction, identical Java/RE2
+      // common-subset patterns, counts on the pre-redaction text, then the
+      // same email -> phone -> ip replace chain ('g' = Java replaceAll).
+      "q_pii" ->
+        """WITH h AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 3 = 1 THEN ' contact user' || doc_id || '@mail.example.org asap' ELSE '' END ||
+          |  CASE WHEN doc_id % 4 = 2 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0142' ELSE '' END ||
+          |  CASE WHEN doc_id % 5 = 3 THEN ' gateway 10.' || (doc_id % 200)::VARCHAR || '.0.77 logged' ELSE '' END AS text
+          | FROM documents)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+          |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '|||EMAIL_ADDRESS|||', 'g'),
+          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '|||PHONE_NUMBER|||', 'g'),
+          |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '|||IP_ADDRESS|||', 'g') AS clean_text
+          |FROM h""".stripMargin,
+      // Incremental-dedup oracle: the two-batch harness replayed as ONE
+      // global keep-first window over (batch, url) — prior-batch survivors
+      // beat later batches, min-url wins within a batch; reason says which
+      // case applied. Incremental state must agree with this full-corpus
+      // re-dedup exactly.
+      "q_dedup_incr" ->
+        """WITH base AS (SELECT doc_id, text FROM documents),
+          | d AS (
+          |  SELECT doc_id::VARCHAR AS url, 0::BIGINT AS b, text FROM base
+          |  UNION ALL SELECT (doc_id + 10000)::VARCHAR, 1, text FROM base WHERE doc_id % 7 = 2
+          |  UNION ALL SELECT (doc_id + 40000)::VARCHAR, 1, text || ' v2' FROM base WHERE doc_id % 13 = 4
+          |  UNION ALL SELECT (doc_id + 50000)::VARCHAR, 1, text || ' v2' FROM base WHERE doc_id % 13 = 4),
+          | k AS (SELECT url, b,
+          |    row_number() OVER (PARTITION BY text ORDER BY b, url) AS rn,
+          |    first_value(url) OVER (PARTITION BY text ORDER BY b, url) AS first_url,
+          |    first_value(b) OVER (PARTITION BY text ORDER BY b, url) AS first_b
+          |  FROM d)
+          |SELECT url,
+          |  CASE WHEN first_b < b THEN 'exact_prior_duplicate' ELSE 'exact_duplicate' END AS reason,
+          |  first_url AS duplicate_of, b AS batch
+          |FROM k WHERE rn > 1""".stripMargin,
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf
