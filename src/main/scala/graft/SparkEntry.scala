@@ -503,6 +503,48 @@ object SparkEntry {
       }))
       s.read.parquet(s"$out/out")
     }),
+    // --- exact duplicated-substring removal (Lee et al. 2021 ExactSubstr,
+    // distributed fixed-width-window approximation): harness appends a
+    // shared 11-token boilerplate run (doc_id % 7 == 2) and a
+    // twice-repeated 10-token phrase (doc_id % 11 == 3). The cleaner must
+    // keep exactly ONE corpus-wide copy of every duplicated >= 8-token run
+    // (string-min (id, pos) occurrence wins) and cut all others, merging
+    // overlapping duplicate windows into whole covered runs.
+    "q_substr_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val harness = t(s, dir, "documents").select(id,
+        concat(col("text"),
+          when(id % 7 === 2,
+            lit(" all rights reserved unauthorized reproduction of this listing is strictly prohibited"))
+            .otherwise(lit("")),
+          when(id % 11 === 3,
+            lit(" repeat block alpha beta gamma delta epsilon zeta eta theta" +
+              " repeat block alpha beta gamma delta epsilon zeta eta theta"))
+            .otherwise(lit(""))).as("text"))
+      graft.dedup.SubstrDedup.clean(harness, "doc_id", "text", w = 8)
+        .select(col("id").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("removed_tokens").cast("long").as("removed_tokens"),
+          col("clean_text"))
+    }),
+    // --- exact phrase retrieval (positional postings — the query class
+    // bag-of-words BM25 cannot express): harness plants one occurrence in
+    // doc_id % 9 == 4 docs and two more in doc_id % 27 == 13 docs (which
+    // are also % 9 == 4, so those carry three). The quoted query exercises
+    // the lowercase/punctuation tokenizer; matching is slot-fill anchor
+    // arithmetic on token positions (see Bm25.phraseMatches).
+    "q_phrase" -> ((s, dir) => {
+      val id = col("doc_id")
+      val harness = t(s, dir, "documents").select(id,
+        concat(col("text"),
+          when(id % 9 === 4, lit(" machine learning pipeline scales well"))
+            .otherwise(lit("")),
+          when(id % 27 === 13,
+            lit(" machine learning pipeline again machine learning pipeline"))
+            .otherwise(lit(""))).as("text"))
+      graft.index.Bm25.phraseMatches(harness, "doc_id", "text", "Machine, LEARNING pipeline!")
+        .select(col("doc").cast("long").as("doc_id"), col("n_matches"))
+    }),
     // --- SimHash near-dup pairs (rows-only)
     "q_simhash_neardup" -> ((s, dir) => {
       SimHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)
@@ -1726,6 +1768,51 @@ object SparkEntry {
           |  CASE WHEN first_b < b THEN 'exact_prior_duplicate' ELSE 'exact_duplicate' END AS reason,
           |  first_url AS duplicate_of, b AS batch
           |FROM k WHERE rn > 1""".stripMargin,
+      // ExactSubstr replica: identical harness, whitespace tokenize,
+      // md5-top-64 hashes of 8-token windows, keep-first rank by
+      // (VARCHAR id, pos), covered = union of [pos, pos+8) over rn > 1
+      // occurrences, reassembly joins surviving tokens with single spaces.
+      "q_substr_dedup" ->
+        """WITH h AS (SELECT doc_id::VARCHAR AS id, text ||
+          |   CASE WHEN doc_id % 7 = 2 THEN ' all rights reserved unauthorized reproduction of this listing is strictly prohibited' ELSE '' END ||
+          |   CASE WHEN doc_id % 11 = 3 THEN ' repeat block alpha beta gamma delta epsilon zeta eta theta repeat block alpha beta gamma delta epsilon zeta eta theta' ELSE '' END AS text
+          |  FROM documents),
+          | toks AS (SELECT id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks FROM h),
+          | winpos AS (SELECT id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM toks),
+          | win AS (SELECT id, pos, ('0x' || substr(md5(array_to_string(toks[pos+1:pos+8], ' ')), 1, 16))::UBIGINT AS whash FROM winpos),
+          | rk AS (SELECT id, pos, row_number() OVER (PARTITION BY whash ORDER BY id, pos) AS rn FROM win),
+          | cov AS (SELECT DISTINCT r.id, r.pos + o.o AS cpos
+          |   FROM (SELECT id, pos FROM rk WHERE rn > 1) r
+          |   CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o),
+          | tp0 AS (SELECT id, toks, unnest(range(0, len(toks))) AS pos FROM toks),
+          | tokpos AS (SELECT id, pos, toks[pos+1] AS tk FROM tp0),
+          | keptagg AS (SELECT t.id, string_agg(t.tk, ' ' ORDER BY t.pos) AS clean_text
+          |   FROM tokpos t LEFT JOIN cov c ON c.id = t.id AND c.cpos = t.pos
+          |   WHERE c.id IS NULL GROUP BY t.id),
+          | remagg AS (SELECT id, count(*) AS removed FROM cov GROUP BY id)
+          |SELECT t.id::BIGINT AS doc_id, len(t.toks)::BIGINT AS n_tokens,
+          |  coalesce(r.removed, 0)::BIGINT AS removed_tokens,
+          |  coalesce(k.clean_text, '') AS clean_text
+          |FROM toks t
+          |LEFT JOIN remagg r ON r.id = t.id
+          |LEFT JOIN keptagg k ON k.id = t.id""".stripMargin,
+      // Phrase replica: identical harness, identical lowercase tokenizer,
+      // same slot-fill anchor arithmetic (HAVING count(*) = k is exact:
+      // (anchor, slot) claims are position-bijective).
+      "q_phrase" ->
+        """WITH h AS (SELECT doc_id, text ||
+          |   CASE WHEN doc_id % 9 = 4 THEN ' machine learning pipeline scales well' ELSE '' END ||
+          |   CASE WHEN doc_id % 27 = 13 THEN ' machine learning pipeline again machine learning pipeline' ELSE '' END AS text
+          |  FROM documents),
+          | toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
+          | tp0 AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM toks),
+          | tokpos AS (SELECT doc_id, pos, toks[pos+1] AS term FROM tp0),
+          | slots(term, slot) AS (VALUES ('machine', 0), ('learning', 1), ('pipeline', 2)),
+          | occ AS (SELECT t.doc_id, t.pos - s.slot AS anchor
+          |   FROM tokpos t JOIN slots s ON s.term = t.term
+          |   WHERE t.pos - s.slot >= 0
+          |   GROUP BY 1, 2 HAVING count(*) = 3)
+          |SELECT doc_id, count(*)::BIGINT AS n_matches FROM occ GROUP BY doc_id""".stripMargin,
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf

@@ -105,6 +105,41 @@ object Bm25 {
       .limit(k)
       .select(col("doc"), round(col("score"), 4).as("score"))
 
+  /** Exact-phrase occurrence counts per doc (positional retrieval — the
+    * query class BM25's bag-of-words scoring cannot express).
+    *
+    * Single-shuffle slot-fill formulation: every occurrence of phrase term
+    * i at token position p claims anchor position p - i; an anchor whose k
+    * distinct slots are all claimed is a genuine phrase occurrence
+    * (token positions are unique within a doc, so slot i can only be
+    * claimed by a token equal to phrase[i] at exactly anchor + i — which
+    * also makes count(*) == count(distinct slot), sparing the aggregate an
+    * Expand). The exploded token relation is filtered by the broadcast
+    * k-row slot table BEFORE the one (doc, anchor) exchange — the 100-TB
+    * shape: only phrase-term occurrences ever shuffle, overlapping and
+    * repeated-term phrases fall out of the same arithmetic.
+    *
+    * @return (doc, n_matches) for docs containing the phrase at least once.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String, phrase: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = graft.dedup.MinHash.tokenize(phrase).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val k = terms.length
+    val slots = terms.zipWithIndex.toDF("term", "slot")
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc"), posexplode(tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(slots), "term")
+      .select(col("doc"), (col("pos") - col("slot")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc", "anchor")
+      .agg(count(lit(1)).as("filled"))
+      .filter(col("filled") === k)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   private def scoredAll(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

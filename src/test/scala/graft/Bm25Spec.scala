@@ -111,4 +111,24 @@ class Bm25Spec extends SparkSuiteBase {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == base.map(_._1).toSet) // twin 99 dropped, all originals kept
   }
+
+  private def phraseOut(rows: Seq[(String, String)], phrase: String): Map[String, Long] =
+    Bm25.phraseMatches(rows.toDF("id", "text"), "id", "text", phrase)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("phraseMatches: exact adjacency required, counts per doc, tokenizer-normalized") {
+    val out = phraseOut(Seq(
+      "p1" -> "we built a machine learning pipeline yesterday",
+      "p2" -> "machine learning is not a pipeline problem",    // terms present, not adjacent
+      "p3" -> "Machine, LEARNING pipeline! and machine learning pipeline again",
+      "p4" -> "pipeline learning machine"),                    // reversed order
+      phrase = "machine learning pipeline")
+    assert(out == Map("p1" -> 1L, "p3" -> 2L))
+  }
+
+  test("phraseMatches: overlapping occurrences and repeated phrase terms") {
+    // phrase 'a b a' in 'a b a b a': anchors 0 and 2 both match
+    val out = phraseOut(Seq("p5" -> "a b a b a", "p6" -> "a b b a"), "a b a")
+    assert(out == Map("p5" -> 2L))
+  }
 }
