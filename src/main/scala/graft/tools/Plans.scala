@@ -104,6 +104,20 @@ object Plans {
        """Check: corpus side stays narrow (no shuffle of embeddings); the single
          |query vector is broadcast; WholeStageCodegen covers the arithmetic.""".stripMargin,
        graft.SparkEntry.queries("q_knn")(spark, sfDir)),
+      ("ExactSubstr duplicated-run removal (q_substr_dedup)",
+       """Check: tokenize + window-hash emission is ONE narrow generator stage
+         |(posexplode over slide — no per-window string shuffle, only the
+         |64-bit hash + (id, pos) cross the wire); keep-first rank is a window
+         |over the hash key; only rn>1 starts ship back to docs; the coverage
+         |cut is one narrow map after a per-doc aggregate.""".stripMargin,
+       graft.SparkEntry.queries("q_substr_dedup")(spark, sfDir)),
+      ("Exact phrase retrieval (q_phrase)",
+       """Check: the k-row slot table BROADCASTs into the exploded token
+         |relation (BroadcastHashJoin) so only phrase-term occurrences reach
+         |the single (doc, anchor) Exchange; both aggregates carry partial_
+         |map-side phases; no Expand node (count(*) == count(distinct slot)
+         |by position-bijectivity).""".stripMargin,
+       graft.SparkEntry.queries("q_phrase")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
