@@ -29,6 +29,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local mode: executor == driver, so the executor->driver heartbeat is
+  // in-process bookkeeping with NO liveness value — but under this host's
+  // multi-minute memory-collapse phases the RPC can time out 60 times in a
+  // row, and the executor then kills the WHOLE JVM with exit 56
+  // (HEARTBEAT_FAILURE; observed killing a green 35-min test run at the
+  // 26th suite). Make it effectively unkillable in-process:
+  "-Dspark.executor.heartbeat.maxFailures=100000",
+  "-Dspark.executor.heartbeatInterval=60s",
+  "-Dspark.network.timeout=600s",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // pre-size the heap: growing from the default tiny Xms during a measured
   // pass costs repeated young GCs exactly while the 32-thread stage runs

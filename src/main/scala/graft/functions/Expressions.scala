@@ -55,6 +55,22 @@ object GraftFunctions {
   def hamming(a: Column, b: Column): Column = org.apache.spark.sql.functions.call_function("hamming", a, b)
   def md5Top64(c: Column): Column = org.apache.spark.sql.functions.call_function("md5_top64", c)
 
+  /** Distributed Bloom-filter build over a column (returns ONE binary row —
+    * the serialized filter). Wraps Spark's own `BloomFilterAggregate` (the
+    * expression behind runtime join-filter injection) over `xxhash64(c)`;
+    * `items`/`bits` are clamped by Spark to the runtime-filter maxima
+    * (4M items / 8 MB), so oversizing degrades to more false positives,
+    * never to an error. Pair with [[bloomMightContain]] using the SAME
+    * column expression on the probe side. */
+  def bloomAgg(c: Column, items: Column, bits: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_agg", c, items, bits)
+
+  /** Probe a [[bloomAgg]]-built filter: false positives possible, false
+    * negatives impossible — safe as a PRE-JOIN prune in front of an exact
+    * equi-join (the join re-checks equality; results are unchanged). */
+  def bloomMightContain(filter: Column, c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", filter, c)
+
   /** Register for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -63,6 +79,18 @@ object GraftFunctions {
       "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_top64", exprs => Md5Top64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+        exprs(1), exprs(2)).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))),
+      "scala_udf")
   }
 }
 

@@ -82,9 +82,19 @@ object DedupJob {
     * the surviving url from an earlier batch) from in-batch
     * `exact_duplicate`. Prior wins are decided BEFORE the in-batch window:
     * a batch whose rows match both a prior doc and each other reports
-    * every row against the prior survivor. */
+    * every row against the prior survivor.
+    *
+    * The prior-state join is BLOOM-PRUNED: state grows with the corpus
+    * (O(all batches ever)) while each delivery is O(batch), so shuffling
+    * the whole fingerprint relation per delivery is the scale cliff. A
+    * Bloom filter built over the batch's hashes (one distributed aggregate
+    * → one ≤8 MB driver scalar) pre-filters the state scan, so only
+    * might-match rows (≈ batch-sized + false positives) reach the
+    * exchange. False positives are re-checked by the equi-join itself —
+    * results are bit-identical with `bloom = false` (spec-pinned). */
   def incremental(spark: SparkSession, batch: DataFrame, stateRoot: String,
-                  urlCol: String = "url", textCol: String = "text"): Result = {
+                  urlCol: String = "url", textCol: String = "text",
+                  bloom: Boolean = true): Result = {
     val lake = new graft.lake.LakeTable(stateRoot)
     val hashed = batch
       .withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
@@ -92,13 +102,25 @@ object DedupJob {
     val priorFiles = lake.state.fileVersions.map(_._1).collect {
       case f @ FpFile(_) => f
     }
+    def priorState(): DataFrame = {
+      val raw = spark.read.parquet(priorFiles: _*).withColumnRenamed("url", "prior_url")
+      if (!bloom) return raw
+      graft.functions.GraftFunctions.register(spark)
+      val n = math.max(batch.count(), 1L)
+      val bf = hashed
+        .select(graft.functions.GraftFunctions.bloomAgg(
+          col("content_hash"), lit(n), lit(n * 16L)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      // empty batch → BloomFilterAggregate evals to null: nothing can match
+      if (bf == null) raw.limit(0)
+      else raw.filter(graft.functions.GraftFunctions.bloomMightContain(
+        lit(bf), col("content_hash")))
+    }
     // prior state is unique per hash (each batch appends only unseen,
     // in-batch-distinct hashes), so the left join cannot fan out
     val withPrior =
       if (priorFiles.isEmpty) hashed.withColumn("prior_url", lit(null).cast("string"))
-      else hashed.join(
-        spark.read.parquet(priorFiles: _*).withColumnRenamed("url", "prior_url"),
-        Seq("content_hash"), "left")
+      else hashed.join(priorState(), Seq("content_hash"), "left")
     val priorDropped = withPrior.filter(col("prior_url").isNotNull)
       .select(col(urlCol).cast("string").as("url"),
         lit("exact_prior_duplicate").as("reason"),

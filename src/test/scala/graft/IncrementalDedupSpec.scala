@@ -64,6 +64,36 @@ class IncrementalDedupSpec extends SparkSuiteBase {
       ("u2", "exact_prior_duplicate", "u2")))
   }
 
+  test("bloom-pruned prior join is bit-identical to the unpruned join") {
+    // the bloom prune may only ADD false-positive prior rows to the scan;
+    // the equi-join re-checks equality, so results must match exactly
+    val batches = Seq(
+      Seq(("a1", "alpha"), ("a2", "beta"), ("a3", "gamma")),
+      Seq(("b1", "alpha"), ("b2", "delta"), ("b3", "delta")),
+      Seq(("c1", "beta"), ("c2", "epsilon"), ("c3", "gamma")))
+    val roots = Seq(root(), root())
+    val results = roots.zip(Seq(true, false)).map { case (r, useBloom) =>
+      batches.map(b => DedupJob.incremental(
+        spark, b.toDF("url", "text"), r, bloom = useBloom))
+    }
+    results(0).zip(results(1)).foreach { case (withBloom, without) =>
+      assert(withBloom.clean.select("url").as[String].collect().sorted.toSeq ==
+        without.clean.select("url").as[String].collect().sorted.toSeq)
+      assert(withBloom.dropped.as[(String, String, String)].collect().sortBy(_._1).toSeq ==
+        without.dropped.as[(String, String, String)].collect().sortBy(_._1).toSeq)
+    }
+  }
+
+  test("bloom prune reaches the prior-state scan (might_contain in the plan)") {
+    val r = root()
+    DedupJob.incremental(spark, Seq(("p1", "one"), ("p2", "two")).toDF("url", "text"), r)
+    val res = DedupJob.incremental(spark, Seq(("q1", "one"), ("q2", "three"))
+      .toDF("url", "text"), r)
+    assert(res.clean.queryExecution.executedPlan.toString.contains("might_contain"),
+      "prior-state scan must be bloom-pre-filtered before the join exchange")
+    assert(res.clean.select("url").as[String].collect().toSeq == Seq("q2"))
+  }
+
   test("fingerprint state stays unique per hash and grows only by survivors") {
     val r = root()
     DedupJob.incremental(spark, Seq(("a", "t1"), ("b", "t1"), ("c", "t2"))
