@@ -723,6 +723,51 @@ object SparkEntry {
           urlLeafCol($"url").as("leaf"),
           urlDepthCol($"url").as("depth"))
     }),
+    // --- URL canonicalization (crawl-frontier normalization, the key
+    // URL-level dedup hashes on): harness urls mix authority casing, a
+    // default :443 port, utm_*/gclid tracking params and #fragments; every
+    // mod-50 path class collapses to 2 canonical keys (with / without the
+    // surviving ?page=2), group sizes varying 3/4/6/7 by class. The whole
+    // chain is RE2-safe columnar regex, replicated verbatim in the oracle.
+    "q_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "documents").select($"doc_id",
+        concat(
+          when($"doc_id" % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when($"doc_id" % 4 < 2, lit("Example.COM")).otherwise(lit("example.com")),
+          when($"doc_id" % 8 === 1, lit(":443")).otherwise(lit("")),
+          lit("/Item/"), ($"doc_id" % 50).cast("string"),
+          when($"doc_id" % 3 === 1, lit("?utm_source=feed&page=2"))
+            .when($"doc_id" % 3 === 2, lit("?page=2&utm_campaign=x&gclid=abc"))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 1, lit("#Section-2")).otherwise(lit(""))).as("url"))
+      raw.withColumn("canon", graft.text.UrlCanon.canonicalCol($"url"))
+        .withColumn("n_same", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("canon")))
+        .select($"doc_id", $"url", $"canon", $"n_same")
+    }),
+    // --- R5's offline half: ranked retrieval → token-budget context
+    // assembly (prefix-truncating greedy packing; the LLM call itself stays
+    // out of scope, SURVEY §2.8). tokens = max(1, len/4) — the billing
+    // convention — and at budget 400 the BM25 top-10 truncates mid-list.
+    "q_context" -> ((s, dir) => {
+      graft.index.Context.assemble(t(s, dir, "documents"), "doc_id", "text",
+          "spark filter join table", k = 10, tokenBudget = 400)
+        .select(col("rank"), col("doc").as("doc_id"), col("tokens"),
+          col("cum_tokens"), col("score"))
+    }),
+    // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
+    // frequency, ties to the lexicographically smaller term
+    "q_vocab" -> ((s, dir) => {
+      graft.text.Vocab.top(t(s, dir, "documents"), "text", 200)
+        .select(col("rank"), col("term"), col("cnt"))
+    }),
+    // --- CCNet-analog unigram-LM quality score: per-doc avg -ln p(term)
+    // under the corpus's own unigram model (the perplexity-filter shape)
+    "q_lm_score" -> ((s, dir) => {
+      graft.text.Vocab.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("nll"))
+    }),
     // --- A6 embedding-dim inference
     "q_emb_dim" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -1532,6 +1577,70 @@ object SparkEntry {
           |  regexp_extract(url, '/([^/]+)$', 1) AS leaf,
           |  len(list_filter(regexp_split_to_array(regexp_replace(url, '^[a-z]+://[^/]*', ''), '/'), s -> len(s) > 0))::BIGINT AS depth
           |FROM u""".stripMargin,
+      // the Spark side's RE2-safe regex chain, replicated operator-for-
+      // operator (DuckDB regexp_replace needs the explicit 'g' flag where
+      // Spark is always-global; anchored patterns match at most once so the
+      // default single-replace is identical there)
+      "q_url_canon" ->
+        """WITH raw AS (SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+          |    (CASE WHEN doc_id % 4 < 2 THEN 'Example.COM' ELSE 'example.com' END) ||
+          |    (CASE WHEN doc_id % 8 = 1 THEN ':443' ELSE '' END) ||
+          |    '/Item/' || (doc_id % 50)::VARCHAR ||
+          |    (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&page=2'
+          |          WHEN doc_id % 3 = 2 THEN '?page=2&utm_campaign=x&gclid=abc'
+          |          ELSE '' END) ||
+          |    (CASE WHEN doc_id % 7 = 1 THEN '#Section-2' ELSE '' END) AS url
+          |  FROM documents),
+          | c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+          | c1 AS (SELECT doc_id, url,
+          |   lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) ||
+          |   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u FROM c0),
+          | c2 AS (SELECT doc_id, url,
+          |   regexp_replace(regexp_replace(u, '^(https://[^/:?#]*):443([/?]|$)', '\1\2'),
+          |                  '^(http://[^/:?#]*):80([/?]|$)', '\1\2') AS u FROM c1),
+          | c3 AS (SELECT doc_id, url,
+          |   regexp_replace(u, '&(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM c2),
+          | c4 AS (SELECT doc_id, url,
+          |   regexp_replace(u, '\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '?') AS u FROM c3),
+          | c5 AS (SELECT doc_id, url,
+          |   regexp_replace(u, '\?(utm_[^=&#]*|fbclid|gclid)=[^&#]*$', '') AS u FROM c4),
+          | c6 AS (SELECT doc_id, url, regexp_replace(u, '\?$', '') AS canon FROM c5)
+          |SELECT doc_id, url, canon,
+          |  count(*) OVER (PARTITION BY canon) AS n_same FROM c6""".stripMargin,
+      // rank over the ROUNDED bm25 scores (ties -> smaller doc), prefix-
+      // truncating token-budget selection: cum tokens monotone, so
+      // cum <= budget IS "stop at the first overflow"
+      "q_context" ->
+        s"""WITH scored AS (${bm25OracleSql("")}),
+           | ranked AS (SELECT doc, score,
+           |    row_number() OVER (ORDER BY score DESC, doc) AS rank FROM scored),
+           | tok AS (SELECT r.rank, r.doc, r.score,
+           |    greatest(1, len(d.text) // 4)::BIGINT AS tokens
+           |  FROM ranked r JOIN documents d ON d.doc_id = r.doc WHERE r.rank <= 10),
+           | sel AS (SELECT *, sum(tokens) OVER (ORDER BY rank
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+           |  FROM tok)
+           |SELECT rank::BIGINT AS rank, doc AS doc_id, tokens, cum_tokens, score
+           |FROM sel WHERE cum_tokens <= 400""".stripMargin,
+      "q_vocab" ->
+        """WITH toks AS (SELECT
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0)) AS term FROM documents),
+          | cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+          | ranked AS (SELECT term, cnt,
+          |    row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM cnt)
+          |SELECT rank::BIGINT AS rank, term, cnt FROM ranked WHERE rank <= 200""".stripMargin,
+      "q_lm_score" ->
+        """WITH toks AS (SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0)) AS term FROM documents),
+          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+          | cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+          | tot AS (SELECT sum(tf)::DOUBLE AS total FROM tf)
+          |SELECT doc AS doc_id, sum(tf)::BIGINT AS n_tokens,
+          |  round(sum(tf * -ln(cnt / total)) / sum(tf), 4) AS nll
+          |FROM tf JOIN cnt USING(term) CROSS JOIN tot GROUP BY doc""".stripMargin,
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
       // concat-and-split packing == global prefix-sum window
