@@ -118,6 +118,20 @@ object Plans {
          |map-side phases; no Expand node (count(*) == count(distinct slot)
          |by position-bijectivity).""".stripMargin,
        graft.SparkEntry.queries("q_phrase")(spark, sfDir)),
+      ("Context assembly (q_context)",
+       """Check: top-k is TakeOrderedAndProject (no global sort of the scored
+         |relation); the k-row result broadcasts into the token join; the
+         |rank/cumsum windows sit above the limit — they only ever see k
+         |rows.""".stripMargin,
+       graft.SparkEntry.queries("q_context")(spark, sfDir)),
+      ("Unigram-LM scoring (q_lm_score)",
+       """Check: ONE tokenize of the corpus — the (doc,term,tf) aggregate
+         |exchange is REUSED between the term-count window subtree and the
+         |broadcast total (ReusedExchange/ReusedQueryStage in the final
+         |adaptive plan); corpus term counts ride a window, not a self-join;
+         |the scalar total enters via BroadcastNestedLoopJoin of a 1-row
+         |relation.""".stripMargin,
+       graft.SparkEntry.queries("q_lm_score")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
