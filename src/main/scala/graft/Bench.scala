@@ -341,16 +341,26 @@ object Bench {
     val queriesStart = System.nanoTime()
     def queriesElapsedSec: Double = (System.nanoTime() - queriesStart) / 1e9
     val spark = newSession(cpus)
-    val queryTimes: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val (_, t1) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-        val t2 =
-          if (queriesElapsedSec < queryBudgetSec) {
-            val (_, t) = time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }
-            t
-          } else Double.MaxValue
-        name -> math.min(t1, t2)
-    }
+    // TWO-PHASE min-of-2 (not interleaved): pass 1 runs every query once;
+    // pass 2 re-runs queries LONGEST-FIRST-PASS-FIRST while budget remains.
+    // Interleaving spent the pass-2 budget on the alphabet prefix, so a
+    // host-collapse spike on a mid-sweep query was recorded with no
+    // second-pass recovery (observed: a 0.6 s retrieval recorded as 213 s).
+    // Longest-first targets exactly the spike victims AND the memoized
+    // build-once queries, whose pass 2 is the retrieval-only measurement;
+    // phase separation also puts minutes between a query's two passes, so
+    // one collapse phase cannot poison both.
+    val allQs = SparkEntry.queries.toSeq.sortBy(_._1)
+    def onePass(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      time { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }._2
+    val t1s: Seq[(String, Double)] = allQs.map { case (name, fn) => name -> onePass(fn) }
+    val t1Map = t1s.toMap
+    val t2Map: Map[String, Double] = allQs.sortBy { case (name, _) => -t1Map(name) }
+      .map { case (name, fn) =>
+        name -> (if (queriesElapsedSec < queryBudgetSec) onePass(fn) else Double.MaxValue)
+      }.toMap
+    val queryTimes: Seq[(String, Double)] =
+      t1s.map { case (name, t1) => name -> math.min(t1, t2Map(name)) }
     spark.stop()
     val memGBsQueriesPost = hostMemBandwidthGBs()
 

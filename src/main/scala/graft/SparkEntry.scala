@@ -664,6 +664,14 @@ object SparkEntry {
         rates = Map("en" -> 50), defaultRate = 20)
         .select(col("doc_id"), col("lang"))
     }),
+    // --- deterministic train/val/test split (80/10/10 by hash bucket):
+    // growth-stable — a doc's split depends only on its own key, so
+    // re-running after corpus growth never migrates a doc across splits
+    "q_split" -> ((s, dir) => {
+      graft.text.Sampling.split(t(s, dir, "documents"), col("doc_id"),
+          trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
     // --- per-host diversification cap (FineWeb-style domain balancing)
     // over the synthetic url harness: keep the first 3 docs per host
     "q_host_cap" -> ((s, dir) => {
@@ -1659,6 +1667,14 @@ object SparkEntry {
           |WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
           |        % 9223372036854775808) % 100)
           |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+      // same md5-top-64 bucket as q_sample, mapped to cumulative ranges
+      "q_split" ->
+        """SELECT doc_id, lang,
+          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (SELECT doc_id, lang,
+          |  ((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+          |    % 9223372036854775808) % 100) AS b FROM documents)""".stripMargin,
       "q_host_cap" ->
         """SELECT doc_id, host FROM (
           |  SELECT doc_id, 'host' || (doc_id % 97)::VARCHAR || '.example' AS host,

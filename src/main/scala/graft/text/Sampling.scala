@@ -34,6 +34,28 @@ object Sampling {
     df.filter(hashMod < rateExpr)
   }
 
+  /** Deterministic train/val/test split: the row's md5-top-64 hash bucket
+    * (mod 100) maps to a split by cumulative range — [0, trainPct) →
+    * "train", [trainPct, trainPct+valPct) → "val", the rest → "test".
+    * Disjoint and exhaustive by construction, and STABLE UNDER CORPUS
+    * GROWTH: a doc's assignment depends only on its own key (unlike
+    * Spark's ratio-based randomSplit, where adding rows reshuffles
+    * everyone's membership — poison for dedup-then-split pipelines that
+    * must never leak a train doc into test across re-runs). One narrow
+    * projection — no shuffle, no RNG state. */
+  def split(df: DataFrame, keyCol: Column, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashMod = pmod(
+      graft.functions.GraftFunctions.md5Top64(keyCol.cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(100L))
+    df.withColumn("split",
+      when(hashMod < trainPct, lit("train"))
+        .when(hashMod < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-domain diversification cap: keep at most `maxPerHost` rows per
     * host, first by `order` (FineWeb-style domain balancing). One window
     * shuffle on the host key; rank-limit shape (WindowGroupLimit-able —
