@@ -776,6 +776,20 @@ object SparkEntry {
       graft.text.Vocab.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc").as("doc_id"), col("n_tokens"), col("nll"))
     }),
+    // --- distributed BPE tokenizer training (Sennrich et al. 2016): 4
+    // merge rounds over the corpus word-frequency table. The DuckDB oracle
+    // unrolls the same 4 rounds, each a recursive-CTE fixpoint of the
+    // greedy pair replace — so every pair count, every argmax tie-break
+    // and every merge application is hash-checked. q_bpe = the final
+    // symbolized vocabulary; q_bpe_merges = the learned merge ledger.
+    "q_bpe" -> ((s, dir) => {
+      graft.text.Bpe.learn(s,
+        graft.text.Bpe.wordFreqs(t(s, dir, "documents"), "text"), nMerges = 4)._2
+    }),
+    "q_bpe_merges" -> ((s, dir) => {
+      graft.text.Bpe.learn(s,
+        graft.text.Bpe.wordFreqs(t(s, dir, "documents"), "text"), nMerges = 4)._1
+    }),
     // --- A6 embedding-dim inference
     "q_emb_dim" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -1014,6 +1028,47 @@ object SparkEntry {
     * avgdl, df) come from the filtered relation, mirroring Bm25.scores.
     * `idExpr` lets the same oracle serve the long-id corpus queries and the
     * string-id materialized-index query. */
+  /** DuckDB replica of [[graft.text.Bpe.learn]]: k unrolled merge rounds.
+    * Each round: adjacent-pair counts from the space-split symbol lists
+    * (lateral unnest over positions), argmax with the same (cnt DESC, pair
+    * ASC) tie-break, then a RECURSIVE-CTE FIXPOINT of the greedy pair
+    * replace — `(^| )A B( |$)` global-replaced until unchanged equals the
+    * canonical left-to-right non-overlapping merge scan (each regex pass
+    * merges the leftmost disjoint occurrences; iteration reaches the same
+    * fixpoint as the single greedy scan, and symbols are [a-z0-9]+ so the
+    * pair string embeds into the pattern verbatim). `emit` selects either
+    * the merge ledger or the final symbolized vocabulary. */
+  private def bpeOracleSql(k: Int, emit: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH RECURSIVE toks AS (SELECT
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS word FROM documents),
+        | w AS (SELECT word, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+        | s0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s, freq FROM w)""".stripMargin)
+    for (i <- 1 to k) {
+      val prev = s"s${i - 1}"
+      sb.append(s""",
+        | p$i AS (SELECT list_element(l, j) || ' ' || list_element(l, j + 1) AS pair, sum(freq)::BIGINT AS cnt
+        |   FROM (SELECT string_split(s, ' ') AS l, freq FROM $prev) t,
+        |        unnest(range(1, len(t.l))) AS u(j)
+        |   GROUP BY 1),
+        | b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+        | f$i AS (
+        |   SELECT word, s, freq FROM $prev
+        |   UNION ALL
+        |   SELECT word, ns AS s, freq FROM (
+        |     SELECT word, regexp_replace(s, '(^| )' || (SELECT pair FROM b$i) || '( |${"$"})',
+        |       '\\1' || replace((SELECT pair FROM b$i), ' ', '') || '\\2', 'g') AS ns, s, freq
+        |     FROM f$i) WHERE ns <> s),
+        | s$i AS (SELECT word, s, freq FROM f$i
+        |   WHERE regexp_replace(s, '(^| )' || (SELECT pair FROM b$i) || '( |${"$"})',
+        |     '\\1' || replace((SELECT pair FROM b$i), ' ', '') || '\\2', 'g') = s)""".stripMargin)
+    }
+    sb.append("\n").append(emit)
+    sb.toString
+  }
+
   private def bm25OracleSql(where: String, idExpr: String = "doc_id",
                             src: String = "documents"): String =
     s"""WITH toks AS (
@@ -1649,6 +1704,9 @@ object SparkEntry {
           |SELECT doc AS doc_id, sum(tf)::BIGINT AS n_tokens,
           |  round(sum(tf * -ln(cnt / total)) / sum(tf), 4) AS nll
           |FROM tf JOIN cnt USING(term) CROSS JOIN tot GROUP BY doc""".stripMargin,
+      "q_bpe" -> bpeOracleSql(4, "SELECT word, s AS syms FROM s4"),
+      "q_bpe_merges" -> bpeOracleSql(4,
+        (1 to 4).map(i => s"SELECT $i AS step, pair, cnt FROM b$i").mkString(" UNION ALL ")),
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
       // concat-and-split packing == global prefix-sum window

@@ -1,0 +1,46 @@
+package graft
+
+import graft.text.Bpe
+
+/** Distributed BPE vocabulary learning (Sennrich et al. 2016) — merge
+  * choice, tie-break, greedy application, and loop mechanics. */
+class BpeSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("classic corpus: merges follow weighted pair frequencies") {
+    // the Sennrich paper's example family: low(5) lower(2) newest(6) widest(3)
+    val words = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+    ).toDF("word", "freq")
+    val (ledger, vocab) = Bpe.learn(spark, words, nMerges = 4)
+    val steps = ledger.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // pair counts round 1: "e s" = 6+3 = 9 and "s t" = 9 tie -> "e s" wins
+    // lexicographically; then "es t" = 9; then "est" fuses; "l o" = 7 next
+    assert(steps(0) == ((1, "e s", 9L)))
+    assert(steps(1) == ((2, "es t", 9L)))
+    assert(steps(2)._2 == "l o" || steps(2)._2 == "o w") // 7 vs 7 tie -> "l o"
+    assert(steps(2) == ((3, "l o", 7L)))
+    assert(steps(3) == ((4, "lo w", 7L)))
+    val v = vocab.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v("newest") == "n e w est")
+    assert(v("widest") == "w i d est")
+    assert(v("low") == "low")
+    assert(v("lower") == "low e r")
+  }
+
+  test("greedy merge application: overlapping runs merge left-to-right") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a", "a"), "a", "a") == Seq("aa", "aa", "a"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "a") == Seq("x"))
+    assert(Bpe.applyMerge(Seq.empty[String], "a", "b") == Seq.empty[String])
+  }
+
+  test("exhaustion: single-symbol vocabulary stops before nMerges") {
+    val words = Seq(("a", 3L), ("b", 2L)).toDF("word", "freq")
+    val (ledger, vocab) = Bpe.learn(spark, words, nMerges = 5)
+    assert(ledger.count() == 0)
+    assert(vocab.collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+  }
+}
