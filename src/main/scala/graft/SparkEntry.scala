@@ -37,6 +37,7 @@ object SparkEntry {
 
   /** sf dir → tombstone-upserted ANN index root for q_ann_upsert. */
   private val annUpsertRootFor = scala.collection.mutable.HashMap.empty[String, String]
+  private val annFacetRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
   /** sf dir → materialized two-batch incremental-dedup output for
     * q_dedup_incr (the lake state mutates on every run, so the harness
@@ -611,6 +612,30 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
+    // --- metadata-FILTERED vector search over the materialized ANN index
+    // (the reference's where=-filtered chroma query, question_rag.py:
+    // filtered get → vector rank): label facets committed beside the cell
+    // lists across two segments, merged at compaction, and the search
+    // semi-joins the facet keep-set onto the probed-cell rows before
+    // scoring. Centroids still train on the FULL (unfiltered) corpus —
+    // same determinism as q_ann_index — so the oracle is the same IVF
+    // replica with the member set label-filtered.
+    "q_ann_facet" -> ((s, dir) => {
+      val root = annFacetRootFor.synchronized(annFacetRootFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-annfac-")
+        val emb = t(s, dir, "embeddings")
+        graft.jobs.AnnIndexJob.build(s, emb.filter(col("vec_id") < 300),
+          "vec_id", "embedding", r, facetCols = Seq("label"))
+        graft.jobs.AnnIndexJob.build(s, emb.filter(col("vec_id") >= 300),
+          "vec_id", "embedding", r, facetCols = Seq("label"))
+        graft.jobs.AnnIndexJob.compact(s, r)
+        r
+      }))
+      graft.jobs.AnnIndexJob.search(s, root,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2,
+        facetWhere = Some("label IN (1, 3, 7)"))
+    }),
     // --- A5 facet summary via grouping sets (cube)
     "q_facet_cube" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1126,8 +1151,12 @@ object SparkEntry {
     * normalized formula, queries probe their nProbe nearest cells, exact
     * cosine over probed members, rank window. */
   private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int, nQueries: Int,
-                           dim: Int = 64, src: String = "embeddings"): String =
-    s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id AS nid, embedding::DOUBLE[] AS vec FROM $src),
+                           dim: Int = 64, src: String = "embeddings",
+                           memberFilter: String = ""): String = {
+    val labelCol = if (memberFilter.nonEmpty) ", label" else ""
+    val memberJoin =
+      if (memberFilter.nonEmpty) s"JOIN v mv ON mv.id = m.id AND $memberFilter " else ""
+    s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id AS nid, embedding::DOUBLE[] AS vec$labelCol FROM $src),
        | cent AS (SELECT row_number() OVER (ORDER BY nid) - 1 AS cidx, vec AS cvec
        |   FROM (SELECT nid, vec FROM v WHERE len(vec) = $dim ORDER BY nid LIMIT $nCells)),
        | vc AS (SELECT v.id, v.nid, c.cidx,
@@ -1139,7 +1168,7 @@ object SparkEntry {
        | qp AS (SELECT id AS qid, cidx AS cell FROM (
        |     SELECT id, cidx, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cidx) AS rn
        |     FROM vc WHERE nid < $nQueries) WHERE rn <= $nProbe),
-       | cand AS (SELECT qp.qid, m.id FROM qp JOIN cells m ON m.cell = qp.cell WHERE m.id <> qp.qid),
+       | cand AS (SELECT qp.qid, m.id FROM qp JOIN cells m ON m.cell = qp.cell ${memberJoin}WHERE m.id <> qp.qid),
        | scored AS (SELECT cand.qid, cand.id,
        |     round(list_dot_product(a.vec, b.vec)
        |       / greatest(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)), 1e-12), 6) AS cosine
@@ -1148,6 +1177,7 @@ object SparkEntry {
        |  SELECT qid, id, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
 
   /** DuckDB replica of [[graft.dedup.Components.of]] over the MinHash
     * near-dup pairs: a recursive CTE materializes every (node, reachable
@@ -2000,6 +2030,8 @@ object SparkEntry {
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf
       "q_ann_index" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
+      "q_ann_facet" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10,
+        memberFilter = "mv.label IN (1, 3, 7)"),
       // per-id vector upsert == IVF over the POST-upsert vector source
       // (negation is exact in floating point; mutated ids are outside the
       // centroid training prefix, so cells/centroids replicate)

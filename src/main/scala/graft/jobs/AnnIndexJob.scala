@@ -37,10 +37,15 @@ import graft.lake.LakeTable
 object AnnIndexJob extends Serializable {
 
   /** Append one vector segment. First build also commits the centroid
-    * table; later builds reuse it (stable cell ids). Returns the committed
-    * version. */
+    * table; later builds reuse it (stable cell ids). `facetCols` names
+    * metadata columns on `vectors` to commit beside the cells as the
+    * segment's facet table (id, facets...) — the queryable metadata of the
+    * reference's chroma collection (chroma_store.py: documents carry
+    * metadata dicts; question_rag.py queries with where=). Returns the
+    * committed version. */
   def build(spark: SparkSession, vectors: DataFrame, idCol: String, vecCol: String,
-            indexRoot: String, nCells: Int = 16, dim: Int = 64): Int = {
+            indexRoot: String, nCells: Int = 16, dim: Int = 64,
+            facetCols: Seq[String] = Nil): Int = {
     import spark.implicits._
     val lake = new LakeTable(indexRoot)
     val v = lake.currentVersion + 1
@@ -74,6 +79,10 @@ object AnnIndexJob extends Serializable {
     members.withColumn("sv", lit(v))
       .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/cells")
+    if (facetCols.nonEmpty)
+      vectors.select((col(idCol).cast("string").as("id") +: facetCols.map(col)): _*)
+        .dropDuplicates("id").withColumn("sv", lit(v))
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
 
     lake.commit(lake.listParquet(s"$indexRoot/data/v$v"), Seq(s"ann-segment-v$v"),
       Nil, Map("n_cells" -> cents.length.toDouble))
@@ -85,7 +94,7 @@ object AnnIndexJob extends Serializable {
     * touch the build-side corpus. */
   def search(spark: SparkSession, indexRoot: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64, facetWhere: Option[String] = None): DataFrame = {
     import spark.implicits._
     val lake = new LakeTable(indexRoot)
     require(lake.currentVersion > 0, s"no committed ANN index at $indexRoot")
@@ -108,7 +117,18 @@ object AnnIndexJob extends Serializable {
     // re-appends are both bounded by probe selectivity, not index size).
     // Same-id DIFFERENT-vector updates are first-class now: tombstone the
     // id, then build a segment with the new vector ([[tombstone]]).
-    val cells = liveCells(spark, lake, _.filter(col("cell").isin(probed: _*)))
+    val cells0 = liveCells(spark, lake, _.filter(col("cell").isin(probed: _*)))
+    // metadata-filtered vector search (the reference's where=-filtered
+    // chroma query): the facet keep-set SEMI-joins the probed-cell rows
+    // BEFORE scoring — both sides bounded by probe selectivity, and dead /
+    // superseded facet rows die by the same tv>sv rule as cell rows, so an
+    // upserted id filters by its NEWEST metadata.
+    val cells = facetWhere.fold(cells0) { w =>
+      val f = liveFacets(spark, lake).getOrElse(sys.error(
+        s"facet filter '$w' but no facets table committed at $indexRoot"))
+      cells0.join(f.filter(expr(w)).select("id").dropDuplicates("id"),
+        Seq("id"), "left_semi")
+    }
 
     val scored = qprobes.join(cells, "cell")
       .filter(col("qid") =!= col("id"))
@@ -140,6 +160,32 @@ object AnnIndexJob extends Serializable {
   private val AnnCompactKey = "ann-compact-v(\\d+)".r
   private val CellsFile = ".*/data/v(\\d+)/cells/.*\\.parquet".r
   private val TombFile = ".*/data/v(\\d+)/tombstones/.*\\.parquet".r
+  private val FacetFile = ".*/data/v(\\d+)/facets/.*\\.parquet".r
+
+  /** Live facet rows (None when no live segment committed facets):
+    * manifest-resolved like cells, same version floor, same tv>sv
+    * tombstone rule — a tombstoned-then-reappended id keeps only its
+    * newest metadata row. */
+  private def liveFacets(spark: SparkSession, lake: LakeTable): Option[DataFrame] = {
+    val floor = compactFloor(lake)
+    val facetFiles = lake.state.fileVersions.map(_._1).collect {
+      case f @ FacetFile(v) if v.toInt >= floor => f
+    }
+    if (facetFiles.isEmpty) None
+    else {
+      val tombFiles = lake.state.fileVersions.map(_._1).collect {
+        case f @ TombFile(v) if v.toInt >= floor => f
+      }
+      val f = spark.read.parquet(facetFiles: _*)
+      val alive =
+        if (tombFiles.isEmpty) f
+        else {
+          val tb = spark.read.parquet(tombFiles: _*)
+          f.join(tb, f("id") === tb("id") && tb("tv") > f("sv"), "left_anti")
+        }
+      Some(alive.drop("sv").distinct())
+    }
+  }
 
   /** Live cell rows: manifest-resolved union of live cell files, minus
     * rows whose id has a live tombstone newer than the row's segment
@@ -196,11 +242,24 @@ object AnnIndexJob extends Serializable {
     // tombstoned rows are PURGED here; the markers retire with the
     // pre-compaction versions (compactFloor moves past them)
     val merged = liveCells(spark, lake, identity)
+    val facets = liveFacets(spark, lake)
     val v = lake.currentVersion + 1
     // keep the sorted-by-cell layout: row-group pruning must survive merges
     merged.withColumn("sv", lit(v))
       .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/cells")
+    // facets ride the compaction: tombstoned rows purged with their cells,
+    // one deterministic row per id (winner by facet payload, the IndexJob
+    // rule), markers retire as compactFloor moves past them
+    facets.foreach { f =>
+      val payload = f.columns.filterNot(_ == "id")
+      val fw = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(payload.map(col): _*)
+      f.withColumn("__graft_rn", row_number().over(fw))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        .withColumn("sv", lit(v))
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
+    }
     lake.commit(lake.listParquet(s"$indexRoot/data/v$v"),
       Seq(s"ann-compact-v$v"), Nil, Map.empty)
     v

@@ -110,6 +110,46 @@ class AnnIndexSpec extends SparkSuiteBase {
     assert(ranked(root) == want, "compaction changed the upserted relation")
   }
 
+  test("facet filter: search restricted to matching metadata; survives compaction and upsert") {
+    val d = dim
+    val labeled = emb.withColumn("lab", (col("id") % 3).cast("int"))
+    val queries = emb.filter(col("id") < 5)
+    // exhaustive probing + k past the corpus: the FULL filtered relation
+    def ranked(root: String) = collectRanked(AnnIndexJob.search(spark, root,
+      queries, "id", "v", k = 250, nProbe = 8, dim = d,
+      facetWhere = Some("lab = 1")))
+
+    val root = Files.createTempDirectory("annidx-fac").toString
+    AnnIndexJob.build(spark, labeled.filter(col("id") < 100), "id", "v", root,
+      nCells = 8, dim = d, facetCols = Seq("lab"))
+    AnnIndexJob.build(spark, labeled.filter(col("id") >= 100), "id", "v", root,
+      nCells = 8, dim = d, facetCols = Seq("lab"))
+    val got = ranked(root)
+    assert(got.nonEmpty)
+    // every returned id matches the predicate; relation == brute filtered rank
+    assert(got.forall(t => t._2.toLong % 3 == 1))
+    val brute = collectRanked(
+      Knn.ivfTopK(emb, queries, "id", "v", k = 250, nCells = 8, nProbe = 8, dim = d)
+    ).filter(t => t._2.toLong % 3 == 1)
+      .groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(_._4).zipWithIndex.map { case ((q, i, c, _), r) => (q, i, c, r + 1) }
+      }.toSeq.sortBy(t => (t._1, t._4))
+    assert(got == brute, "facet-filtered search != brute filtered ranking")
+
+    AnnIndexJob.compact(spark, root)
+    assert(ranked(root) == got, "compaction changed the facet-filtered relation")
+
+    // upsert id 100 into the lab=1 class (100 % 3 == 1 already — change its
+    // vector instead and confirm the newest facet row + vector win)
+    AnnIndexJob.tombstone(spark, root, Seq("100").toDF("id"))
+    AnnIndexJob.build(spark,
+      labeled.filter(col("id") === 100).withColumn("v", transform(col("v"), x => -x)),
+      "id", "v", root, nCells = 8, dim = d, facetCols = Seq("lab"))
+    val afterUpsert = ranked(root)
+    assert(afterUpsert.exists(_._2 == "100"))
+    assert(afterUpsert != got) // the negated vector moved id 100's ranks
+  }
+
   test("wrong-dim vectors are skipped at build and search, not failures") {
     val poisoned = emb.unionByName(
       Seq((900L, Array(1.0, 2.0))).toDF("id", "v")) // dim 2 row
