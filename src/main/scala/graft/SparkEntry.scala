@@ -937,6 +937,33 @@ object SparkEntry {
           }
         }).toDF("doc_id", "w", "h", "luma_sum")
     }),
+    // --- multimodal AUDIO gate: planted deterministic PCM-16 WAV bytes per
+    // doc (odd ids carry a junk LIST chunk to exercise the RIFF chunk
+    // walk), decoded by the REAL from-scratch RIFF/WAV parser. Sample
+    // values are modular arithmetic over (doc_id, index), so the DuckDB
+    // oracle recomputes mean absolute amplitude exactly — no fixtures.
+    "q_mm_audio" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ch = 1 + (id % 2).toInt
+          val frames = 100 + (id % 50).toInt
+          val rate = 8000 * (1 + (id % 3).toInt)
+          val n = frames * ch
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = (((id * 31 + i * 17) % 65536) - 32768).toShort; i += 1 }
+          val bytes = graft.mm.Multimodal.wav(rate, ch, samples, junkChunk = id % 2 == 1)
+          graft.mm.Multimodal.decodeWav(bytes) match {
+            case Right((r, c, smp)) =>
+              var sum = 0L; var j = 0
+              while (j < smp.length) { sum += math.abs(smp(j)); j += 1 }
+              (id, r.toLong, c.toLong, smp.length.toLong / c, sum.toDouble / smp.length)
+            case Left(_) => (id, -1L, -1L, -1L, -1.0)
+          }
+        }).toDF("doc_id", "sample_rate", "channels", "n_frames", "mean_abs")
+        .withColumn("mean_abs", round(col("mean_abs"), 4))
+    }),
     // --- streaming parity gate (driver-visible): the SAME seed-42 corpus as
     // q_pipeline, extracted+chunked through the Structured Streaming path
     // (parquet file source → extractStream → AvailableNow parquet sink with
@@ -1807,6 +1834,19 @@ object SparkEntry {
       // seed-pinned constants of the frozen generator + extractor — the
       // oracle is the pinned table itself (recompute via
       // `Verify` if a frozen heuristic legitimately changes).
+      // the planted-WAV sample formula is modular arithmetic over (doc_id,
+      // sample index) — the decoder must hand back exactly these int16
+      // values through the RIFF chunk walk
+      "q_mm_audio" ->
+        """WITH d AS (SELECT doc_id, (1 + doc_id % 2)::BIGINT AS ch,
+          |    (100 + doc_id % 50)::BIGINT AS frames,
+          |    (8000 * (1 + doc_id % 3))::BIGINT AS rate FROM documents),
+          | s AS (SELECT doc_id, ch, frames, rate, unnest(range(0, frames * ch)) AS i FROM d),
+          | v AS (SELECT doc_id, ch, frames, rate,
+          |    ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp FROM s)
+          |SELECT doc_id, rate AS sample_rate, ch AS channels, frames AS n_frames,
+          |  round(avg(abs(smp)), 4) AS mean_abs
+          |FROM v GROUP BY 1, 2, 3, 4""".stripMargin,
       // the planted-PPM pixel formula is modular arithmetic over (doc_id,
       // pixel index), so the luma sum replicates exactly: same BT.601
       // integer weights, same // 1000 floor division

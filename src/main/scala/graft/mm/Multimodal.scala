@@ -122,6 +122,99 @@ object Multimodal {
     header ++ rgb
   }
 
+  final case class AudioFeature(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      mean_abs: Double, // mean absolute sample amplitude across channels
+      err: String)
+
+  /** RIFF/WAV PCM decoder, from scratch per the published RIFF spec:
+    * "RIFF" + chunk size + "WAVE", then a chunk walk — unknown chunks
+    * (LIST, fact, ...) skipped by their declared size, word-aligned — until
+    * "fmt " (must be PCM: audioFormat == 1, bits 8 or 16) and "data".
+    * Returns (sampleRate, channels, interleaved samples as Int — 16-bit
+    * signed LE or 8-bit unsigned shifted to signed). Corrupt payloads are
+    * Left(reason) error rows, never task failures. */
+  def decodeWav(bytes: Array[Byte]): Either[String, (Int, Int, Array[Int])] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes == null || bytes.length < 12) return Left("truncated_header")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return Left("bad_magic")
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val sz = u32(i + 4)
+      if (sz < 0 || i + 8 + sz > bytes.length) return Left("truncated_chunk")
+      val body = i + 8
+      if (id == "fmt ") {
+        if (sz < 16) return Left("wav_bad_fmt")
+        if (u16(body) != 1) return Left("wav_not_pcm")
+        val bits = u16(body + 14)
+        if (bits != 8 && bits != 16) return Left("wav_bits_unsupported")
+        fmt = Some((u16(body + 2), u32(body + 4).toInt, bits))
+      } else if (id == "data") {
+        val (ch, rate, bits) = fmt.getOrElse(return Left("wav_data_before_fmt"))
+        if (ch <= 0 || rate <= 0) return Left("wav_bad_fmt")
+        val bytesPer = bits / 8
+        val n = (sz / bytesPer).toInt
+        val out = new Array[Int](n)
+        var s = 0
+        while (s < n) {
+          out(s) =
+            if (bits == 16) u16(body + s * 2).toShort.toInt
+            else (bytes(body + s) & 0xff) - 128
+          s += 1
+        }
+        return Right((rate, ch, out))
+      }
+      i = body + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    Left("wav_no_data_chunk")
+  }
+
+  /** WAV PCM-16 encoder (test/fixture helper and S7-style audio export).
+    * `junkChunk` inserts a LIST chunk between fmt and data to exercise the
+    * decoder's chunk walk. */
+  def wav(rate: Int, channels: Int, samples: Array[Short],
+          junkChunk: Boolean = false): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val junk = if (junkChunk) Array[Byte]('L', 'I', 'S', 'T', 6, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0) else Array.emptyByteArray
+    val riffLen = 4 + (8 + 16) + junk.length + (8 + dataLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put(junk)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Audio feature stage: same batched mapPartitions shape and error-row
+    * discipline as [[imageFeatures]]. */
+  def audioFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeature] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      decodeWav(m.bytes) match {
+        case Left(err) => AudioFeature(m.media_id, 0, 0, 0L, 0.0, err)
+        case Right((rate, ch, samples)) =>
+          var sum = 0L; var i = 0
+          while (i < samples.length) { sum += math.abs(samples(i)); i += 1 }
+          AudioFeature(m.media_id, rate, ch, samples.length.toLong / ch,
+            sum.toDouble / math.max(samples.length, 1), "")
+      }
+    })
+  }
+
   /** Feature extraction stage: one batched mapPartitions pass, error rows
     * instead of task failures (same discipline as Extract). */
   def imageFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageFeature] = {

@@ -160,6 +160,45 @@ class MultimodalStreamSpec extends SparkSuiteBase {
       Left("ppm_maxval_unsupported"))
   }
 
+  test("RIFF/WAV PCM: real published format decodes — chunk walk, LE int16, 8-bit") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5)
+    // roundtrip, with and without a junk LIST chunk between fmt and data
+    for (junk <- Seq(false, true)) {
+      val Right((rate, ch, out)) = Multimodal.decodeWav(
+        Multimodal.wav(16000, 2, samples, junkChunk = junk))
+      assert(rate == 16000 && ch == 2)
+      assert(out.toSeq == samples.map(_.toInt).toSeq)
+    }
+    // 8-bit unsigned path, hand-built: values shift to signed around 128
+    val bytes8 = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 + 24 + 11)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + 24 + 11).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1).putInt(8000)
+        .putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(3).put(0.toByte).put(128.toByte).put(255.toByte)
+      bb.array()
+    }
+    val Right((r8, c8, o8)) = Multimodal.decodeWav(bytes8)
+    assert(r8 == 8000 && c8 == 1 && o8.toSeq == Seq(-128, 0, 127))
+    // error rows, never failures
+    assert(Multimodal.decodeWav("RIFX----WAVE".getBytes).isLeft)
+    assert(Multimodal.decodeWav(Multimodal.wav(8000, 1, samples).dropRight(3)).isLeft)
+    val notPcm = Multimodal.wav(8000, 1, samples)
+    notPcm(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(notPcm) == Left("wav_not_pcm"))
+  }
+
+  test("WAV rows flow through the audioFeatures stage; corrupt rows become err rows") {
+    val media = Seq(
+      MediaRow(1L, "audio", Multimodal.wav(8000, 1, Array[Short](100, -200, 300)), 0, 0, "wav"),
+      MediaRow(2L, "audio", Array[Byte](1, 2, 3), 0, 0, "wav")).toDS()
+    val feats = Multimodal.audioFeatures(media).collect().sortBy(_.media_id)
+    assert(feats(0).err.isEmpty && feats(0).sample_rate == 8000 &&
+      feats(0).n_frames == 3 && math.abs(feats(0).mean_abs - 200.0) < 1e-9)
+    assert(feats(1).err == "truncated_header")
+  }
+
   test("PPM rows flow through the imageFeatures stage like any other payload") {
     val rgb = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
       255.toByte, 255.toByte, 255.toByte, 0, 0, 0, 128.toByte, 128.toByte, 128.toByte)
