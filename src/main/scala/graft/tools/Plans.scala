@@ -118,6 +118,13 @@ object Plans {
          |map-side phases; no Expand node (count(*) == count(distinct slot)
          |by position-bijectivity).""".stripMargin,
        graft.SparkEntry.queries("q_phrase")(spark, sfDir)),
+      ("Facet-filtered ANN search (q_ann_facet)",
+       """Check: the probed-cell IN-filter reaches the cells scan
+         |(PushedFilters — storage-level pruning happens BEFORE the facet
+         |semi-join), the facet keep-set joins LeftSemi onto the pruned
+         |rows before any cosine arithmetic, and the tombstone anti-join
+         |stays bounded by probe selectivity.""".stripMargin,
+       graft.SparkEntry.queries("q_ann_facet")(spark, sfDir)),
       ("Context assembly (q_context)",
        """Check: top-k is TakeOrderedAndProject (no global sort of the scored
          |relation); the k-row result broadcasts into the token join; the
