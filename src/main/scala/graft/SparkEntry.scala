@@ -964,6 +964,29 @@ object SparkEntry {
         }).toDF("doc_id", "sample_rate", "channels", "n_frames", "mean_abs")
         .withColumn("mean_abs", round(col("mean_abs"), 4))
     }),
+    // --- multimodal VIDEO gate: planted deterministic AVI containers per
+    // doc (RIFF 'AVI ', hdrl/avih header, movi list of 8-bit grayscale
+    // frames), decoded by the REAL from-scratch AVI parser, every 2nd
+    // frame sampled. Pixels are modular arithmetic over (doc_id, frame,
+    // pixel), so the DuckDB oracle recomputes each sampled frame's mean
+    // luma and timestamp exactly — no fixtures, no stub.
+    "q_mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 2 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+          val nf = 3 + (id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate[Byte](w * h)(p => ((id * 7 + f * 13 + p * 3) % 256).toByte)
+          }
+          graft.mm.Multimodal.MediaRow(id, "video",
+            graft.mm.Multimodal.avi(w, h, 40000L, frames), w, h, "avi")
+        })
+      graft.mm.Multimodal.sampleFrames(media, strideFrames = 2)(s)
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("ts_ms"), round(col("mean_luma"), 4).as("mean_luma"))
+    }),
     // --- streaming parity gate (driver-visible): the SAME seed-42 corpus as
     // q_pipeline, extracted+chunked through the Structured Streaming path
     // (parquet file source → extractStream → AvailableNow parquet sink with
@@ -1847,6 +1870,19 @@ object SparkEntry {
           |SELECT doc_id, rate AS sample_rate, ch AS channels, frames AS n_frames,
           |  round(avg(abs(smp)), 4) AS mean_abs
           |FROM v GROUP BY 1, 2, 3, 4""".stripMargin,
+      // the planted-AVI frame pixels are modular arithmetic over (doc_id,
+      // frame, pixel) — the container walk must hand back exactly these
+      // frames; stride-2 sampling and ts = idx * 40000 / 1000
+      "q_mm_frames" ->
+        """WITH d AS (SELECT doc_id, (2 + doc_id % 5)::BIGINT AS w,
+          |    (2 + doc_id % 3)::BIGINT AS h, (3 + doc_id % 4)::BIGINT AS nf FROM documents),
+          | f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d),
+          | px AS (SELECT doc_id, w, h, fi, unnest(range(0, w * h)) AS p
+          |   FROM f WHERE fi % 2 = 0),
+          | v AS (SELECT doc_id, fi, (doc_id * 7 + fi * 13 + p * 3) % 256 AS luma FROM px)
+          |SELECT doc_id, fi AS frame_idx, (fi * 40)::BIGINT AS ts_ms,
+          |  round(avg(luma), 4) AS mean_luma
+          |FROM v GROUP BY 1, 2""".stripMargin,
       // the planted-PPM pixel formula is modular arithmetic over (doc_id,
       // pixel index), so the luma sum replicates exactly: same BT.601
       // integer weights, same // 1000 floor division

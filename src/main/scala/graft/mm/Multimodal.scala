@@ -7,13 +7,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * (the JVM analog of `mapInPandas` — same batch shape, same schema
   * discipline, codec amortized per partition).
   *
-  * `decodeImage` handles two formats: **binary PPM (P6)** — a real,
-  * published image format (Netpbm), decoded from scratch below including
-  * comments/whitespace handling and ITU-R BT.601 luma — and the `GIMG`
-  * single-channel test format used by the deterministic generators.
-  * Compressed codecs (JPEG/PNG/audio/video) are NOT in this container;
-  * their place in the pipeline is exactly `decodeImage`'s: a production
-  * build adds cases to the same dispatch without touching any plan shape.
+  * All three modalities have REAL from-scratch decoders for published
+  * formats: images — binary PPM (P6, Netpbm) with comments/whitespace
+  * handling and ITU-R BT.601 luma, plus the `GIMG` test format; audio —
+  * RIFF/WAV PCM ([[decodeWav]]: chunk walk, LE int16 + 8-bit); video —
+  * the AVI container ([[decodeAvi]]: hdrl/avih header, movi frame list,
+  * 8-bit grayscale DIB frames). Compressed codecs (JPEG/MP3/H.264) are
+  * NOT in this container; their place in the pipeline is exactly these
+  * dispatches: a production build adds cases without touching any plan
+  * shape.
   */
 object Multimodal {
 
@@ -238,17 +240,113 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling stage for "video" payloads: every `strideMs`, one
-    * synthetic frame row — the UDTF/generator shape (1 row in, N out). */
-  def sampleFrames(media: Dataset[MediaRow], strideMs: Long, durationMs: Long)
+  /** Minimal AVI (RIFF 'AVI ') parser, from scratch per the published
+    * container layout: RIFF form 'AVI ', a LIST 'hdrl' whose 'avih' chunk
+    * carries dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight at
+    * their fixed MainAVIHeader offsets, and a LIST 'movi' whose
+    * '00db'/'00dc' chunks are the frames — here 8-bit grayscale DIBs of
+    * width*height luma bytes. Compressed codecs slot into the same frame
+    * dispatch. Returns (width, height, usPerFrame, frames). */
+  def decodeAvi(bytes: Array[Byte]): Either[String, (Int, Int, Long, Seq[Array[Int]])] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes == null || bytes.length < 12) return Left("truncated_header")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return Left("bad_magic")
+    var w = -1; var h = -1; var usPerFrame = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val sz = u32(i + 4)
+      if (i + 8 + sz > bytes.length) return Left("truncated_chunk")
+      val body = i + 8
+      if (id == "LIST" && sz >= 4) {
+        tag(body) match {
+          case "hdrl" =>
+            // walk the header list for avih
+            var j = body + 4
+            val end = body + sz.toInt
+            while (j + 8 <= end) {
+              val csz = u32(j + 4)
+              if (tag(j) == "avih") {
+                if (csz < 40) return Left("avi_bad_header")
+                usPerFrame = u32(j + 8)
+                w = u32(j + 8 + 32).toInt
+                h = u32(j + 8 + 36).toInt
+              }
+              j += 8 + csz.toInt + (csz.toInt & 1)
+            }
+          case "movi" =>
+            if (w <= 0 || h <= 0) return Left("avi_frames_before_header")
+            var j = body + 4
+            val end = body + sz.toInt
+            while (j + 8 <= end) {
+              val cid = tag(j)
+              val csz = u32(j + 4)
+              if (j + 8 + csz > end) return Left("truncated_chunk")
+              if (cid == "00db" || cid == "00dc") {
+                if (csz != w.toLong * h) return Left("avi_frame_size_mismatch")
+                val px = new Array[Int](w * h)
+                var p = 0
+                while (p < px.length) { px(p) = bytes(j + 8 + p) & 0xff; p += 1 }
+                frames += px
+              }
+              j += 8 + csz.toInt + (csz.toInt & 1)
+            }
+          case _ => // other lists skipped whole
+        }
+      }
+      i = body + sz.toInt + (sz.toInt & 1)
+    }
+    if (w <= 0 || h <= 0) Left("avi_no_header")
+    else Right((w, h, usPerFrame, frames.toSeq))
+  }
+
+  /** AVI encoder (test/fixture helper): 8-bit grayscale frames. */
+  def avi(width: Int, height: Int, usPerFrame: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == width * height), "frame length must be w*h")
+    val avih = java.nio.ByteBuffer.allocate(8 + 56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(usPerFrame.toInt).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = "hdrl".getBytes("US-ASCII") ++ avih.array()
+    val movi = "movi".getBytes("US-ASCII") ++ frames.flatMap { f =>
+      val ch = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ch.put("00db".getBytes("US-ASCII")).putInt(f.length)
+      ch.array() ++ f ++ (if (f.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    def list(payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(payload.length)
+      bb.array() ++ payload
+    }
+    val payload = "AVI ".getBytes("US-ASCII") ++ list(hdrl) ++ list(movi)
+    val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(payload.length)
+    bb.array() ++ payload
+  }
+
+  /** Frame-sampling stage for video payloads: every `strideFrames`-th frame
+    * of the REAL decoded AVI stream becomes one row with its timestamp and
+    * mean luma — the UDTF/generator shape (1 row in, N out), error rows
+    * never failures. */
+  def sampleFrames(media: Dataset[MediaRow], strideFrames: Int)
                   (implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      (0L until durationMs by strideMs).zipWithIndex.map { case (ts, idx) =>
-        // STUB: luma derived from payload hash + ts; a real build decodes
-        // the container and pulls the nearest keyframe
-        val luma = ((graft.Hashing.mix64(m.media_id ^ ts) >>> 32) % 256).toDouble
-        FrameSample(m.media_id, idx, ts, luma)
+      decodeAvi(m.bytes) match {
+        case Left(_) => Nil
+        case Right((_, _, usPerFrame, frames)) =>
+          frames.zipWithIndex.collect {
+            case (px, idx) if idx % strideFrames == 0 =>
+              var sum = 0L; var p = 0
+              while (p < px.length) { sum += px(p); p += 1 }
+              FrameSample(m.media_id, idx, idx * usPerFrame / 1000,
+                sum.toDouble / math.max(px.length, 1))
+          }
       }
     }
   }

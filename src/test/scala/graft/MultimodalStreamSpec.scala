@@ -32,12 +32,23 @@ class MultimodalStreamSpec extends SparkSuiteBase {
     assert(feats.map(_.err).toSeq == Seq("truncated_header", "bad_magic", "truncated_payload"))
   }
 
-  test("frame sampling is a generator: 1 video row -> N frame rows") {
-    val vid = Multimodal.fakeImage(9L, 4, 4).copy(kind = "video")
-    val frames = Multimodal.sampleFrames(spark.createDataset(Seq(vid)), strideMs = 100, durationMs = 1000)
-      .collect()
-    assert(frames.length == 10)
-    assert(frames.map(_.frame_idx).sorted.toSeq == (0 until 10))
+  test("frame sampling decodes the real AVI container: 1 video row -> N frame rows") {
+    // 6 frames of 2x2 gray, frame f all-pixels = 10*f -> mean luma = 10*f
+    val frames6 = (0 until 6).map(f => Array.fill[Byte](4)((10 * f).toByte))
+    val bytes = Multimodal.avi(2, 2, usPerFrame = 40000L, frames6)
+    // decoder roundtrip: header + every frame byte
+    val Right((w, h, us, decoded)) = Multimodal.decodeAvi(bytes)
+    assert(w == 2 && h == 2 && us == 40000L && decoded.length == 6)
+    assert(decoded(3).toSeq == Seq(30, 30, 30, 30))
+    val vid = MediaRow(9L, "video", bytes, 2, 2, "avi")
+    val out = Multimodal.sampleFrames(spark.createDataset(Seq(vid)), strideFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(out.map(_.mean_luma).toSeq == Seq(0.0, 20.0, 40.0))
+    assert(out.map(_.ts_ms).toSeq == Seq(0L, 80L, 160L))
+    // corrupt payloads vanish as empty generators, not failures
+    assert(Multimodal.sampleFrames(
+      spark.createDataset(Seq(vid.copy(bytes = Array[Byte](1, 2, 3)))), 1).count() == 0)
   }
 
   test("resize metadata keeps aspect, caps max dim") {
