@@ -427,6 +427,20 @@ object SparkEntry {
       Knn.dropEmbeddingNearDups(planted, "vec_id", "embedding", simThreshold = 0.995)
         .select(col("vec_id").cast("string").as("id"))
     }),
+    // --- SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // same planted-copy harness as q_emb_neardup, but candidates come
+    // from the IVF cell assignment (nearest deterministic centroid)
+    // instead of LSH banding: exact copies share a cell by construction,
+    // and the larger-VARCHAR-id side of any within-cell pair with
+    // rounded cosine >= 0.98 is dropped. Output = surviving ids.
+    "q_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val planted = base.unionByName(
+        base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Knn.semDedup(planted, "vec_id", "embedding", simThreshold = 0.98,
+        nCells = 16, dim = 64, maxCell = 512)
+        .select(col("vec_id").cast("string").as("id"))
+    }),
     // --- CCNet-style cross-corpus paragraph dedup (boilerplate removal):
     // harness plants a shared boilerplate paragraph in every doc and each
     // doc's own text as a paragraph of its successor — so the cleaner must
@@ -814,6 +828,21 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) => {
       graft.text.Bpe.learn(s,
         graft.text.Bpe.wordFreqs(t(s, dir, "documents"), "text"), nMerges = 4)._1
+    }),
+    // --- BPE ENCODE (the tokenizer's inference half): learn 4 merges,
+    // then tokenize the corpus under them — per-doc BPE token counts, the
+    // accounting a pretraining pipeline actually bills by. The merge loop
+    // runs once per DISTINCT word; the oracle joins its own s4 vocabulary
+    // (identical merges, hash-checked by q_bpe) back onto the per-doc
+    // word stream.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.learn(s,
+        graft.text.Bpe.wordFreqs(docs, "text"), nMerges = 4)._1
+        .collect().sortBy(_.getInt(0))
+        .map { r => val Array(a, b) = r.getString(1).split(" ", 2); (a, b) }.toSeq
+      graft.text.Bpe.encode(s, docs, "doc_id", "text", merges)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_words"))
     }),
     // --- A6 embedding-dim inference
     "q_emb_dim" -> ((s, dir) => {
@@ -1347,6 +1376,36 @@ object SparkEntry {
        |SELECT id FROM v WHERE id NOT IN (SELECT id FROM losers)""".stripMargin
   }
 
+  /** DuckDB replica of [[Knn.semDedup]] over the planted-copy harness —
+    * identical by construction: centroids are the nCells numerically
+    * smallest base ids (the planted copies start at 1000000 so the base
+    * rows win), cell assignment is max-cosine (tie → smallest centroid
+    * index), the per-cell cap ranks by VARCHAR id, and a row is dropped
+    * iff it is the VARCHAR-larger side of a within-cell pair with 6-dp
+    * rounded cosine ≥ the threshold. */
+  private def semDedupOracleSql(simThreshold: Double, nCells: Int,
+                                dim: Int, maxCell: Int): String =
+    s"""WITH v AS (SELECT vec_id::VARCHAR AS id, vec_id::BIGINT AS nid, embedding::DOUBLE[] AS vec FROM embeddings
+       |   UNION ALL
+       |   SELECT (vec_id + 1000000)::VARCHAR, (vec_id + 1000000)::BIGINT, embedding::DOUBLE[] FROM embeddings),
+       | cent AS (SELECT row_number() OVER (ORDER BY nid) - 1 AS cidx, vec AS cvec
+       |   FROM (SELECT nid, vec FROM v WHERE len(vec) = $dim ORDER BY nid LIMIT $nCells)),
+       | vc AS (SELECT v.id, c.cidx,
+       |     list_dot_product(v.vec, c.cvec)
+       |       / greatest(sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.cvec, c.cvec)), 1e-12) AS cos
+       |   FROM v CROSS JOIN cent c),
+       | cells AS (SELECT id, cidx AS cell FROM (
+       |     SELECT id, cidx, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cidx) AS rn FROM vc) WHERE rn = 1),
+       | live AS (SELECT id, cell FROM (
+       |     SELECT id, cell, row_number() OVER (PARTITION BY cell ORDER BY id) AS rn FROM cells) WHERE rn <= $maxCell),
+       | pairs AS (SELECT a.id AS id_a, b.id AS id_b
+       |   FROM live a JOIN live b ON a.cell = b.cell AND a.id < b.id),
+       | losers AS (SELECT DISTINCT p.id_b AS id
+       |   FROM pairs p JOIN v va ON va.id = p.id_a JOIN v vb ON vb.id = p.id_b
+       |   WHERE round(list_dot_product(va.vec, vb.vec)
+       |     / greatest(sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12), 6) >= $simThreshold)
+       |SELECT id FROM v WHERE id NOT IN (SELECT id FROM losers)""".stripMargin
+
   /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
   private val DocsWithNearDupsSql =
     """docs AS (
@@ -1787,6 +1846,15 @@ object SparkEntry {
       "q_bpe" -> bpeOracleSql(4, "SELECT word, s AS syms FROM s4"),
       "q_bpe_merges" -> bpeOracleSql(4,
         (1 to 4).map(i => s"SELECT $i AS step, pair, cnt FROM b$i").mkString(" UNION ALL ")),
+      // encode = the s4 symbolization (already hash-checked by q_bpe)
+      // joined back onto the per-doc word stream
+      "q_bpe_encode" -> bpeOracleSql(4,
+        """SELECT d.doc_id, sum(d.tf * len(string_split(s4.s, ' ')))::BIGINT AS n_tokens,
+          |  sum(d.tf)::BIGINT AS n_words
+          |FROM (SELECT doc_id, word, count(*)::BIGINT AS tf FROM
+          |    (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |       x -> len(x) > 0)) AS word FROM documents) GROUP BY 1, 2) d
+          |JOIN s4 USING (word) GROUP BY 1""".stripMargin),
       "q_emb_dim" ->
         "SELECT max(len(embedding))::BIGINT AS dim, count(*) AS n_vecs FROM embeddings",
       // concat-and-split packing == global prefix-sum window
@@ -1975,6 +2043,8 @@ object SparkEntry {
           |UNION ALL SELECT doc_id, fp::BIGINT AS fp FROM shorts""".stripMargin,
       "q_emb_neardup" -> embNearDupOracleSql(simThreshold = 0.995, bits = 10,
         tables = 3, dim = 64, maxBucket = 256),
+      "q_semdedup" -> semDedupOracleSql(simThreshold = 0.98, nCells = 16,
+        dim = 64, maxCell = 512),
       "q_simhash_neardup" -> simhashOracleSql(maxDist = 3, maxBucket = 64),
       // CCNet paragraph dedup over the planted-boilerplate harness: same
       // split/trim/keep-first-by-(id,idx)/reassemble, pure SQL windows

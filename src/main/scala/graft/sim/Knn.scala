@@ -240,4 +240,79 @@ object Knn {
       .distinct()
     df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")
   }
+
+  /** SemDeDup-style CLUSTER-SCOPED semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — published method): assign every embedding to its
+    * nearest centroid, then compare pairs only WITHIN a cluster and drop
+    * the larger-id member of any pair with cosine ≥ `simThreshold`.
+    *
+    * This is the scale path the LSH variant ([[dropEmbeddingNearDups]])
+    * trades against: no banding tables, one id-only shuffle on the cell
+    * key, and the quadratic pair step is bounded per cell by `maxCell`
+    * (a `row_number ≤ cap` window — Catalyst's WindowGroupLimit truncates
+    * map-side BEFORE the exchange when no observer is attached; cap drops
+    * are observable via `drops` exactly like the MinHash/LSH family). At
+    * 100 TB, nCells scales with N (cells of ~10³ vectors) so the
+    * within-cell join stays bounded while the corpus-sized work remains
+    * two narrow passes.
+    *
+    * Centroid choice reuses [[ivfTopK]]'s deterministic scheme (the
+    * nCells smallest-id vectors — oracle-replicable; a k-means refinement
+    * changes recall, not the operator shape). Pair semantics match the
+    * dedup family: a row is dropped iff it is the larger-id side of ANY
+    * qualifying pair (plain pair relation — SQL-expressible, no greedy
+    * chain dependence). The cosine is compared 6-dp ROUNDED so borderline
+    * pairs are deterministic across engines. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               simThreshold: Double = 0.98, nCells: Int = 16, dim: Int = 64,
+               maxCell: Int = 1024,
+               drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("string").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val cents: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) === dim)
+      .orderBy(col(idCol)).limit(nCells)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    // local def so the closure captures only the broadcast (not the object)
+    def nearestCell(vec: Array[Double]): Int = {
+      val cs = bcCents.value
+      var bestJ = 0; var bestCos = -2.0
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        while (i < dim) { dot += vec(i) * c(i); nv += vec(i) * vec(i); nc += c(i) * c(i); i += 1 }
+        val cos = dot / math.max(math.sqrt(nv) * math.sqrt(nc), 1e-12)
+        if (cos > bestCos) { bestCos = cos; bestJ = j }
+        j += 1
+      }
+      bestJ
+    }
+    val members = vecs.as[(String, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, vec) =>
+        if (vec == null || vec.length != dim) Iterator.empty
+        else Iterator.single((id, nearestCell(vec)))
+      }).toDF("id", "cell")
+    val ranked = members.withColumn("rn", row_number().over(
+      Window.partitionBy("cell").orderBy("id")))
+    val observed = drops.fold(ranked)(o => ranked.observe(o,
+      sum(when(col("rn") > maxCell, 1L).otherwise(0L)).as("dropped_members"),
+      sum(when(col("rn") === maxCell + 1, 1L).otherwise(0L)).as("overflow_cells")))
+    val live = observed.filter(col("rn") <= maxCell).select(col("id"), col("cell"))
+    val pairs = live.as("a").join(live.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val losers = pairs
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
+      .filter(round(cosineCol(col("vec_a"), col("vec_b")), 6) >= simThreshold)
+      .select(col("id_b").as("loser"))
+      .distinct()
+    df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")
+  }
 }

@@ -76,4 +76,40 @@ object Bpe extends Serializable {
     (ledger.toSeq.toDF("step", "pair", "cnt"),
       cur.map { case (w, syms, _) => (w, syms.mkString(" ")) }.toDF("word", "syms"))
   }
+
+  /** ENCODE a corpus with a learned merge ledger — the inference half of
+    * the tokenizer (the per-word merge loop GPT-2/SentencePiece run at
+    * encode time): each word starts as characters and the merges apply
+    * sequentially in learned step order, the same greedy left-to-right
+    * scan as training — so encoding the training corpus reproduces
+    * `learn`'s final symbolization exactly, and unseen words still encode
+    * deterministically.
+    *
+    * Scale shape: ONE corpus-sized tokenize (`Bm25.termFreq`, map-side
+    * partial agg); the merge loop itself runs only over DISTINCT words
+    * (vocabulary-sized, narrow map — the ledger is k driver rows captured
+    * in the closure); token totals come back via a word-keyed join (AQE
+    * broadcasts the vocab side when small) and one per-doc aggregation.
+    * No per-document merge work ever happens: a word seen 10^9 times is
+    * encoded once.
+    *
+    * @param merges (a, b) pairs in learned order (step ascending)
+    * @return (doc, n_tokens, n_words): BPE token count and raw word count
+    *         per document — the real token accounting a training-data
+    *         pipeline bills by. */
+  def encode(spark: SparkSession, docs: DataFrame, idCol: String,
+             textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val tf = graft.index.Bm25.termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol)
+    val m = merges.toIndexedSeq
+    val enc = tf.select(col("term")).distinct().as[String].map { w =>
+      var syms: Seq[String] = w.map(_.toString)
+      m.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+      (w, syms.length.toLong)
+    }.toDF("term", "n_syms")
+    tf.join(enc, "term")
+      .groupBy("doc")
+      .agg(sum(col("tf") * col("n_syms")).cast("long").as("n_tokens"),
+        sum("tf").cast("long").as("n_words"))
+  }
 }

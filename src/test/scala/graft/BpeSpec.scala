@@ -37,6 +37,30 @@ class BpeSpec extends SparkSuiteBase {
     assert(Bpe.applyMerge(Seq.empty[String], "a", "b") == Seq.empty[String])
   }
 
+  test("encode: training corpus reproduces learn's symbolization; unseen words encode") {
+    // corpus whose word stream matches the classic Sennrich family
+    val docs = Seq(
+      (1L, ("low " * 5) + ("newest " * 3)),
+      (2L, ("lower " * 2) + ("newest " * 3) + ("widest " * 3))
+    ).toDF("doc_id", "text")
+    val (ledger, vocab) = Bpe.learn(spark, Bpe.wordFreqs(docs, "text"), nMerges = 4)
+    val merges = ledger.orderBy("step").collect()
+      .map { r => val Array(a, b) = r.getString(1).split(" ", 2); (a, b) }.toSeq
+    val rows = Bpe.encode(spark, docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // per-word BPE lengths from learn's own vocab
+    val symLen = vocab.collect().map(r => r.getString(0) -> r.getString(1).split(" ").length.toLong).toMap
+    // doc 1: 5×low + 3×newest; doc 2: 2×lower + 3×newest + 3×widest
+    assert(rows(1L) == ((5 * symLen("low") + 3 * symLen("newest"), 8L)))
+    assert(rows(2L) == ((2 * symLen("lower") + 3 * symLen("newest") + 3 * symLen("widest"), 8L)))
+    // unseen word: deterministic char-level start + learned merges apply
+    val unseen = Seq((9L, "lowest")).toDF("doc_id", "text")
+    val u = Bpe.encode(spark, unseen, "doc_id", "text", merges).collect().head
+    // l o w e s t -> (e s)-> l o w es t -> (es t) -> l o w est -> (l o) ->
+    // lo w est -> (lo w) -> low est = 2 symbols
+    assert((u.getLong(1), u.getLong(2)) == ((2L, 1L)))
+  }
+
   test("exhaustion: single-symbol vocabulary stops before nMerges") {
     val words = Seq(("a", 3L), ("b", 2L)).toDF("word", "freq")
     val (ledger, vocab) = Bpe.learn(spark, words, nMerges = 5)
