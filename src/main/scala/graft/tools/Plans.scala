@@ -139,6 +139,21 @@ object Plans {
          |the scalar total enters via BroadcastNestedLoopJoin of a 1-row
          |relation.""".stripMargin,
        graft.SparkEntry.queries("q_lm_score")(spark, sfDir)),
+      ("SemDeDup cluster-scoped semantic dedup (q_semdedup)",
+       """Check: cell assignment is a narrow MapPartitions over broadcast
+         |centroids (no vector shuffle); the per-cell cap is a
+         |WindowGroupLimit with a PARTIAL map-side phase over (id, cell)
+         |only — vectors re-join by id strictly for within-cell pair
+         |verification; the final keep is a left-anti join on the loser
+         |set.""".stripMargin,
+       graft.SparkEntry.queries("q_semdedup")(spark, sfDir)),
+      ("BPE encode (q_bpe_encode)",
+       """Check: ONE corpus tokenize (termFreq partial aggregate); the merge
+         |loop runs over DISTINCT terms only (vocabulary-sized narrow map
+         |after a distinct exchange); the per-word symbol counts join back
+         |BROADCAST (AQE: the vocab side is small); one per-doc hash
+         |aggregate with map-side combine.""".stripMargin,
+       graft.SparkEntry.queries("q_bpe_encode")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
