@@ -815,6 +815,47 @@ object SparkEntry {
       graft.text.Vocab.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc").as("doc_id"), col("n_tokens"), col("nll"))
     }),
+    // --- C4-style line-level page cleaning (Raffel et al. 2020 §2.2).
+    // The corpus is single-line word soup, so the harness synthesizes a
+    // branch-covering page per doc IDENTICALLY in both engines: kept
+    // lines (terminal punct, ≥5 words), a short line, a no-terminal
+    // line, a "javascript" line, plus page-level "lorem ipsum" (doc_id
+    // %17) and "{" (doc_id%19) poison suffixes.
+    "q_c4_clean" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val page = concat_ws("\n",
+        concat(concat_ws(" ", slice(col("tk"), 1, 12)), lit(".")),
+        lit("too short."),
+        concat_ws(" ", slice(col("tk"), 13, 8)),
+        lit("you must enable javascript to continue."),
+        concat(concat_ws(" ", slice(col("tk"), 21, 12)), lit("?")),
+        concat(concat_ws(" ", slice(col("tk"), 33, 12)), lit("!")))
+      val decorated = concat(page,
+        when(col("doc_id") % 17 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit("\nfunction() { return 0; }"))
+          .otherwise(lit("")))
+      graft.text.C4Clean.clean(s,
+          base.select(col("doc_id"), decorated.as("text")), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("page_keep"),
+          col("n_kept"), col("n_dropped"), col("cleaned"))
+    }),
+    // --- DSIR importance resampling (Xie et al. 2023): target = every
+    // 7th doc, raw = whole corpus, 4096 hashed uni+bigram buckets; fit →
+    // score → deterministic Gumbel top-100. The oracle replays the entire
+    // pipeline (hashing, smoothing, rounding contract, Gumbel band) in
+    // DuckDB HUGEINT + double arithmetic.
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("doc_id") % 7 === 0)
+      val model = graft.text.Dsir.fit(target, docs, "text", buckets = 4096)
+      val scored = graft.text.Dsir.score(docs, "doc_id", "text", model,
+        buckets = 4096)
+      graft.text.Dsir.resample(scored, k = 100)
+        .select(col("doc").cast("long").as("doc_id"), col("n_grams"),
+          col("logweight"), col("key"))
+    }),
     // --- distributed BPE tokenizer training (Sennrich et al. 2016): 4
     // merge rounds over the corpus word-frequency table. The DuckDB oracle
     // unrolls the same 4 rounds, each a recursive-CTE fixpoint of the
@@ -1843,6 +1884,73 @@ object SparkEntry {
           |SELECT doc AS doc_id, sum(tf)::BIGINT AS n_tokens,
           |  round(sum(tf * -ln(cnt / total)) / sum(tf), 4) AS nll
           |FROM tf JOIN cnt USING(term) CROSS JOIN tot GROUP BY doc""".stripMargin,
+      // C4 line cleaning over the synthesized branch-covering page;
+      // list_filter preserves line order so `cleaned` reassembles exactly
+      "q_c4_clean" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          | h AS (SELECT doc_id,
+          |    -- DuckDB slices NULL out (not empty) past the list end: coalesce
+          |    coalesce(array_to_string(tk[1:12], ' '), '') || '.' || chr(10) ||
+          |    'too short.' || chr(10) ||
+          |    coalesce(array_to_string(tk[13:20], ' '), '') || chr(10) ||
+          |    'you must enable javascript to continue.' || chr(10) ||
+          |    coalesce(array_to_string(tk[21:32], ' '), '') || '?' || chr(10) ||
+          |    coalesce(array_to_string(tk[33:44], ' '), '') || '!' ||
+          |    CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+          |    CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'function() { return 0; }' ELSE '' END AS t
+          |  FROM w),
+          | ln AS (SELECT doc_id, t,
+          |    list_filter(list_transform(string_split(t, chr(10)),
+          |      l -> trim(l, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))),
+          |      l -> len(l) > 0) AS lines FROM h),
+          | k AS (SELECT doc_id, t, len(lines) AS n_lines,
+          |    list_filter(lines, l ->
+          |      regexp_matches(l, '[.!?"]$')
+          |      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0)) >= 5
+          |      AND NOT contains(lower(l), 'javascript')) AS kept FROM ln)
+          |SELECT doc_id,
+          |  (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+          |     AND NOT contains(t, '{')) AS page_keep,
+          |  len(kept)::INT AS n_kept,
+          |  (n_lines - len(kept))::INT AS n_dropped,
+          |  array_to_string(kept, chr(10)) AS cleaned
+          |FROM k""".stripMargin,
+      // DSIR end-to-end: hashed uni+bigram buckets (md5-top-64 % 4096),
+      // add-0.5 smoothed log-ratio model (rounded 6dp — part of the
+      // contract), per-doc score (rounded 4dp), md5-uniform Gumbel on the
+      // well-conditioned (0.25,0.75) band, top-100 with STRING-ordered
+      // doc tiebreak (the operator's ids are strings)
+      "q_dsir" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0) AS tk FROM documents),
+          | grams AS (
+          |   SELECT doc_id, unnest(tk) AS g FROM toks
+          |   UNION ALL
+          |   SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+          |     i -> tk[i] || ' ' || tk[i + 1])) AS g FROM toks),
+          | hb AS (SELECT doc_id,
+          |    ((('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT
+          |      % 9223372036854775808) % 4096)::BIGINT AS b FROM grams),
+          | tc AS (SELECT b, count(*)::DOUBLE AS nt FROM hb WHERE doc_id % 7 = 0 GROUP BY 1),
+          | rc AS (SELECT b, count(*)::DOUBLE AS nr FROM hb GROUP BY 1),
+          | tt AS (SELECT sum(nt) AS t_total FROM tc),
+          | rt AS (SELECT sum(nr) AS r_total FROM rc),
+          | lr AS (SELECT rc.b,
+          |    round(ln((coalesce(tc.nt, 0) + 0.5) / (tt.t_total + 0.5 * 4096))
+          |        - ln((rc.nr + 0.5) / (rt.r_total + 0.5 * 4096)), 6) AS lr
+          |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN rt),
+          | dc AS (SELECT doc_id, b, count(*)::DOUBLE AS cnt FROM hb GROUP BY 1, 2),
+          | sc AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+          |    round(sum(cnt * lr.lr), 4) AS logweight
+          |  FROM dc JOIN lr ON dc.b = lr.b GROUP BY 1),
+          | ky AS (SELECT doc_id, n_grams, logweight,
+          |    round(-ln(-ln(((((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+          |        % 9223372036854775808) % 1000000)::DOUBLE + 0.5) / 2000000 + 0.25))), 6) AS gumbel
+          |  FROM sc)
+          |SELECT doc_id, n_grams, logweight,
+          |  round(logweight + gumbel, 4) AS key
+          |FROM ky ORDER BY key DESC, doc_id::VARCHAR LIMIT 100""".stripMargin,
       "q_bpe" -> bpeOracleSql(4, "SELECT word, s AS syms FROM s4"),
       "q_bpe_merges" -> bpeOracleSql(4,
         (1 to 4).map(i => s"SELECT $i AS step, pair, cnt FROM b$i").mkString(" UNION ALL ")),

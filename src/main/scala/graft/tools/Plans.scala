@@ -154,6 +154,19 @@ object Plans {
          |BROADCAST (AQE: the vocab side is small); one per-doc hash
          |aggregate with map-side combine.""".stripMargin,
        graft.SparkEntry.queries("q_bpe_encode")(spark, sfDir)),
+      ("C4 line cleaning (q_c4_clean)",
+       """Check: ONE narrow SerializeFromObject/MapElements chain per doc —
+         |zero exchanges anywhere in the plan (split → line filter →
+         |reassemble all inside a single whole-stage-adjacent object map);
+         |ReadSchema pruned to (doc_id, text).""".stripMargin,
+       graft.SparkEntry.queries("q_c4_clean")(spark, sfDir)),
+      ("DSIR importance resampling (q_dsir)",
+       """Check: the fitted log-ratio model (≤4096 rows) enters score via a
+         |BROADCAST hash join; doc scoring is explode → (doc,bucket)
+         |partial+final aggregate → per-doc aggregate (both exchanges keyed
+         |on the high-cardinality doc id); the Gumbel top-100 is a
+         |TakeOrderedAndProject, not a global sort.""".stripMargin,
+       graft.SparkEntry.queries("q_dsir")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,

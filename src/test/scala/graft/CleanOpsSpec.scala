@@ -103,4 +103,61 @@ class CleanOpsSpec extends SparkSuiteBase {
     assert((e, p, i) == ((1L, 1L, 1L)))
     assert(t == "|||EMAIL_ADDRESS||| |||PHONE_NUMBER||| |||IP_ADDRESS|||")
   }
+
+  // --- C4Clean ------------------------------------------------------------
+
+  private def c4(rows: Seq[(String, String)]): Map[String, (Boolean, Int, Int, String)] = {
+    graft.text.C4Clean.clean(spark, rows.toDF("id", "text"), "id", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+  }
+
+  private val threeKeepers =
+    "this line has five words.\nand this one also qualifies!\nthird fine sentence right here?"
+
+  test("c4: clean page with three terminal-punctuated 5-word lines is kept") {
+    val out = c4(Seq(("keep", threeKeepers)))
+    assert(out("keep") == ((true, 3, 0, threeKeepers)))
+  }
+
+  test("c4: short, unterminated and javascript lines drop; page survives") {
+    val out = c4(Seq(
+      ("short", s"one two.\n$threeKeepers"),
+      ("nopunct", s"this line has no terminal punctuation\n$threeKeepers"),
+      ("js", s"please enable javascript to continue here.\n$threeKeepers")))
+    // each poison line drops at LINE level; 3 keepers remain → page kept
+    assert(out("short") == ((true, 3, 1, threeKeepers)))
+    assert(out("nopunct") == ((true, 3, 1, threeKeepers)))
+    assert(out("js") == ((true, 3, 1, threeKeepers)))
+  }
+
+  test("c4: lorem ipsum and curly-brace pages drop whole-page") {
+    val out = c4(Seq(
+      ("lorem", s"$threeKeepers\nlorem ipsum dolor"),
+      ("brace", s"$threeKeepers\nif (x) { y }")))
+    // the poison lines also fail line rules (no terminal punct) → dropped,
+    // but the PAGE verdict comes from the raw-page token
+    assert(out("lorem") == ((false, 3, 1, threeKeepers)))
+    assert(out("brace") == ((false, 3, 1, threeKeepers)))
+  }
+
+  test("c4: pages with fewer than three kept lines drop; empty text safe") {
+    val out = c4(Seq(
+      ("toofew", "this line has five words.\nand this one also qualifies!"),
+      ("empty", ""),
+      ("blank", "\n\n  \n")))
+    assert(out("toofew") == ((false, 2, 0,
+      "this line has five words.\nand this one also qualifies!")))
+    assert(out("empty") == ((false, 0, 0, "")))
+    // blank lines are structure, not content: not counted as dropped
+    assert(out("blank") == ((false, 0, 0, "")))
+  }
+
+  test("c4: closing double-quote is a terminal mark (C4's dialogue rule)") {
+    val q = "he said \"this is five words.\""
+    val out = c4(Seq(("quote", s"$q\nand this one also qualifies!\nthird fine sentence right here?")))
+    assert(out("quote")._1 && out("quote")._2 == 3)
+    assert(out("quote")._4.startsWith(q))
+  }
 }
