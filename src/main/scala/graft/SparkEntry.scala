@@ -856,6 +856,24 @@ object SparkEntry {
         .select(col("doc").cast("long").as("doc_id"), col("n_grams"),
           col("logweight"), col("key"))
     }),
+    // --- crawl-graph centrality: integer PageRank over a deterministic
+    // quadratic pseudo-graph (outdeg 3, varied indeg via quadratic
+    // residues). 8 iterations; every rank unit is BIGINT-exact, so the
+    // gate needs no float rounding contract at all.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"))
+      graft.graph.PageRank.run(edges, docs.select(col("doc_id").as("id")),
+          iters = 8)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
     // --- distributed BPE tokenizer training (Sennrich et al. 2016): 4
     // merge rounds over the corpus word-frequency table. The DuckDB oracle
     // unrolls the same 4 rounds, each a recursive-CTE fixpoint of the
@@ -1211,6 +1229,35 @@ object SparkEntry {
         |     '\\1' || replace((SELECT pair FROM b$i), ' ', '') || '\\2', 'g') = s)""".stripMargin)
     }
     sb.append("\n").append(emit)
+    sb.toString
+  }
+
+  /** Unrolled integer-PageRank oracle over the deterministic quadratic
+    * pseudo-graph (src → (src² + j) mod n, j ∈ 1..3, self-loops bumped to
+    * the next node). Everything is BIGINT — no float contract at all:
+    * integer sums are order-independent, so the gate is hash-exact by
+    * construction. `//` is DuckDB's integer division (floors; all
+    * operands positive, so it equals Spark's `div`). */
+  private def pageRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH n1 AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
+        |   FROM documents, n1, unnest([1, 2, 3]) AS t(j)),
+        | edges AS (SELECT src,
+        |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
+        | deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+        | ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+        | r0 AS (SELECT id, 1000000000000::BIGINT AS rank FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        | c$i AS (SELECT ed.dst AS id, sum((r.rank * 17) // (20 * ed.outdeg)) AS inflow
+        |   FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY 1),
+        | r$i AS (SELECT n.id, 150000000000 + coalesce(c.inflow, 0) AS rank
+        |   FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id AS doc_id, rank FROM r$iters")
     sb.toString
   }
 
@@ -1951,6 +1998,7 @@ object SparkEntry {
           |SELECT doc_id, n_grams, logweight,
           |  round(logweight + gumbel, 4) AS key
           |FROM ky ORDER BY key DESC, doc_id::VARCHAR LIMIT 100""".stripMargin,
+      "q_pagerank" -> pageRankOracleSql(8),
       "q_bpe" -> bpeOracleSql(4, "SELECT word, s AS syms FROM s4"),
       "q_bpe_merges" -> bpeOracleSql(4,
         (1 to 4).map(i => s"SELECT $i AS step, pair, cnt FROM b$i").mkString(" UNION ALL ")),

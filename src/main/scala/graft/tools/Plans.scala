@@ -167,6 +167,14 @@ object Plans {
          |on the high-cardinality doc id); the Gumbel top-100 is a
          |TakeOrderedAndProject, not a global sort.""".stripMargin,
        graft.SparkEntry.queries("q_dsir")(spark, sfDir)),
+      ("Integer PageRank (q_pagerank)",
+       """Check: the visible plan is the LAST iteration only — its leaves
+         |are `Scan ExistingRDD` (the localCheckpoint truncation; without
+         |it 8 self-referencing rounds analyze a 2^8 tree); one Exchange
+         |keyed on the edge dst for the contribution aggregate, the rank
+         |join keyed on src; every rank expression is bigint (`div`, not
+         |`/`) — no doubles anywhere.""".stripMargin,
+       graft.SparkEntry.queries("q_pagerank")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
