@@ -856,6 +856,21 @@ object SparkEntry {
         .select(col("doc").cast("long").as("doc_id"), col("n_grams"),
           col("logweight"), col("key"))
     }),
+    // --- record-linkage fuzzy dedup: blocking + Levenshtein over a
+    // synthesized title column (7 prefix blocks × mod-60 numbering ×
+    // suffix typo classes — edit distances 0/1/2/3 all occur). Integer
+    // metric: no float contract.
+    "q_fuzzy_dedup" -> ((s, dir) => {
+      val titled = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("report-"), (col("doc_id") % 7).cast("string"),
+          lit(" part "), lpad((col("doc_id") % 60).cast("string"), 2, "0"),
+          when(col("doc_id") % 5 === 1, lit("!"))
+            .when(col("doc_id") % 5 === 2, lit("?!"))
+            .otherwise(lit(""))).as("title"))
+      graft.dedup.FuzzyDedup.annotate(titled, "doc_id", "title")
+        .select(col("id").as("doc_id"), col("s").as("title"),
+          col("is_fuzzy_dup"), col("dup_of"))
+    }),
     // --- crawl-graph centrality: integer PageRank over a deterministic
     // quadratic pseudo-graph (outdeg 3, varied indeg via quadratic
     // residues). 8 iterations; every rank unit is BIGINT-exact, so the
@@ -1998,6 +2013,26 @@ object SparkEntry {
           |SELECT doc_id, n_grams, logweight,
           |  round(logweight + gumbel, 4) AS key
           |FROM ky ORDER BY key DESC, doc_id::VARCHAR LIMIT 100""".stripMargin,
+      // blocking (prefix-8 + length-band-4 with ±1 probe replication) +
+      // levenshtein ≤ 2; greedy independent keep-first verdict
+      "q_fuzzy_dedup" ->
+        """WITH t AS (SELECT doc_id,
+          |    'report-' || (doc_id % 7)::VARCHAR || ' part ' ||
+          |    lpad((doc_id % 60)::VARCHAR, 2, '0') ||
+          |    CASE WHEN doc_id % 5 = 1 THEN '!'
+          |         WHEN doc_id % 5 = 2 THEN '?!' ELSE '' END AS title
+          |  FROM documents),
+          | k AS (SELECT doc_id, title, substr(title, 1, 8) AS pfx,
+          |    (length(title) // 4) AS band FROM t),
+          | pr AS (SELECT doc_id, title, pfx, band + d AS band
+          |   FROM k, unnest([-1, 0, 1]) AS u(d)),
+          | p AS (SELECT b.doc_id AS id_b, min(a.doc_id) AS dup_of
+          |   FROM k a JOIN pr b ON a.pfx = b.pfx AND a.band = b.band
+          |     AND a.doc_id < b.doc_id
+          |   WHERE levenshtein(a.title, b.title) <= 2
+          |   GROUP BY 1)
+          |SELECT k.doc_id, k.title, p.id_b IS NOT NULL AS is_fuzzy_dup, p.dup_of
+          |FROM k LEFT JOIN p ON p.id_b = k.doc_id""".stripMargin,
       "q_pagerank" -> pageRankOracleSql(8),
       "q_bpe" -> bpeOracleSql(4, "SELECT word, s AS syms FROM s4"),
       "q_bpe_merges" -> bpeOracleSql(4,
