@@ -803,6 +803,49 @@ object SparkEntry {
         .select(col("rank"), col("doc").as("doc_id"), col("tokens"),
           col("cum_tokens"), col("score"))
     }),
+    // --- HyperLogLog distinct-vocabulary sketch per source: 256
+    // md5-hashed registers, integer-exact summary (s_scaled BIGINT
+    // harmonic denominator, est_milli via DECIMAL(38,0) div) — the DuckDB
+    // oracle replays every register and the exact distinct rides along so
+    // the sketch's accuracy is visible in the gate output itself.
+    "q_hll" -> ((s, dir) => {
+      // value domain: word-trigram shingles (~1.2–1.5k distinct per source
+      // at sf0.01 — real estimator territory, n/m ≈ 5)
+      val toks = t(s, dir, "documents")
+        .select(col("source").as("key"),
+          graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("key"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "j -> concat_ws(' ', w[j], w[j+1], w[j+2]))")).as("term"))
+      val sk = graft.sketch.Hll.estimate(toks, "key", "term")
+      val exact = toks.groupBy("key").agg(countDistinct("term").as("exact_distinct"))
+      sk.join(exact, "key")
+        .select(col("key").as("source"), col("present"), col("s_scaled"),
+          col("est_milli"), col("exact_distinct"))
+    }),
+    // --- Count-Min frequency sketch: d=4 × w=1024 BIGINT counters over
+    // the corpus bigram stream (~916 distinct over 1024 buckets — light
+    // collision load, so the gate shows BOTH regimes: est == exact where
+    // min-over-rows kills the collisions, visible bounded overcount where
+    // it can't), probed at the exact top-20 bigrams. CMS never undercounts
+    // (overcount = est − exact ≥ 0 is IN the gate), and the whole sketch
+    // replays hash-exactly in DuckDB.
+    "q_cms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "j -> concat_ws(' ', w[j], w[j+1]))")).as("term"))
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("term")).limit(20)
+      val sk = graft.sketch.CountMin.build(toks, "term")
+      graft.sketch.CountMin.estimate(sk, exact.select(col("term").as("v")), "v")
+        .join(exact, col("v") === col("term"))
+        .select(col("term"), col("exact_cnt"), col("est"),
+          (col("est") - col("exact_cnt")).as("overcount"))
+    }),
     // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
     // frequency, ties to the lexicographically smaller term
     "q_vocab" -> ((s, dir) => {
@@ -1928,6 +1971,54 @@ object SparkEntry {
            |  FROM tok)
            |SELECT rank::BIGINT AS rank, doc AS doc_id, tokens, cum_tokens, score
            |FROM sel WHERE cum_tokens <= 400""".stripMargin,
+      // HLL sketch: replay every register (63-bit md5 hash, top-8 index,
+      // 56-bitlength rank), then the integer-exact summary. HUGEINT //
+      // (floor div) == Spark's `div` here (all operands positive).
+      // Count-Min: rebuild all 4 hash rows, probe at the exact top-20
+      "q_cms" ->
+        """WITH w AS (SELECT
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0) AS w FROM documents),
+          | toks AS (SELECT w[j] || ' ' || w[j+1] AS term
+          |   FROM w, unnest(range(1, len(w))) AS u(j)),
+          | sk AS (SELECT r, ((('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 16))::UBIGINT
+          |          & 9223372036854775807) % 1024)::INT AS b, count(*)::BIGINT AS c
+          |   FROM toks, unnest([0, 1, 2, 3]) AS t(r) GROUP BY 1, 2),
+          | exact AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM toks
+          |   GROUP BY 1 ORDER BY exact_cnt DESC, term LIMIT 20),
+          | probes AS (SELECT term,
+          |    r, ((('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 16))::UBIGINT
+          |          & 9223372036854775807) % 1024)::INT AS b
+          |   FROM exact, unnest([0, 1, 2, 3]) AS t(r)),
+          | est AS (SELECT p.term, min(coalesce(s.c, 0))::BIGINT AS est
+          |   FROM probes p LEFT JOIN sk s USING (r, b) GROUP BY 1)
+          |SELECT e.term, e.exact_cnt, est,
+          |  (est - e.exact_cnt)::BIGINT AS overcount
+          |FROM exact e JOIN est USING (term)""".stripMargin,
+      "q_hll" ->
+        """WITH w AS (SELECT source AS key,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0) AS w FROM documents),
+          | toks AS (SELECT key, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS term
+          |   FROM w, unnest(range(1, len(w) - 1)) AS u(j)),
+          | h AS (SELECT key, ((('0x' || substr(md5(term), 1, 16))::UBIGINT
+          |                     & 9223372036854775807)::BIGINT) AS h63 FROM toks),
+          | jw AS (SELECT key, (h63 >> 55)::INT AS j,
+          |                    h63 & ((1::BIGINT << 55) - 1) AS w FROM h),
+          | regs AS (SELECT key, j,
+          |    max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END)::INT AS m
+          |  FROM jw GROUP BY 1, 2),
+          | summ AS (SELECT key, count(*)::BIGINT AS present,
+          |    (sum(CASE WHEN m <= 50 THEN (1::BIGINT << (50 - m)) ELSE 0 END)
+          |     + (256 - count(*)) * (1::BIGINT << 50))::BIGINT AS s_scaled
+          |  FROM regs GROUP BY 1),
+          | ex AS (SELECT key, count(DISTINCT term)::BIGINT AS exact_distinct
+          |  FROM toks GROUP BY 1)
+          |SELECT key AS source, present, s_scaled,
+          |  ((718213::HUGEINT * 65536 * 1125899906842624)
+          |   // (greatest(s_scaled, 1)::HUGEINT * 1000))::BIGINT AS est_milli,
+          |  exact_distinct
+          |FROM summ JOIN ex USING (key)""".stripMargin,
       "q_vocab" ->
         """WITH toks AS (SELECT
           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -1999,8 +2090,8 @@ object SparkEntry {
           | tt AS (SELECT sum(nt) AS t_total FROM tc),
           | rt AS (SELECT sum(nr) AS r_total FROM rc),
           | lr AS (SELECT rc.b,
-          |    round(ln((coalesce(tc.nt, 0) + 0.5) / (tt.t_total + 0.5 * 4096))
-          |        - ln((rc.nr + 0.5) / (rt.r_total + 0.5 * 4096)), 6) AS lr
+          |    ln((coalesce(tc.nt, 0) + 0.5) / (tt.t_total + 0.5 * 4096))
+          |        - ln((rc.nr + 0.5) / (rt.r_total + 0.5 * 4096)) AS lr
           |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN rt),
           | dc AS (SELECT doc_id, b, count(*)::DOUBLE AS cnt FROM hb GROUP BY 1, 2),
           | sc AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams,

@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   *      the engine-wide reproducibility discipline, and what makes the
   *      operator oracle-checkable end-to-end.
   *
-  * CROSS-ENGINE FLOAT CONTRACT: lr is rounded to 6 dp at fit time (part of
-  * the table's schema, not cosmetics) so scores are sums of exact 1e-6
-  * multiples — engine-order-independent to ~1e-12 — and the uniform is
+  * CROSS-ENGINE FLOAT CONTRACT: quantize ONCE, at the end — never at
+  * intermediate tables. An earlier revision rounded lr to 6 dp at fit
+  * time; that placed ~4096 independent ln-derived values each at a
+  * rounding boundary, and any bucket whose unrounded lr straddled a
+  * .5e-6 boundary flipped between engines (libm ln differs by ulps),
+  * shifting Σ cnt·lr by cnt·1e-6 — large enough to flip the 4-dp
+  * logweight of every doc whose sum sat near its own boundary (observed:
+  * 2/100 rows at sf0.001). Raw-double lr keeps cross-engine diffs at ulp
+  * scale (~1e-13 after the sum), 9 orders below the 4-dp quantum, and the
+  * sum itself is order-stable to the same scale. The uniform is
   * mapped onto (0.25, 0.75), the band where −ln(−ln u) is well-conditioned
   * (u→1 makes the inner log catastrophically cancel: a 1-ulp ln difference
   * there moves the Gumbel by ~1e-10, enough to flip a 6-dp rounding).
@@ -63,10 +70,11 @@ object Dsir {
         .bitwiseAND(lit(Long.MaxValue)), lit(buckets.toLong)).as("bucket"))
   }
 
-  /** Per-bucket importance log-ratio table (bucket, lr), lr rounded 6 dp —
-    * one row per bucket observed in the RAW corpus (target-only buckets
-    * cannot occur when target ⊆ raw, the DSIR setting). ≤`buckets` rows:
-    * broadcastable by construction. */
+  /** Per-bucket importance log-ratio table (bucket, lr), lr RAW double
+    * (quantize-once contract — see class doc) — one row per bucket
+    * observed in the RAW corpus (target-only buckets cannot occur when
+    * target ⊆ raw, the DSIR setting). ≤`buckets` rows: broadcastable by
+    * construction. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
           buckets: Int, alpha: Double = 0.5): DataFrame = {
     def counts(df: DataFrame, name: String) =
@@ -80,9 +88,8 @@ object Dsir {
     rc.join(tc, Seq("bucket"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
       .select(col("bucket"),
-        round(
-          log((coalesce(col("nt"), lit(0.0)) + alpha) / (col("t_total") + denom)) -
-          log((col("nr") + alpha) / (col("r_total") + denom)), 6).as("lr"))
+        (log((coalesce(col("nt"), lit(0.0)) + alpha) / (col("t_total") + denom)) -
+          log((col("nr") + alpha) / (col("r_total") + denom))).as("lr"))
   }
 
   /** (doc, n_grams, logweight): logweight = Σ count_b · lr[b], rounded
