@@ -175,6 +175,21 @@ object Plans {
          |join keyed on src; every rank expression is bigint (`div`, not
          |`/`) — no doubles anywhere.""".stripMargin,
        graft.SparkEntry.queries("q_pagerank")(spark, sfDir)),
+      ("HyperLogLog sketch (q_hll)",
+       """Check: register build is explode → ONE partial+final hash
+         |aggregate on (key, j) (map-side max partials — duplicates die on
+         |the mapper), then the per-key summary aggregate; est_milli is a
+         |single integral_divide over DECIMAL(38,0) literals — no window,
+         |no distinct Expand, no doubles in the gated columns. The exact
+         |side (countDistinct) exists ONLY for the gate's accuracy row.""".stripMargin,
+       graft.SparkEntry.queries("q_hll")(spark, sfDir)),
+      ("Count-Min sketch (q_cms)",
+       """Check: sketch build is a 4× explode (Generate) → ONE partial+final
+         |hash aggregate to ≤4096 (r,b) rows; the probe side joins that
+         |sketch via BroadcastHashJoin (build side ≤4096 rows by
+         |construction) and min-aggregates per probed value; the exact
+         |top-20 is TakeOrderedAndProject, not a global sort.""".stripMargin,
+       graft.SparkEntry.queries("q_cms")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
