@@ -846,6 +846,38 @@ object SparkEntry {
         .select(col("term"), col("exact_cnt"), col("est"),
           (col("est") - col("exact_cnt")).as("overcount"))
     }),
+    // --- STREAMING HyperLogLog: the same register table built via
+    // cross-batch keyed state (8 micro-batches, one Int per (key,
+    // register) — state bounded by the SKETCH, not the stream), emitting
+    // only register-raise deltas; the max-merged delta sink equals the
+    // batch registers exactly, so the oracle IS q_hll's oracle — streamed
+    // state replayed register-for-register in SQL.
+    "q_stream_hll" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val root = scratchDir("graft-shll-")
+      val toks = t(s, dir, "documents")
+        .select(col("source").as("key"),
+          graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("key"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "j -> concat_ws(' ', w[j], w[j+1], w[j+2]))")).as("term"))
+      toks.repartition(8).write.parquet(s"$root/terms")
+      val src = s.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/terms")
+        .as[(String, String)]
+      graft.streaming.StreamExtract.availableNowWriter(
+        graft.streaming.StreamExtract.hllDeltas(src).toDF("key", "j", "m"),
+        s"$root/deltas", s"$root/ckpt").start().awaitTermination()
+      val regs = s.read.parquet(s"$root/deltas")
+        .groupBy("key", "j").agg(max("m").as("m"))
+      val sk = graft.sketch.Hll.summarize(regs)
+      val exact = toks.groupBy("key").agg(countDistinct("term").as("exact_distinct"))
+      sk.join(exact, "key")
+        .select(col("key").as("source"), col("present"), col("s_scaled"),
+          col("est_milli"), col("exact_distinct"))
+    }),
     // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
     // frequency, ties to the lexicographically smaller term
     "q_vocab" -> ((s, dir) => {
@@ -1659,6 +1691,34 @@ object SparkEntry {
   /** DuckDB SQL equivalents over the same parquet tables. Column names and
     * types must match the Spark results exactly (the driver sorts columns
     * by name before hashing). */
+  /** Shared by q_hll and q_stream_hll: the streamed register deltas
+    * max-merge to the batch registers exactly, so both gates replay the
+    * SAME register-for-register SQL. */
+  private val hllOracleSql =
+    """WITH w AS (SELECT source AS key,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |      x -> len(x) > 0) AS w FROM documents),
+      | toks AS (SELECT key, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS term
+      |   FROM w, unnest(range(1, len(w) - 1)) AS u(j)),
+      | h AS (SELECT key, ((('0x' || substr(md5(term), 1, 16))::UBIGINT
+      |                     & 9223372036854775807)::BIGINT) AS h63 FROM toks),
+      | jw AS (SELECT key, (h63 >> 55)::INT AS j,
+      |                    h63 & ((1::BIGINT << 55) - 1) AS w FROM h),
+      | regs AS (SELECT key, j,
+      |    max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END)::INT AS m
+      |  FROM jw GROUP BY 1, 2),
+      | summ AS (SELECT key, count(*)::BIGINT AS present,
+      |    (sum(CASE WHEN m <= 50 THEN (1::BIGINT << (50 - m)) ELSE 0 END)
+      |     + (256 - count(*)) * (1::BIGINT << 50))::BIGINT AS s_scaled
+      |  FROM regs GROUP BY 1),
+      | ex AS (SELECT key, count(DISTINCT term)::BIGINT AS exact_distinct
+      |  FROM toks GROUP BY 1)
+      |SELECT key AS source, present, s_scaled,
+      |  ((718213::HUGEINT * 65536 * 1125899906842624)
+      |   // (greatest(s_scaled, 1)::HUGEINT * 1000))::BIGINT AS est_milli,
+      |  exact_distinct
+      |FROM summ JOIN ex USING (key)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val effGate = "length(regexp_replace(text, '\\s', '', 'g')) >= 50"
     val enHits = Markers("en").map(w =>
@@ -1995,30 +2055,11 @@ object SparkEntry {
           |SELECT e.term, e.exact_cnt, est,
           |  (est - e.exact_cnt)::BIGINT AS overcount
           |FROM exact e JOIN est USING (term)""".stripMargin,
-      "q_hll" ->
-        """WITH w AS (SELECT source AS key,
-          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-          |      x -> len(x) > 0) AS w FROM documents),
-          | toks AS (SELECT key, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS term
-          |   FROM w, unnest(range(1, len(w) - 1)) AS u(j)),
-          | h AS (SELECT key, ((('0x' || substr(md5(term), 1, 16))::UBIGINT
-          |                     & 9223372036854775807)::BIGINT) AS h63 FROM toks),
-          | jw AS (SELECT key, (h63 >> 55)::INT AS j,
-          |                    h63 & ((1::BIGINT << 55) - 1) AS w FROM h),
-          | regs AS (SELECT key, j,
-          |    max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END)::INT AS m
-          |  FROM jw GROUP BY 1, 2),
-          | summ AS (SELECT key, count(*)::BIGINT AS present,
-          |    (sum(CASE WHEN m <= 50 THEN (1::BIGINT << (50 - m)) ELSE 0 END)
-          |     + (256 - count(*)) * (1::BIGINT << 50))::BIGINT AS s_scaled
-          |  FROM regs GROUP BY 1),
-          | ex AS (SELECT key, count(DISTINCT term)::BIGINT AS exact_distinct
-          |  FROM toks GROUP BY 1)
-          |SELECT key AS source, present, s_scaled,
-          |  ((718213::HUGEINT * 65536 * 1125899906842624)
-          |   // (greatest(s_scaled, 1)::HUGEINT * 1000))::BIGINT AS est_milli,
-          |  exact_distinct
-          |FROM summ JOIN ex USING (key)""".stripMargin,
+      "q_hll" -> hllOracleSql,
+      // the streamed register table max-merges to the batch registers
+      // exactly (delta emission is monotone per register), so the stream
+      // gate shares the batch oracle verbatim
+      "q_stream_hll" -> hllOracleSql,
       "q_vocab" ->
         """WITH toks AS (SELECT
           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

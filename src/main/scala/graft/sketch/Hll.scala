@@ -45,7 +45,14 @@ object Hll {
     * Plan: one narrow projection + ONE hash aggregate on (key, j) with
     * map-side partial max; no distinct pass needed (max is
     * duplicate-insensitive). */
-  def registers(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+  def registers(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    observations(df, keyCol, valCol).groupBy("key", "j").agg(max("m").as("m"))
+
+  /** Per-ROW observation `(key, j, m)` — the narrow pre-aggregation form
+    * shared by batch [[registers]] and the streaming keyed-state fold
+    * ([[graft.streaming.StreamExtract.hllDeltas]]). Works on streaming
+    * DataFrames (pure expressions, no aggregate). */
+  def observations(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val h63 = graft.functions.GraftFunctions.md5Top64(col(valCol).cast("string"))
       .bitwiseAND(lit(Long.MaxValue))
@@ -53,7 +60,7 @@ object Hll {
       .select(col("key"),
         shiftright(col("h63"), WBits).cast("int").as("j"),
         col("h63").bitwiseAND(lit((1L << WBits) - 1)).as("w"))
-      .groupBy("key", "j").agg(max(rankCol(col("w"))).as("m"))
+      .select(col("key"), col("j"), rankCol(col("w")).as("m"))
   }
 
   /** Shard merge: register-wise max. `registers(a ∪ b) == merge` exactly —

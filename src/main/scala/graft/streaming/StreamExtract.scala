@@ -194,6 +194,35 @@ object StreamExtract {
         })
   }
 
+  /** Streaming HyperLogLog: per-(key, register) keyed state holds the
+    * running max rank — ONE Int per group, so TOTAL state is bounded at
+    * [[graft.sketch.Hll.M]]·|keys| regardless of stream length (the
+    * sketch-in-stream property; no watermark eviction needed because the
+    * sketch, not the stream, bounds the state). Emits a delta row only
+    * when a batch RAISES a register.
+    *
+    * The delta sink is max-idempotent: `groupBy(key, j).max(m)` over the
+    * emitted rows equals the batch [[graft.sketch.Hll.registers]] of
+    * everything ingested, regardless of batch order, redelivery, or
+    * duplication — at-least-once delivery needs no dedup pass. */
+  def hllDeltas(rows: Dataset[(String, String)])(
+      implicit spark: SparkSession): Dataset[(String, Int, Int)] = {
+    import spark.implicits._
+    graft.sketch.Hll.observations(rows.toDF("key", "v"), "key", "v")
+      .as[(String, Int, Int)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (kj: (String, Int), rs: Iterator[(String, Int, Int)], state: GroupState[Int]) => {
+          var batchMax = 0
+          rs.foreach(t => if (t._3 > batchMax) batchMax = t._3)
+          val prev = state.getOption.getOrElse(0)
+          if (batchMax > prev) {
+            state.update(batchMax)
+            Iterator.single((kj._1, kj._2, batchMax))
+          } else Iterator.empty
+        })
+  }
+
   /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
     * pages directory once and stops — the streaming-native equivalent of the
     * reference's resume loop (checkpointed source offsets replace the
