@@ -878,6 +878,37 @@ object SparkEntry {
         .select(col("key").as("source"), col("present"), col("s_scaled"),
           col("est_milli"), col("exact_distinct"))
     }),
+    // --- STREAMING Count-Min: the same 4×1024 counter grid folded in
+    // keyed state (one Long per counter — state bounded at 4096 by the
+    // GRID, independent of stream length or vocabulary), emitting monotone
+    // running totals; the max-merged sink equals the batch sketch exactly,
+    // so the gate shares q_cms's oracle verbatim.
+    "q_stream_cms" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val root = scratchDir("graft-scms-")
+      val toks = t(s, dir, "documents")
+        .select(graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "j -> concat_ws(' ', w[j], w[j+1]))")).as("term"))
+      toks.repartition(8).write.parquet(s"$root/terms")
+      val src = s.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/terms")
+        .as[String]
+      graft.streaming.StreamExtract.availableNowWriter(
+        graft.streaming.StreamExtract.cmsTotals(src).toDF("r", "b", "c"),
+        s"$root/totals", s"$root/ckpt").start().awaitTermination()
+      val sk = s.read.parquet(s"$root/totals")
+        .groupBy("r", "b").agg(max("c").as("c"))
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("term")).limit(20)
+      graft.sketch.CountMin.estimate(sk, exact.select(col("term").as("v")), "v")
+        .join(exact, col("v") === col("term"))
+        .select(col("term"), col("exact_cnt"), col("est"),
+          (col("est") - col("exact_cnt")).as("overcount"))
+    }),
     // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
     // frequency, ties to the lexicographically smaller term
     "q_vocab" -> ((s, dir) => {
@@ -1719,6 +1750,30 @@ object SparkEntry {
       |  exact_distinct
       |FROM summ JOIN ex USING (key)""".stripMargin
 
+  /** Shared by q_cms and q_stream_cms: the streamed monotone running
+    * totals max-merge to the batch counters exactly, so both gates replay
+    * the SAME counter-for-counter SQL. */
+  private val cmsOracleSql =
+    """WITH w AS (SELECT
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |      x -> len(x) > 0) AS w FROM documents),
+      | toks AS (SELECT w[j] || ' ' || w[j+1] AS term
+      |   FROM w, unnest(range(1, len(w))) AS u(j)),
+      | sk AS (SELECT r, ((('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 16))::UBIGINT
+      |          & 9223372036854775807) % 1024)::INT AS b, count(*)::BIGINT AS c
+      |   FROM toks, unnest([0, 1, 2, 3]) AS t(r) GROUP BY 1, 2),
+      | exact AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM toks
+      |   GROUP BY 1 ORDER BY exact_cnt DESC, term LIMIT 20),
+      | probes AS (SELECT term,
+      |    r, ((('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 16))::UBIGINT
+      |          & 9223372036854775807) % 1024)::INT AS b
+      |   FROM exact, unnest([0, 1, 2, 3]) AS t(r)),
+      | est AS (SELECT p.term, min(coalesce(s.c, 0))::BIGINT AS est
+      |   FROM probes p LEFT JOIN sk s USING (r, b) GROUP BY 1)
+      |SELECT e.term, e.exact_cnt, est,
+      |  (est - e.exact_cnt)::BIGINT AS overcount
+      |FROM exact e JOIN est USING (term)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val effGate = "length(regexp_replace(text, '\\s', '', 'g')) >= 50"
     val enHits = Markers("en").map(w =>
@@ -2034,27 +2089,10 @@ object SparkEntry {
       // HLL sketch: replay every register (63-bit md5 hash, top-8 index,
       // 56-bitlength rank), then the integer-exact summary. HUGEINT //
       // (floor div) == Spark's `div` here (all operands positive).
-      // Count-Min: rebuild all 4 hash rows, probe at the exact top-20
-      "q_cms" ->
-        """WITH w AS (SELECT
-          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-          |      x -> len(x) > 0) AS w FROM documents),
-          | toks AS (SELECT w[j] || ' ' || w[j+1] AS term
-          |   FROM w, unnest(range(1, len(w))) AS u(j)),
-          | sk AS (SELECT r, ((('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 16))::UBIGINT
-          |          & 9223372036854775807) % 1024)::INT AS b, count(*)::BIGINT AS c
-          |   FROM toks, unnest([0, 1, 2, 3]) AS t(r) GROUP BY 1, 2),
-          | exact AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM toks
-          |   GROUP BY 1 ORDER BY exact_cnt DESC, term LIMIT 20),
-          | probes AS (SELECT term,
-          |    r, ((('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 16))::UBIGINT
-          |          & 9223372036854775807) % 1024)::INT AS b
-          |   FROM exact, unnest([0, 1, 2, 3]) AS t(r)),
-          | est AS (SELECT p.term, min(coalesce(s.c, 0))::BIGINT AS est
-          |   FROM probes p LEFT JOIN sk s USING (r, b) GROUP BY 1)
-          |SELECT e.term, e.exact_cnt, est,
-          |  (est - e.exact_cnt)::BIGINT AS overcount
-          |FROM exact e JOIN est USING (term)""".stripMargin,
+      // Count-Min: rebuild all 4 hash rows, probe at the exact top-20;
+      // the streamed running totals max-merge to the same counters
+      "q_cms" -> cmsOracleSql,
+      "q_stream_cms" -> cmsOracleSql,
       "q_hll" -> hllOracleSql,
       // the streamed register table max-merges to the batch registers
       // exactly (delta emission is monotone per register), so the stream

@@ -31,18 +31,24 @@ object CountMin {
         .bitwiseAND(lit(Long.MaxValue)),
       lit(W.toLong)).cast("int")
 
-  /** Build the d×w sketch over `valCol` with per-row weight `weightCol`
-    * (pass `lit(1L)` for plain counting). Plan: one narrow 4× explode +
-    * ONE hash aggregate on (r, b) with map-side partials — the output is
-    * at most d·w = 4096 rows regardless of input size. */
-  def build(df: DataFrame, valCol: String, weight: Column = lit(1L)): DataFrame = {
+  /** Per-ROW observation `(r, b, cnt)` — the narrow pre-aggregation form
+    * shared by batch [[build]] and the streaming keyed-state fold
+    * ([[graft.streaming.StreamExtract.cmsTotals]]). Works on streaming
+    * DataFrames (pure expressions, no aggregate). */
+  def observations(df: DataFrame, valCol: String, weight: Column = lit(1L)): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val rows = (0 until D).map(r =>
       struct(lit(r).as("r"), bucket(r, col(valCol)).as("b")))
     df.select(explode(array(rows: _*)).as("rb"), weight.as("cnt"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(sum("cnt").as("c"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"), col("cnt"))
   }
+
+  /** Build the d×w sketch over `valCol` with per-row weight `weightCol`
+    * (pass `lit(1L)` for plain counting). Plan: one narrow 4× explode +
+    * ONE hash aggregate on (r, b) with map-side partials — the output is
+    * at most d·w = 4096 rows regardless of input size. */
+  def build(df: DataFrame, valCol: String, weight: Column = lit(1L)): DataFrame =
+    observations(df, valCol, weight).groupBy("r", "b").agg(sum("cnt").as("c"))
 
   /** Shard merge: counter-wise sum — `build(a ∪ b) == merge` exactly. */
   def merge(a: DataFrame, b: DataFrame): DataFrame =

@@ -223,6 +223,33 @@ object StreamExtract {
         })
   }
 
+  /** Streaming Count-Min: per-(row, bucket) keyed state holds the running
+    * counter total — ONE Long per group, TOTAL state bounded at d·w =
+    * 4096 regardless of stream length or vocabulary (even harder-bounded
+    * than [[hllDeltas]]: the grid is fixed, keys don't scale it). Each
+    * batch emits the UPDATED running total for every touched counter;
+    * totals are monotone non-decreasing, so the sink is max-idempotent
+    * like the HLL delta sink: `groupBy(r, b).max(c)` over the emitted
+    * rows equals the batch [[graft.sketch.CountMin.build]] of everything
+    * ingested, and sink-side duplication is harmless. */
+  def cmsTotals(values: Dataset[String])(
+      implicit spark: SparkSession): Dataset[(Int, Int, Long)] = {
+    import spark.implicits._
+    graft.sketch.CountMin.observations(values.toDF("v"), "v")
+      .as[(Int, Int, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (rb: (Int, Int), rs: Iterator[(Int, Int, Long)], state: GroupState[Long]) => {
+          var add = 0L
+          rs.foreach(add += _._3)
+          if (add > 0L) {
+            val total = state.getOption.getOrElse(0L) + add
+            state.update(total)
+            Iterator.single((rb._1, rb._2, total))
+          } else Iterator.empty
+        })
+  }
+
   /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
     * pages directory once and stops — the streaming-native equivalent of the
     * reference's resume loop (checkpointed source offsets replace the
