@@ -909,6 +909,44 @@ object SparkEntry {
         .select(col("term"), col("exact_cnt"), col("est"),
           (col("est") - col("exact_cnt")).as("overcount"))
     }),
+    // --- HLL set algebra: union = register-wise max (EXACT sketch of the
+    // union — the property that makes shard-merge lossless), intersection
+    // estimated by inclusion–exclusion over the three integer estimates.
+    // Sets A = {src0,src1}, B = {src1,src2} trigram vocabularies (~50%
+    // true overlap — well above the ±6.5%·√3 sketch noise, so the gate
+    // row shows the estimator WORKING, not noise). Everything BIGINT.
+    "q_hll_setops" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source").as("key"),
+          graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("key"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "j -> concat_ws(' ', w[j], w[j+1], w[j+2]))")).as("term"))
+        .filter(col("key").isin("src0", "src1", "src2"))
+      val a = toks.filter(col("key").isin("src0", "src1"))
+        .select(lit("a").as("key"), col("term"))
+      val b = toks.filter(col("key").isin("src1", "src2"))
+        .select(lit("b").as("key"), col("term"))
+      val u = a.union(b).select(lit("u").as("key"), col("term"))
+      val est = graft.sketch.Hll
+        .estimate(a.union(b).union(u), "key", "term")
+        .select(col("key"), col("est_milli"))
+      val pivot = est.groupBy().pivot("key", Seq("a", "b", "u"))
+        .agg(first("est_milli"))
+        .select(col("a").as("est_a_milli"), col("b").as("est_b_milli"),
+          col("u").as("est_union_milli"))
+      val exact = toks.groupBy("term")
+        .agg(max(col("key").isin("src0", "src1")).as("ina"),
+          max(col("key").isin("src1", "src2")).as("inb"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("exact_inter"))
+      pivot.crossJoin(exact)
+        .select(col("est_a_milli"), col("est_b_milli"), col("est_union_milli"),
+          (col("est_a_milli") + col("est_b_milli") - col("est_union_milli"))
+            .as("est_inter_milli"),
+          col("exact_union"), col("exact_inter"))
+    }),
     // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
     // frequency, ties to the lexicographically smaller term
     "q_vocab" -> ((s, dir) => {
@@ -2094,6 +2132,45 @@ object SparkEntry {
       "q_cms" -> cmsOracleSql,
       "q_stream_cms" -> cmsOracleSql,
       "q_hll" -> hllOracleSql,
+      // HLL set algebra: the same register pipeline over relabeled set
+      // streams; union sketch == max-merge; intersection by
+      // inclusion–exclusion in BIGINT
+      "q_hll_setops" ->
+        """WITH w AS (SELECT source AS key,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0) AS w FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+          | toks AS (SELECT key, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS term
+          |   FROM w, unnest(range(1, len(w) - 1)) AS u(j)),
+          | lab AS (SELECT 'a' AS key, term FROM toks WHERE key IN ('src0', 'src1')
+          |   UNION ALL SELECT 'b', term FROM toks WHERE key IN ('src1', 'src2')
+          |   UNION ALL SELECT 'u', term FROM toks WHERE key IN ('src0', 'src1')
+          |   UNION ALL SELECT 'u', term FROM toks WHERE key IN ('src1', 'src2')),
+          | h AS (SELECT key, ((('0x' || substr(md5(term), 1, 16))::UBIGINT
+          |                     & 9223372036854775807)::BIGINT) AS h63 FROM lab),
+          | jw AS (SELECT key, (h63 >> 55)::INT AS j,
+          |                    h63 & ((1::BIGINT << 55) - 1) AS w FROM h),
+          | regs AS (SELECT key, j,
+          |    max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END)::INT AS m
+          |  FROM jw GROUP BY 1, 2),
+          | summ AS (SELECT key, count(*)::BIGINT AS present,
+          |    (sum(CASE WHEN m <= 50 THEN (1::BIGINT << (50 - m)) ELSE 0 END)
+          |     + (256 - count(*)) * (1::BIGINT << 50))::BIGINT AS s_scaled
+          |  FROM regs GROUP BY 1),
+          | est AS (SELECT key,
+          |    ((718213::HUGEINT * 65536 * 1125899906842624)
+          |     // (greatest(s_scaled, 1)::HUGEINT * 1000))::BIGINT AS est_milli FROM summ),
+          | piv AS (SELECT
+          |    max(CASE WHEN key = 'a' THEN est_milli END) AS est_a_milli,
+          |    max(CASE WHEN key = 'b' THEN est_milli END) AS est_b_milli,
+          |    max(CASE WHEN key = 'u' THEN est_milli END) AS est_union_milli FROM est),
+          | fl AS (SELECT term, max(key IN ('src0', 'src1')) AS ina,
+          |               max(key IN ('src1', 'src2')) AS inb FROM toks GROUP BY 1),
+          | ex AS (SELECT count(*)::BIGINT AS exact_union,
+          |    sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END)::BIGINT AS exact_inter FROM fl)
+          |SELECT est_a_milli, est_b_milli, est_union_milli,
+          |  (est_a_milli + est_b_milli - est_union_milli)::BIGINT AS est_inter_milli,
+          |  exact_union, exact_inter
+          |FROM piv CROSS JOIN ex""".stripMargin,
       // the streamed register table max-merges to the batch registers
       // exactly (delta emission is monotone per register), so the stream
       // gate shares the batch oracle verbatim

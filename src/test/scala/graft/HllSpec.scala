@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import graft.sketch.Hll
 
 /** HyperLogLog sketch (driver gate: q_hll). */
@@ -44,6 +45,18 @@ class HllSpec extends SparkSuiteBase {
       Hll.estimate(d, "key", "v")
         .select("key", "present", "s_scaled", "est_milli").collect().toSeq
     assert(summ(df.repartition(1)) == summ(df.repartition(17)))
+  }
+
+  test("hll: inclusion–exclusion intersection estimate tracks true overlap") {
+    // |A| = 2000, |B| = 2000, |A ∩ B| = 1000 (values 1000..2000 shared)
+    val a = (0 until 2000).map(i => ("a", s"v-$i")).toDF("key", "v")
+    val b = (1000 until 3000).map(i => ("b", s"v-$i")).toDF("key", "v")
+    val u = a.union(b).select(lit("u").as("key"), col("v"))
+    val est = Hll.estimate(a.union(b).union(u), "key", "v")
+      .select("key", "est").as[(String, Double)].collect().toMap
+    val inter = est("a") + est("b") - est("u")
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.35,
+      s"inter=$inter (a=${est("a")} b=${est("b")} u=${est("u")})")
   }
 
   test("hll: register table bounded at M rows per key") {
