@@ -33,6 +33,25 @@ class PlanShapeSpec extends SparkSuiteBase {
     assert(!plan.contains("ScalaUDF"), s"ScalaUDF leaked into the plan:\n$plan")
   }
 
+  test("HLL registers: map-side partial max before the (key, j) exchange; no UDF") {
+    val df = (0 until 500).map(i => ("k", s"v-$i")).toDF("key", "v")
+    val plan = fmt(graft.sketch.Hll.registers(df, "key", "v"))
+    assert(!plan.contains("ScalaUDF"), s"ScalaUDF leaked into the plan:\n$plan")
+    // partial_max under HashAggregate BEFORE the Exchange — duplicates and
+    // repeat observations die on the mapper, the shuffle carries <=256/key
+    assert(plan.contains("partial_max"), s"no map-side partial max:\n$plan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one Exchange, got $exchanges:\n$plan")
+  }
+
+  test("CMS estimate: sketch enters the probe join as the broadcast side") {
+    val corpus = (0 until 300).map(i => s"t-${i % 40}").toDF("v")
+    val sk = graft.sketch.CountMin.build(corpus, "v")
+    val plan = fmt(graft.sketch.CountMin.estimate(sk, Seq("t-1", "t-2").toDF("v"), "v"))
+    assert(plan.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sketch join sort-merged:\n$plan")
+  }
+
   test("brute KNN stays narrow: no Exchange on the corpus side") {
     val vecs = (0 until 20).map(i => (i.toLong, Array.fill(8)(i / 20.0f))).toDF("vec_id", "embedding")
     val plan = fmt(graft.sim.Knn.topK(vecs, "vec_id", "embedding", Array.fill(8)(1.0f), 3))
