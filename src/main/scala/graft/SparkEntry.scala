@@ -1033,6 +1033,26 @@ object SparkEntry {
           iters = 8)
         .select(col("id").as("doc_id"), col("rank"))
     }),
+    // --- anchor-text aggregation over the same quadratic pseudo-graph as
+    // q_pagerank, anchors varying per edge ((src+j) % 13): per target, the
+    // top-3 anchors by in-link count with EXACT pre-cap totals — string +
+    // integer output only.
+    "q_anchors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"),
+          concat(lit("anchor-"),
+            ((col("src") + col("j")) % 13).cast("string")).as("anchor"))
+      graft.graph.AnchorText.aggregate(edges, cap = 3)
+        .select(col("dst").as("doc_id"), col("n_links"), col("n_anchors"),
+          col("kept"))
+    }),
     // --- distributed BPE tokenizer training (Sennrich et al. 2016): 4
     // merge rounds over the corpus word-frequency table. The DuckDB oracle
     // unrolls the same 4 rounds, each a recursive-CTE fixpoint of the
@@ -2131,6 +2151,24 @@ object SparkEntry {
       // the streamed running totals max-merge to the same counters
       "q_cms" -> cmsOracleSql,
       "q_stream_cms" -> cmsOracleSql,
+      // anchor aggregation: same quadratic graph as q_pagerank; string_agg
+      // (skips the CASE's NULLs) ordered (cnt DESC, anchor) == Spark's
+      // sort_array(struct(rn, s)) order
+      "q_anchors" ->
+        """WITH d AS (SELECT count(*)::BIGINT AS n FROM documents),
+          | e0 AS (SELECT doc_id AS src, j, d.n AS n
+          |   FROM documents, unnest([1, 2, 3]) AS u(j) CROSS JOIN d),
+          | e1 AS (SELECT src, (src * src + j) % n AS d0, n,
+          |    'anchor-' || ((src + j) % 13)::VARCHAR AS anchor FROM e0),
+          | e AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst,
+          |    anchor FROM e1),
+          | c AS (SELECT dst, anchor, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+          | r AS (SELECT dst, anchor, cnt,
+          |    row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn FROM c)
+          |SELECT dst AS doc_id, sum(cnt)::BIGINT AS n_links, count(*)::BIGINT AS n_anchors,
+          |  string_agg(CASE WHEN rn <= 3 THEN anchor || ':' || cnt::VARCHAR END,
+          |    ' | ' ORDER BY cnt DESC, anchor) AS kept
+          |FROM r GROUP BY 1""".stripMargin,
       "q_hll" -> hllOracleSql,
       // HLL set algebra: the same register pipeline over relabeled set
       // streams; union sketch == max-merge; intersection by
