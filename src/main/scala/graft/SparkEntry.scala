@@ -947,6 +947,43 @@ object SparkEntry {
             .as("est_inter_milli"),
           col("exact_union"), col("exact_inter"))
     }),
+    // --- KMV bottom-k set-similarity: Jaccard of the {src0,src1} vs
+    // {src1,src2} trigram vocabularies from three 256-hash signatures
+    // (Ĵ = |B_k(U) ∩ B_k(A) ∩ B_k(B)| / k; denominator k_used guards
+    // unions smaller than k). Exact Jaccard rides in the row; everything
+    // BIGINT (milli-units via integer div).
+    "q_kmv" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source").as("key"),
+          graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("key"), explode(expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "j -> concat_ws(' ', w[j], w[j+1], w[j+2]))")).as("term"))
+        .filter(col("key").isin("src0", "src1", "src2"))
+      val a = toks.filter(col("key").isin("src0", "src1"))
+        .select(lit("a").as("key"), col("term"))
+      val b = toks.filter(col("key").isin("src1", "src2"))
+        .select(lit("b").as("key"), col("term"))
+      val u = a.union(b).select(lit("u").as("key"), col("term"))
+      val sig = graft.sketch.Kmv.signature(a.union(b).union(u), "key", "term")
+      val matches = sig.filter(col("key") === "u").select("h")
+        .join(sig.filter(col("key") === "a").select("h"), Seq("h"))
+        .join(sig.filter(col("key") === "b").select("h"), Seq("h"))
+        .agg(count(lit(1)).as("matches"))
+      val kUsed = sig.filter(col("key") === "u")
+        .agg(count(lit(1)).as("k_used"))
+      val exact = toks.groupBy("term")
+        .agg(max(col("key").isin("src0", "src1")).as("ina"),
+          max(col("key").isin("src1", "src2")).as("inb"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("exact_inter"))
+      kUsed.crossJoin(matches).crossJoin(exact)
+        .select(col("k_used"), col("matches"),
+          expr("matches * 1000 div k_used").as("est_j_milli"),
+          col("exact_union"), col("exact_inter"),
+          expr("exact_inter * 1000 div exact_union").as("exact_j_milli"))
+    }),
     // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
     // frequency, ties to the lexicographically smaller term
     "q_vocab" -> ((s, dir) => {
@@ -2170,6 +2207,35 @@ object SparkEntry {
           |    ' | ' ORDER BY cnt DESC, anchor) AS kept
           |FROM r GROUP BY 1""".stripMargin,
       "q_hll" -> hllOracleSql,
+      // KMV bottom-k Jaccard: distinct-hash signatures re-derived per set
+      // label, truncated via QUALIFY row_number <= 256
+      "q_kmv" ->
+        """WITH w AS (SELECT source AS key,
+          |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0) AS w FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+          | toks AS (SELECT key, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS term
+          |   FROM w, unnest(range(1, len(w) - 1)) AS u(j)),
+          | lab AS (SELECT 'a' AS key, term FROM toks WHERE key IN ('src0', 'src1')
+          |   UNION ALL SELECT 'b', term FROM toks WHERE key IN ('src1', 'src2')
+          |   UNION ALL SELECT 'u', term FROM toks WHERE key IN ('src0', 'src1')
+          |   UNION ALL SELECT 'u', term FROM toks WHERE key IN ('src1', 'src2')),
+          | hd AS (SELECT DISTINCT key, ((('0x' || substr(md5(term), 1, 16))::UBIGINT
+          |          & 9223372036854775807)::BIGINT) AS h FROM lab),
+          | sig AS (SELECT key, h FROM hd
+          |   QUALIFY row_number() OVER (PARTITION BY key ORDER BY h) <= 256),
+          | m AS (SELECT count(*)::BIGINT AS matches FROM sig su
+          |   JOIN sig sa ON sa.key = 'a' AND sa.h = su.h
+          |   JOIN sig sb ON sb.key = 'b' AND sb.h = su.h
+          |   WHERE su.key = 'u'),
+          | ku AS (SELECT count(*)::BIGINT AS k_used FROM sig WHERE key = 'u'),
+          | fl AS (SELECT term, max(key IN ('src0', 'src1')) AS ina,
+          |               max(key IN ('src1', 'src2')) AS inb FROM toks GROUP BY 1),
+          | ex AS (SELECT count(*)::BIGINT AS exact_union,
+          |    sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END)::BIGINT AS exact_inter FROM fl)
+          |SELECT k_used, matches, (matches * 1000 // k_used)::BIGINT AS est_j_milli,
+          |  exact_union, exact_inter,
+          |  (exact_inter * 1000 // exact_union)::BIGINT AS exact_j_milli
+          |FROM ku CROSS JOIN m CROSS JOIN ex""".stripMargin,
       // HLL set algebra: the same register pipeline over relabeled set
       // streams; union sketch == max-merge; intersection by
       // inclusion–exclusion in BIGINT
