@@ -190,6 +190,22 @@ object Plans {
          |construction) and min-aggregates per probed value; the exact
          |top-20 is TakeOrderedAndProject, not a global sort.""".stripMargin,
        graft.SparkEntry.queries("q_cms")(spark, sfDir)),
+      ("KMV bottom-k signatures (q_kmv)",
+       """Check: distinct-hash build is ONE partial+final hash aggregate on
+         |(key, h); the bottom-k `row_number ≤ 256` filter rewrites to
+         |WindowGroupLimit (map-side truncation BEFORE the key exchange —
+         |nothing downstream needs dropped rows); the three-way signature
+         |intersection joins ≤256-row sides (broadcast).""".stripMargin,
+       graft.SparkEntry.queries("q_kmv")(spark, sfDir)),
+      ("Anchor-text aggregation (q_anchors)",
+       """Check: the (dst, anchor) count aggregate shows partial_count
+         |before its exchange (boilerplate-anchor repetition dies
+         |map-side); the rank window and the final per-dst aggregate REUSE
+         |that exchange's partitioning (no extra Exchange between Window
+         |and the last HashAggregate); NO WindowGroupLimit — the exact
+         |pre-cap totals need every distinct-anchor row, so its absence is
+         |load-bearing here (inverse of the LSH pre-cap shape).""".stripMargin,
+       graft.SparkEntry.queries("q_anchors")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
