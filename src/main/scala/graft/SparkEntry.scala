@@ -600,6 +600,18 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 2)
     }),
+    // --- TRAINED coarse quantizer: fixed-point Lloyd's k-means over the
+    // embedding corpus (the clustering the reference's vector store hides
+    // behind its collection API, chroma_store.py:33-61). Quantize-once
+    // onto a 2^15 grid makes all 4 iterations integer-exact, so the
+    // DuckDB oracle unrolls the SAME 4 assignment/update rounds (the
+    // PageRank pattern) and the gate hash-checks the full trajectory —
+    // no float contract anywhere.
+    "q_kmeans" -> ((s, dir) => {
+      graft.sim.Kmeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 4, dim = 64)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist"))
+    }),
     // --- per-id VECTOR upsert over the materialized ANN index (the
     // reference's chroma upsert, chroma_store.py:33-61): full corpus as
     // segment 1; every vec_id % 20 == 17 is then tombstoned and re-appended
@@ -1526,6 +1538,50 @@ object SparkEntry {
        |  SELECT id_a, id_b, cosine,
        |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replica of [[graft.sim.Kmeans.lloyd]] — the `iters`
+    * assignment/update rounds unrolled into generated CTE blocks (the
+    * pageRankOracleSql pattern). Identical by construction: quantization
+    * is floor(x·2^15)+2^15 (exact in double for float32 inputs × a power
+    * of two), distances are BIGINT sums, assignment ties break to the
+    * smallest centroid index (row_number ORDER BY dist, j), updates are
+    * integer divisions of non-negative sums (`//` == Spark `div` == Scala
+    * `/` on non-negative longs), empty clusters keep their centroid
+    * (LEFT JOIN + coalesce). */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val scale = graft.sim.Kmeans.Scale
+    val dd = dim + 1
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS (SELECT vec_id AS id,
+         |    list_transform(embedding::DOUBLE[], x -> floor(x * $scale)::BIGINT + $scale) AS p
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+         | c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, p AS q
+         |   FROM (SELECT id, p FROM pts ORDER BY id LIMIT $k))""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(
+        s""",
+           | a$i AS (SELECT id, j FROM (
+           |    SELECT pts.id, c.j,
+           |      row_number() OVER (PARTITION BY pts.id ORDER BY
+           |        list_sum(list_transform(range(1, $dd), i -> (p[i]-q[i])*(p[i]-q[i]))), c.j) AS rn
+           |    FROM pts CROSS JOIN c${i - 1} c) WHERE rn = 1),
+           | s$i AS (SELECT a.j, u.i, sum(p[u.i])::BIGINT AS s, count(*)::BIGINT AS cnt
+           |    FROM a$i a JOIN pts USING(id), unnest(range(1, $dd)) AS u(i)
+           |    GROUP BY a.j, u.i),
+           | n$i AS (SELECT j, list(s // cnt ORDER BY i) AS q FROM s$i GROUP BY j),
+           | c$i AS (SELECT c.j, coalesce(n.q, c.q) AS q FROM c${i - 1} c LEFT JOIN n$i n USING(j))""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT id AS vec_id, j::INT AS cluster, dist FROM (
+         |  SELECT pts.id, c.j,
+         |    list_sum(list_transform(range(1, $dd), i -> (p[i]-q[i])*(p[i]-q[i])))::BIGINT AS dist,
+         |    row_number() OVER (PARTITION BY pts.id ORDER BY
+         |      list_sum(list_transform(range(1, $dd), i -> (p[i]-q[i])*(p[i]-q[i]))), c.j) AS rn
+         |  FROM pts CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin)
+    sb.toString
   }
 
   /** DuckDB replica of [[Knn.ivfTopK]] — identical by construction:
@@ -2715,6 +2771,7 @@ object SparkEntry {
           |   GROUP BY 1, 2 HAVING count(*) = 3)
           |SELECT doc_id, count(*)::BIGINT AS n_matches FROM occ GROUP BY doc_id""".stripMargin,
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
+      "q_kmeans" -> kmeansOracleSql(k = 8, iters = 4, dim = 64),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf
       "q_ann_index" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
