@@ -362,6 +362,25 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       Bm25.tfidfScores(t(s, dir, "documents"), "doc_id", "text", "spark filter join table")
     }),
+    // --- hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+    // and the cosine vector leg (SIGIR'09 RRF, k0=60) — the hybrid search
+    // the reference runs as Chroma top-k beside keyword filtering. Ranks
+    // are integers (doc-asc ties); the fused double is computed from the
+    // pivoted ranks in fixed leg order, so the oracle reproduces it
+    // bit-for-bit (see Hybrid scaladoc)
+    "q_rrf" -> ((s, dir) => {
+      val lex = Bm25.scoredAll(t(s, dir, "documents"), "doc_id", "text",
+        "spark filter join table")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val vec = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Knn.cosineCol(col("embedding").cast("array<double>"), col("qv")).as("cosine"))
+      graft.index.Hybrid.rrf(Seq(
+        graft.index.Hybrid.Leg("lex", lex, "doc", "score"),
+        graft.index.Hybrid.Leg("vec", vec, "vec_id", "cosine")), n = 50)
+    }),
     // --- similarity search: brute-force cosine vs the vec_id=0 query vector
     "q_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2785,6 +2804,36 @@ object SparkEntry {
                  |   CASE WHEN vec_id % 20 = 17 THEN list_transform(embedding, x -> -x)
                  |        ELSE embedding END AS embedding
                  | FROM embeddings)""".stripMargin),
+      // RRF: both legs ranked UNROUNDED (quantize once, at the output);
+      // the fused double is rebuilt from the integer ranks in the same
+      // fixed leg order as Hybrid.rrf, so round(.,6) sees an identical
+      // double on both engines
+      "q_rrf" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+          |dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+          |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+          |q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+          |dft AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1),
+          |bm AS (SELECT doc, sum(
+          |    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+          |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+          |  FROM tf JOIN q USING(term) JOIN dft USING(term) JOIN dl USING(doc) CROSS JOIN stats
+          |  GROUP BY doc),
+          |lex AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM bm QUALIFY r <= 50),
+          |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+          |cs AS (SELECT vec_id AS doc,
+          |    list_dot_product(embedding::DOUBLE[], qv)
+          |    / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          |               * sqrt(list_dot_product(qv, qv)), 1e-12) AS c
+          |  FROM embeddings, qv),
+          |vec AS (SELECT doc, row_number() OVER (ORDER BY c DESC, doc) AS r FROM cs QUALIFY r <= 50)
+          |SELECT coalesce(l.doc, v.doc) AS doc, l.r::INT AS r_lex, v.r::INT AS r_vec,
+          |  round(coalesce(1.0/(60 + l.r), 0) + coalesce(1.0/(60 + v.r), 0), 6) AS rrf
+          |FROM lex l FULL JOIN vec v ON l.doc = v.doc""".stripMargin,
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(

@@ -140,7 +140,7 @@ object Bm25 {
       .agg(count(lit(1)).as("n_matches"))
   }
 
-  private def scoredAll(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
+  private[graft] def scoredAll(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // explicit isnotnull(id) on the SHARED input: the dl join side gets this
