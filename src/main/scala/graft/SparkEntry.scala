@@ -381,6 +381,22 @@ object SparkEntry {
         graft.index.Hybrid.Leg("lex", lex, "doc", "score"),
         graft.index.Hybrid.Leg("vec", vec, "vec_id", "cosine")), n = 50)
     }),
+    // --- MMR diversified re-rank (Carbonell & Goldstein, SIGIR'98) over
+    // the top-20 cosine candidates of the vec_id=0 query: greedy k=8,
+    // λ=0.7 — sequential in k by nature, so distributed top-m first, then
+    // the driver greedy over the bounded survivors (see Mmr scaladoc).
+    // Oracle = the same greedy unrolled as 8 materialized-CTE rounds
+    "q_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          Knn.cosineCol(col("embedding").cast("array<double>"), col("qv")).as("rel"),
+          col("embedding").cast("array<double>").as("vec"))
+      graft.sim.Mmr.rerank(s, cands, "id", "rel", "vec",
+        k = 8, lambda = 0.7, maxCandidates = 20)
+    }),
     // --- similarity search: brute-force cosine vs the vec_id=0 query vector
     "q_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1524,6 +1540,36 @@ object SparkEntry {
        |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
        |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
        |GROUP BY doc""".stripMargin
+
+  /** DuckDB replica of [[graft.sim.Mmr.rerank]] — the greedy MMR loop
+    * unrolled into k materialized-CTE rounds (MATERIALIZED is load-bearing:
+    * DuckDB inlines plain CTEs, and the selN chain re-evaluates
+    * exponentially without it). λ and 1−λ are embedded from the SAME
+    * doubles the operator uses (Double.toString round-trips exactly;
+    * 1−0.7 is 0.30000000000000004, not 0.3). */
+  private def mmrOracleSql(k: Int, m: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val mu = (1.0 - lambda).toString
+    val head =
+      s"""WITH qv AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         |rel AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+         |    list_dot_product(embedding::DOUBLE[], v)
+         |    / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(v, v)), 1e-12) AS rel
+         |  FROM embeddings, qv WHERE vec_id <> 0),
+         |cand AS MATERIALIZED (SELECT id, vec, rel FROM rel ORDER BY rel DESC, id LIMIT $m),
+         |sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+         |    list_dot_product(a.vec, b.vec)
+         |    / greatest(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)), 1e-12) AS s
+         |  FROM cand a, cand b WHERE a.id <> b.id),
+         |sel1 AS MATERIALIZED (SELECT id, 1 AS rnk FROM cand ORDER BY rel DESC, id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      s"""pick$i AS (SELECT c.id, $i AS rnk FROM cand c
+         |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+         |  ORDER BY $lam * c.rel - $mu * (SELECT max(s.s) FROM sims s, sel${i - 1} t WHERE s.ib = t.id AND s.ia = c.id) DESC, c.id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") + s"\nSELECT rnk, id FROM sel$k ORDER BY rnk"
+  }
 
   /** DuckDB replica of [[Knn.annTopK]] — the seeded sign-projection planes
     * embedded as DOUBLE[] literals (Double.toString round-trips exactly), the
@@ -2834,6 +2880,7 @@ object SparkEntry {
           |SELECT coalesce(l.doc, v.doc) AS doc, l.r::INT AS r_lex, v.r::INT AS r_vec,
           |  round(coalesce(1.0/(60 + l.r), 0) + coalesce(1.0/(60 + v.r), 0), 6) AS rrf
           |FROM lex l FULL JOIN vec v ON l.doc = v.doc""".stripMargin,
+      "q_mmr" -> mmrOracleSql(k = 8, m = 20, lambda = 0.7),
       "q_knn" ->
         """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, round(
