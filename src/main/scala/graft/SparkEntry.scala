@@ -817,6 +817,24 @@ object SparkEntry {
           urlLeafCol($"url").as("leaf"),
           urlDepthCol($"url").as("depth"))
     }),
+    // --- RefinedWeb-style URL pre-filter (the cheapest 100-TB gate: no
+    // text touched): q_url_facets' synthetic urls + a deterministic
+    // blocklist of every 11th host domain; penalty words planted in the
+    // path by doc_id residues (%13 → 1 word, %17 → 2 — crosses the <2
+    // keep threshold)
+    "q_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://www.host"), (col("doc_id") % 97).cast("string"),
+          lit(".example/"), col("source"), lit("/item"), col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit("/casino")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("/torrent-winner")).otherwise(lit(""))).as("url"))
+      val blocklist = (0 until 97).filter(_ % 11 == 0)
+        .map(h => s"host$h.example").toDF("domain")
+      graft.text.UrlFilter.annotate(docs, "url", blocklist)
+        .select(col("doc_id"), col("reg_domain"), col("blocked"),
+          col("url_penalty"), col("url_keep"))
+    }),
     // --- URL canonicalization (crawl-frontier normalization, the key
     // URL-level dedup hashes on): harness urls mix authority casing, a
     // default :443 port, utm_*/gclid tracking params and #fragments; every
@@ -956,6 +974,28 @@ object SparkEntry {
         .select(col("term"), col("exact_cnt"), col("est"),
           (col("est") - col("exact_cnt")).as("overcount"))
     }),
+    // --- streaming decade-histogram: per-source token counts drained in 8
+    // micro-batches through keyed (key, bucket) counter state; the
+    // max-idempotent fold of emitted monotone totals == the batch
+    // histogram, so percentiles over it hit the SAME oracle as q_quantile
+    "q_stream_quantile" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val root = scratchDir("graft-squant-")
+      val vals = t(s, dir, "documents").select(col("source"),
+        wsTokenCountCol(col("text")).cast("long").as("n_tokens"))
+      vals.repartition(8).write.parquet(s"$root/vals")
+      val src = s.readStream.schema(vals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/vals")
+        .as[(String, Long)]
+      graft.streaming.StreamExtract.availableNowWriter(
+        graft.streaming.StreamExtract.histogramTotals(src).toDF("key", "lo", "cnt"),
+        s"$root/totals", s"$root/ckpt").start().awaitTermination()
+      val hist = s.read.parquet(s"$root/totals")
+        .groupBy("key", "lo").agg(max("cnt").as("cnt"))
+      graft.sketch.Quantile.percentiles(hist, Seq(100, 250, 500, 750, 900, 990))
+        .select(col("key").as("source"), col("q_milli"), col("lo"))
+    }),
     // --- HLL set algebra: union = register-wise max (EXACT sketch of the
     // union — the property that makes shard-merge lossless), intersection
     // estimated by inclusion–exclusion over the three integer estimates.
@@ -1031,11 +1071,31 @@ object SparkEntry {
           col("exact_union"), col("exact_inter"),
           expr("exact_inter * 1000 div exact_union").as("exact_j_milli"))
     }),
+    // --- mergeable decade-histogram quantiles (the distribution member of
+    // the sketch family): per-source ws-token-count percentile bounds read
+    // off the O(keys × ≤172-bucket) sketch — merge-losslessness is spec'd
+    // (QuantileSketchSpec); the oracle replays bucket rule + cumulative
+    // rank in pure BIGINT/string arithmetic
+    "q_quantile" -> ((s, dir) => {
+      val v = t(s, dir, "documents").select(col("source"),
+        wsTokenCountCol(col("text")).as("n_tokens"))
+      val hist = graft.sketch.Quantile.histogram(v, "source", "n_tokens")
+      graft.sketch.Quantile.percentiles(hist, Seq(100, 250, 500, 750, 900, 990))
+        .select(col("key").as("source"), col("q_milli"), col("lo"))
+    }),
     // --- tokenizer-prep vocabulary induction: corpus top-200 terms by
     // frequency, ties to the lexicographically smaller term
     "q_vocab" -> ((s, dir) => {
       graft.text.Vocab.top(t(s, dir, "documents"), "text", 200)
         .select(col("rank"), col("term"), col("cnt"))
+    }),
+    // --- per-doc top-5 keyword extraction: all-integer rank key
+    // (tf DESC, df ASC, term) after the stopword/length mask — the
+    // exact-ordering sibling of the float-scored TF-IDF family
+    "q_keywords" -> ((s, dir) => {
+      graft.index.Keywords.topK(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .select(col("doc").as("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"))
     }),
     // --- CCNet-analog unigram-LM quality score: per-doc avg -ln p(term)
     // under the corpus's own unigram model (the perplexity-filter shape)
@@ -1941,6 +2001,28 @@ object SparkEntry {
   /** Shared by q_hll and q_stream_hll: the streamed register deltas
     * max-merge to the batch registers exactly, so both gates replay the
     * SAME register-for-register SQL. */
+  /** DuckDB replica of [[graft.sketch.Quantile]]: the string-surgery
+    * decade-bucket rule (leading digit || zero padding — no float log/pow
+    * on either engine) + cumulative-count percentile rank, all BIGINT.
+    * Shared by q_quantile (batch) and q_stream_quantile (the max-folded
+    * streaming totals equal the batch histogram by monotonicity). */
+  private val quantileOracleSql =
+    """WITH v AS (SELECT source AS key,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0))::BIGINT AS v
+      |  FROM documents),
+      | h AS (SELECT key,
+      |    CASE WHEN v <= 0 THEN 0
+      |         ELSE (substr(v::VARCHAR, 1, 1) || repeat('0', length(v::VARCHAR) - 1))::BIGINT
+      |    END AS lo,
+      |    count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+      | c AS (SELECT key, lo,
+      |    sum(cnt) OVER (PARTITION BY key ORDER BY lo)::BIGINT AS cum,
+      |    sum(cnt) OVER (PARTITION BY key)::BIGINT AS n FROM h),
+      | q AS (SELECT unnest([100, 250, 500, 750, 900, 990])::BIGINT AS q_milli)
+      |SELECT c.key AS source, q.q_milli, min(c.lo)::BIGINT AS lo
+      |FROM c CROSS JOIN q WHERE c.cum * 1000 >= q.q_milli * c.n
+      |GROUP BY 1, 2""".stripMargin
+
   private val hllOracleSql =
     """WITH w AS (SELECT source AS key,
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -2357,6 +2439,50 @@ object SparkEntry {
           |  exact_union, exact_inter,
           |  (exact_inter * 1000 // exact_union)::BIGINT AS exact_j_milli
           |FROM ku CROSS JOIN m CROSS JOIN ex""".stripMargin,
+      // decade-histogram quantiles: batch and streaming hit the SAME
+      // replica (monotone totals max-fold to the batch histogram)
+      "q_quantile" -> quantileOracleSql,
+      "q_stream_quantile" -> quantileOracleSql,
+      // RefinedWeb URL pre-filter: domain extraction chain replicated
+      // operator-for-operator (anchored regexes — first-match == global);
+      // blocklist re-derived from the same residue rule
+      "q_url_filter" ->
+        """WITH u AS (SELECT doc_id,
+          |    'https://www.host' || (doc_id % 97)::VARCHAR || '.example/' || source || '/item' || doc_id::VARCHAR
+          |    || CASE WHEN doc_id % 13 = 0 THEN '/casino' ELSE '' END
+          |    || CASE WHEN doc_id % 17 = 0 THEN '/torrent-winner' ELSE '' END AS url
+          |  FROM documents),
+          | d AS (SELECT doc_id, url,
+          |    regexp_extract(regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS reg_domain,
+          |    ((CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END)
+          |     + (CASE WHEN contains(lower(url), 'torrent') THEN 1 ELSE 0 END)
+          |     + (CASE WHEN contains(lower(url), 'spam') THEN 1 ELSE 0 END)
+          |     + (CASE WHEN contains(lower(url), 'winner') THEN 1 ELSE 0 END)
+          |     + (CASE WHEN contains(lower(url), 'pills') THEN 1 ELSE 0 END))::BIGINT AS url_penalty
+          |  FROM u),
+          | bl AS (SELECT 'host' || h::VARCHAR || '.example' AS domain
+          |   FROM (SELECT unnest(range(0, 97)) AS h) WHERE h % 11 = 0)
+          |SELECT d.doc_id, d.reg_domain, (bl.domain IS NOT NULL) AS blocked,
+          |  d.url_penalty,
+          |  (bl.domain IS NULL AND d.url_penalty < 2) AS url_keep
+          |FROM d LEFT JOIN bl ON d.reg_domain = bl.domain""".stripMargin,
+      // per-doc keyword top-5: all-integer rank key (tf DESC, df ASC,
+      // term) — no float anywhere, rank replicates exactly; df counted
+      // over the distinct (doc, term) relation like the Spark plan
+      "q_keywords" -> {
+        val stop = graft.index.Keywords.StopWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id::VARCHAR AS doc, t AS term
+           |   FROM documents,
+           |     unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS u(t)
+           |   WHERE len(t) >= 4 AND t NOT IN ($stop)),
+           | tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+           | df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+           |SELECT doc AS doc_id, rank, term, tf, df FROM (
+           |  SELECT tf.doc, tf.term, tf.tf, df.df,
+           |    row_number() OVER (PARTITION BY tf.doc
+           |      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+           |  FROM tf JOIN df USING (term)) WHERE rank <= 5""".stripMargin
+      },
       // HLL set algebra: the same register pipeline over relabeled set
       // streams; union sketch == max-merge; intersection by
       // inclusion–exclusion in BIGINT

@@ -250,6 +250,35 @@ object StreamExtract {
         })
   }
 
+  /** Streaming decade-histogram ([[graft.sketch.Quantile]] in-stream):
+    * per-(key, bucket) keyed state holds the running count — ONE Long per
+    * group, TOTAL state bounded at |keys| × ≤172 buckets regardless of
+    * stream length (the sketch, not the stream, bounds the state — same
+    * property as [[hllDeltas]]/[[cmsTotals]]). Each batch emits the
+    * UPDATED running total for every touched bucket; totals are monotone
+    * non-decreasing, so the sink is max-idempotent:
+    * `groupBy(key, lo).max(cnt)` over the emitted rows equals the batch
+    * [[graft.sketch.Quantile.histogram]] of everything ingested, and
+    * at-least-once redelivery is harmless. Percentile reads run
+    * [[graft.sketch.Quantile.percentiles]] over that folded sink. */
+  def histogramTotals(rows: Dataset[(String, Long)])(
+      implicit spark: SparkSession): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    graft.sketch.Quantile.observations(rows.toDF("key", "v"), "key", "v")
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (kl: (String, Long), rs: Iterator[(String, Long, Long)], state: GroupState[Long]) => {
+          var add = 0L
+          rs.foreach(add += _._3)
+          if (add > 0L) {
+            val total = state.getOption.getOrElse(0L) + add
+            state.update(total)
+            Iterator.single((kl._1, kl._2, total))
+          } else Iterator.empty
+        })
+  }
+
   /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
     * pages directory once and stops — the streaming-native equivalent of the
     * reference's resume loop (checkpointed source offsets replace the

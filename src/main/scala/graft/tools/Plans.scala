@@ -206,6 +206,25 @@ object Plans {
          |pre-cap totals need every distinct-anchor row, so its absence is
          |load-bearing here (inverse of the LSH pre-cap shape).""".stripMargin,
        graft.SparkEntry.queries("q_anchors")(spark, sfDir)),
+      ("Decade-histogram quantiles (q_quantile)",
+       """Check: the histogram is ONE partial_sum hash aggregate over a
+         |narrow (key, lo, 1) projection (shuffle carries ≤172 rows/key
+         |per partition); the percentile windows + the broadcast quantile
+         |cross run over the bounded sketch only — no second pass over
+         |the corpus; no UDF, no float log/pow anywhere.""".stripMargin,
+       graft.SparkEntry.queries("q_quantile")(spark, sfDir)),
+      ("URL pre-filter (q_url_filter)",
+       """Check: ONE BroadcastHashJoin against the tiny blocklist (the
+         |corpus side has no Exchange); domain/penalty columns are
+         |codegen'd string expressions in the same projection — the whole
+         |gate is a single narrow stage over the scan.""".stripMargin,
+       graft.SparkEntry.queries("q_url_filter")(spark, sfDir)),
+      ("Per-doc keyword top-k (q_keywords)",
+       """Check: tf aggregate with partial_count; df aggregated OVER the
+         |distinct doc-term relation (no Expand); the `rank ≤ 5` filter
+         |rewrites to WindowGroupLimit (map-side truncation before the
+         |doc exchange); all-integer sort keys.""".stripMargin,
+       graft.SparkEntry.queries("q_keywords")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,

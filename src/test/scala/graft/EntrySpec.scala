@@ -21,7 +21,7 @@ class EntrySpec extends SparkSuiteBase {
       val lower = sql.toLowerCase
       // crude but effective: every FROM/JOIN target must be a known table
       // or a CTE defined in the same statement
-      val ctes = "(?i)\\b([a-z_0-9]+)\\s*(?:\\([a-z_, ]*\\))?\\s*as\\s*\\(".r
+      val ctes = "(?i)\\b([a-z_0-9]+)\\s*(?:\\([a-z_, ]*\\))?\\s*as\\s*(?:materialized\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // drop extract(hour FROM ts)-style intra-function FROMs first
       val scannable = lower.replaceAll("(?i)extract\\s*\\([^)]*\\)", "")
