@@ -184,6 +184,15 @@ object SparkEntry {
         .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
     }),
+    // --- gap-based sessionization (6h gap on exact epoch micros — the
+    // clickstream operator; one user exchange serves both windows and
+    // the session aggregate, spec'd equal to native session_window)
+    "q_sessions" -> ((s, dir) => {
+      graft.events.Sessions.summarize(t(s, dir, "events"),
+          "user_id", "ts", "event_id", 21600L * 1000000)
+        .select(col("user").as("user_id"), col("session_idx"),
+          col("n_events"), col("start_us"), col("span_us"))
+    }),
     // --- F2 resume anti-join semantics (planning-time complement)
     "q_anti_join" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
@@ -2099,6 +2108,21 @@ object SparkEntry {
       "q_events_hourly" ->
         """SELECT event_type, extract(hour FROM ts)::BIGINT AS hr, count(*) AS cnt,
           | round(sum(value),2) AS total FROM events GROUP BY 1,2""".stripMargin,
+      // sessionization: lag/cumsum replay on epoch_us (BIGINT micros —
+      // exactly Spark's unix_micros; no float or truncation anywhere)
+      "q_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id FROM events),
+          | l AS (SELECT user_id, ts_us, event_id,
+          |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+          | f AS (SELECT user_id, ts_us, event_id,
+          |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 21600000000 THEN 1 ELSE 0 END AS is_new FROM l),
+          | s AS (SELECT user_id, ts_us,
+          |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx FROM f)
+          |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+          |  min(ts_us)::BIGINT AS start_us,
+          |  (max(ts_us) - min(ts_us))::BIGINT AS span_us
+          |FROM s GROUP BY 1, 2""".stripMargin,
       "q_anti_join" ->
         """SELECT o_orderkey FROM orders
           | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,

@@ -225,6 +225,13 @@ object Plans {
          |rewrites to WindowGroupLimit (map-side truncation before the
          |doc exchange); all-integer sort keys.""".stripMargin,
        graft.SparkEntry.queries("q_keywords")(spark, sfDir)),
+      ("Gap-based sessionization (q_sessions)",
+       """Check: ONE Exchange on the user key serves everything — the lag
+         |window and the cumulative-sum window share one Sort (same
+         |partition+order), and the final (user, session_idx) aggregate
+         |reuses the partitioning (user ⊆ group keys → no second
+         |shuffle); timestamps are exact BIGINT micros, no UDF.""".stripMargin,
+       graft.SparkEntry.queries("q_sessions")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
