@@ -319,6 +319,20 @@ object SparkEntry {
         .filter(col("method") === "text_layer")
         .select(col("doc_id"), col("extracted"))
     }),
+    // --- hyperlink extraction (the web-graph feed): the REAL single-pass
+    // href/anchor scanner over the rendered article pages; the template's
+    // link set has a closed form (10 links/doc, host-parameterized), so
+    // the oracle is exact — the q_spans pattern applied to the link layer
+    "q_links" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val html = HtmlGen.article(s"Doc $id", Seq(text), (id % 97).toInt,
+            Seq("alpha beta related", "gamma delta entry"))
+          graft.extract.html.LinkExtractor.links(html)
+            .map(l => (id, l.pos.toLong, l.href, l.anchor))
+        }).toDF("doc_id", "pos", "href", "anchor")
+    }),
     // --- X5 char-span offsets, driver-gated: gate-passing docs render to a
     // single-block HTML article and a single-page PDF, so the span relation
     // has a closed form — exactly one span covering [0, len(text)) per
@@ -1185,6 +1199,23 @@ object SparkEntry {
       graft.graph.PageRank.run(edges, docs.select(col("doc_id").as("id")),
           iters = 8)
         .select(col("id").as("doc_id"), col("rank"))
+    }),
+    // --- degree-oriented triangle counting over the same quadratic
+    // pseudo-graph as q_pagerank (undirected-ized): per-vertex triangle
+    // participation — every join an integer-key equi-shuffle, each
+    // triangle counted once via the (degree, id) DAG orientation
+    "q_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"))
+      graft.graph.Triangles.perVertex(edges, "src", "dst")
+        .select(col("v").as("doc_id"), col("n_triangles"))
     }),
     // --- anchor-text aggregation over the same quadratic pseudo-graph as
     // q_pagerank, anchors varying per edge ((src+j) % 13): per target, the
@@ -2273,6 +2304,22 @@ object SparkEntry {
            | AND len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 3""".stripMargin,
       "q_extract_pdf" ->
         s"SELECT doc_id, text AS extracted FROM documents WHERE $effGate",
+      // hyperlink extraction: the article template's closed-form link
+      // table (host-parameterized chrome + the two fixed related links)
+      "q_links" ->
+        """WITH d AS (SELECT doc_id, (doc_id % 97)::VARCHAR AS h FROM documents),
+          | l AS (
+          |      SELECT doc_id, 1::BIGINT AS pos, '/' AS href, 'host' || h || '.example' AS anchor FROM d
+          |  UNION ALL SELECT doc_id, 2, '/', 'Home' FROM d
+          |  UNION ALL SELECT doc_id, 3, '/about', 'About h' || h FROM d
+          |  UNION ALL SELECT doc_id, 4, '/archive', 'Archive' FROM d
+          |  UNION ALL SELECT doc_id, 5, '/contact', 'Contact' FROM d
+          |  UNION ALL SELECT doc_id, 6, '/r/alpha-beta-related', 'alpha beta related' FROM d
+          |  UNION ALL SELECT doc_id, 7, '/r/gamma-delta-entry', 'gamma delta entry' FROM d
+          |  UNION ALL SELECT doc_id, 8, '/terms', 'Terms' FROM d
+          |  UNION ALL SELECT doc_id, 9, '/privacy', 'Privacy' FROM d
+          |  UNION ALL SELECT doc_id, 10, '/rss', 'RSS' FROM d)
+          |SELECT doc_id, pos, href, anchor FROM l""".stripMargin,
       // one span covering the whole extracted text, per kind — the offset
       // form of the byte-identity contract
       "q_spans" ->
@@ -2656,6 +2703,31 @@ object SparkEntry {
           |SELECT k.doc_id, k.title, p.id_b IS NOT NULL AS is_fuzzy_dup, p.dup_of
           |FROM k LEFT JOIN p ON p.id_b = k.doc_id""".stripMargin,
       "q_pagerank" -> pageRankOracleSql(8),
+      // degree-oriented triangle counting: the whole pipeline is integer
+      // (packed (deg, id) keys, equi-joins) — replicated join-for-join
+      "q_triangles" ->
+        """WITH d AS (SELECT count(*)::BIGINT AS n FROM documents),
+          | e0 AS (SELECT doc_id AS src, j, d.n AS n
+          |   FROM documents, unnest([1, 2, 3]) AS u(j) CROSS JOIN d),
+          | e1 AS (SELECT src, (src * src + j) % n AS d0, n FROM e0),
+          | e AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst FROM e1),
+          | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |   FROM e WHERE src <> dst),
+          | deg AS (SELECT v, count(*)::BIGINT AS dg
+          |   FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+          | ork AS (SELECT und.a, und.b,
+          |    da.dg * 4294967296 + und.a AS ka, db.dg * 4294967296 + und.b AS kb
+          |   FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+          | ore AS (SELECT CASE WHEN ka < kb THEN ka ELSE kb END AS ku,
+          |                CASE WHEN ka < kb THEN kb ELSE ka END AS kv,
+          |                CASE WHEN ka < kb THEN a ELSE b END AS u,
+          |                CASE WHEN ka < kb THEN b ELSE a END AS v FROM ork),
+          | tri AS (SELECT w1.u AS x, w1.v AS y, w2.v AS z
+          |   FROM ore w1 JOIN ore w2 ON w1.ku = w2.ku AND w1.kv < w2.kv
+          |   JOIN ore e2 ON e2.ku = w1.kv AND e2.kv = w2.kv),
+          | px AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+          |   UNION ALL SELECT z FROM tri)
+          |SELECT v AS doc_id, count(*)::BIGINT AS n_triangles FROM px GROUP BY 1""".stripMargin,
       "q_bpe" -> bpeOracleSql(4, "SELECT word, s AS syms FROM s4"),
       "q_bpe_merges" -> bpeOracleSql(4,
         (1 to 4).map(i => s"SELECT $i AS step, pair, cnt FROM b$i").mkString(" UNION ALL ")),

@@ -232,6 +232,14 @@ object Plans {
          |reuses the partitioning (user ⊆ group keys → no second
          |shuffle); timestamps are exact BIGINT micros, no UDF.""".stripMargin,
        graft.SparkEntry.queries("q_sessions")(spark, sfDir)),
+      ("Degree-oriented triangle counting (q_triangles)",
+       """Check: every join is an EQUI-join on packed (degree, id) LONG
+         |keys — hash joins (AQE broadcasts the tiny sides at this sf;
+         |shuffle joins at scale), never a nested-loop cartesian: the
+         |wedge inequality kv1 < kv2 rides as a residual condition on the
+         |ku equi-key; degree aggregate shows partial_count before its
+         |exchange.""".stripMargin,
+       graft.SparkEntry.queries("q_triangles")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
