@@ -193,6 +193,14 @@ object SparkEntry {
         .select(col("user").as("user_id"), col("session_idx"),
           col("n_events"), col("start_us"), col("span_us"))
     }),
+    // --- ordered funnel (view → click → purchase): each user's EARLIEST
+    // completion chain in exact epoch micros, long format (one row per
+    // step reached; out-of-order events invisible, strict >)
+    "q_funnel" -> ((s, dir) => {
+      graft.events.Funnel.earliest(t(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("step_idx"), col("step_ts_us"))
+    }),
     // --- F2 resume anti-join semantics (planning-time complement)
     "q_anti_join" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
@@ -2139,6 +2147,19 @@ object SparkEntry {
       "q_events_hourly" ->
         """SELECT event_type, extract(hour FROM ts)::BIGINT AS hr, count(*) AS cnt,
           | round(sum(value),2) AS total FROM events GROUP BY 1,2""".stripMargin,
+      // funnel: the min-then-strictly-after chain unrolled as one CTE
+      // per step on epoch_us BIGINT micros
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS ts_us FROM events),
+          | s1 AS (SELECT user_id, min(ts_us) AS ts_us FROM e
+          |   WHERE event_type = 'view' GROUP BY 1),
+          | s2 AS (SELECT e.user_id, min(e.ts_us) AS ts_us FROM e JOIN s1 USING (user_id)
+          |   WHERE e.event_type = 'click' AND e.ts_us > s1.ts_us GROUP BY 1),
+          | s3 AS (SELECT e.user_id, min(e.ts_us) AS ts_us FROM e JOIN s2 USING (user_id)
+          |   WHERE e.event_type = 'purchase' AND e.ts_us > s2.ts_us GROUP BY 1)
+          |SELECT user_id, 1::BIGINT AS step_idx, ts_us AS step_ts_us FROM s1
+          |UNION ALL SELECT user_id, 2, ts_us FROM s2
+          |UNION ALL SELECT user_id, 3, ts_us FROM s3""".stripMargin,
       // sessionization: lag/cumsum replay on epoch_us (BIGINT micros —
       // exactly Spark's unix_micros; no float or truncation anywhere)
       "q_sessions" ->
