@@ -257,6 +257,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         fingerprintCol(col("text")).as("fp"))
     }),
+    // --- Unicode canonicalization (pre-dedup cleanup). The harness appends
+    // TextNorm.Inject so every branch of the frozen contract fires on every
+    // row (controls, quote/dash/NBSP folds, ellipsis, CRLF, run collapses,
+    // edge trim) — never an identity pass over plain corpus text.
+    "q_normalize" -> ((s, dir) => {
+      val norm = graft.text.TextNorm.normalizeCol(
+        concat(col("text"), lit(graft.text.TextNorm.Inject)))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(norm).cast("long").as("norm_len"), md5(norm).as("norm_md5"))
+    }),
     // --- D2/F3 exact dedup window (keep-first, losers annotated)
     "q_dedup_exact" -> ((s, dir) => {
       ExactDedup.annotate(
@@ -2184,6 +2194,15 @@ object SparkEntry {
           | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens,
           | greatest(1, (length(text) // 4))::BIGINT AS approx_tokens
           | FROM documents""".stripMargin,
+      "q_normalize" -> {
+        // same harness suffix rendered once in Scala, reaching DuckDB as
+        // printable-literal||chr(n) concat (TextNorm.sqlLit) — no escaping
+        // trapdoors through oracle_sql.json
+        val e = graft.text.TextNorm.oracleExpr(
+          "text || " + graft.text.TextNorm.sqlLit(graft.text.TextNorm.Inject))
+        s"SELECT doc_id, length(n)::BIGINT AS norm_len, md5(n) AS norm_md5 " +
+          s"FROM (SELECT doc_id, $e AS n FROM documents)"
+      },
       "q_langid" -> {
         val langRows = Markers.keys.toSeq.sorted.map(l =>
           s"SELECT doc_id, '$l' AS lang, ${hits(l)} AS h FROM documents").mkString(" UNION ALL ")
