@@ -267,6 +267,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         length(norm).cast("long").as("norm_len"), md5(norm).as("norm_md5"))
     }),
+    // --- Banned-phrase blocklist gate: ONE Aho–Corasick pass per doc over
+    // the whole frozen GateList (word-boundary via space padding, overlaps
+    // counted) — vs the reference's per-pattern regex scans.
+    "q_blocklist" -> ((s, dir) => {
+      graft.text.PhraseBlock.annotate(s, t(s, dir, "documents"), "doc_id", "text")
+    }),
     // --- D2/F3 exact dedup window (keep-first, losers annotated)
     "q_dedup_exact" -> ((s, dir) => {
       ExactDedup.annotate(
@@ -2202,6 +2208,24 @@ object SparkEntry {
           "text || " + graft.text.TextNorm.sqlLit(graft.text.TextNorm.Inject))
         s"SELECT doc_id, length(n)::BIGINT AS norm_len, md5(n) AS norm_md5 " +
           s"FROM (SELECT doc_id, $e AS n FROM documents)"
+      },
+      "q_blocklist" -> {
+        // exact positional scan of every padded phrase over the padded
+        // text — counts overlapping occurrences, same as the automaton's
+        // output links; phrase list rendered from the ONE frozen GateList
+        val vals = graft.text.PhraseBlock.GateList
+          .map(p => s"(' $p ')").mkString(", ")
+        s"""WITH d AS (SELECT doc_id, ' '||text||' ' AS t FROM documents),
+           | p(phrase) AS (VALUES $vals),
+           | h AS (SELECT d.doc_id, p.phrase,
+           |   (SELECT count(*) FROM unnest(range(1, len(d.t)-len(p.phrase)+2)) AS u(j)
+           |     WHERE substr(d.t, j::INT, len(p.phrase)::INT) = p.phrase) AS c
+           |   FROM d, p)
+           |SELECT doc_id::VARCHAR AS doc_id, sum(c)::BIGINT AS hits_total,
+           |  (count(*) FILTER (c > 0))::BIGINT AS phrases_matched,
+           |  (sum(c) > 0) AS blocked,
+           |  coalesce(min(trim(phrase)) FILTER (c > 0), '') AS top_phrase
+           |FROM h GROUP BY doc_id""".stripMargin
       },
       "q_langid" -> {
         val langRows = Markers.keys.toSeq.sorted.map(l =>
