@@ -958,6 +958,19 @@ object SparkEntry {
         .select(col("term"), col("exact_cnt"), col("est"),
           (col("est") - col("exact_cnt")).as("overcount"))
     }),
+    // --- Misra–Gries heavy hitters + exact recheck: bigrams whose exact
+    // count exceeds n/(K+1), found WITHOUT shuffling the full vocabulary —
+    // pass 1 keeps ≤ K counters per partition (superset by theorem), pass 2
+    // recounts candidates only (broadcast semi-join). Output exact.
+    "q_heavy" -> ((s, dir) => {
+      val big = t(s, dir, "documents")
+        .select(graft.index.Bm25.tokensCol(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "j -> concat_ws(' ', w[j], w[j+1]))")).as("item"))
+      graft.sketch.HeavyHitters.exact(big, "item")
+    }),
     // --- STREAMING HyperLogLog: the same register table built via
     // cross-batch keyed state (8 micro-batches, one Int per (key,
     // register) — state bounded by the SKETCH, not the stream), emitting
@@ -2525,6 +2538,19 @@ object SparkEntry {
       // Count-Min: rebuild all 4 hash rows, probe at the exact top-20;
       // the streamed running totals max-merge to the same counters
       "q_cms" -> cmsOracleSql,
+      "q_heavy" -> {
+        // MG completeness + exact recheck == plain HAVING over the same
+        // bigram relation; integer threshold, no float contract
+        val k1 = graft.sketch.HeavyHitters.K + 1
+        s"""WITH w AS (SELECT
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |      x -> len(x) > 0) AS w FROM documents),
+           | toks AS (SELECT w[j] || ' ' || w[j+1] AS item
+           |   FROM w, unnest(range(1, len(w))) AS u(j)),
+           | n AS (SELECT count(*) AS n FROM toks)
+           |SELECT item, count(*)::BIGINT AS cnt FROM toks, n
+           |GROUP BY item, n.n HAVING count(*) * $k1 > n.n""".stripMargin
+      },
       "q_stream_cms" -> cmsOracleSql,
       // anchor aggregation: same quadratic graph as q_pagerank; string_agg
       // (skips the CASE's NULLs) ordered (cnt DESC, anchor) == Spark's
