@@ -201,6 +201,31 @@ object SparkEntry {
           "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
         .select(col("user").as("user_id"), col("step_idx"), col("step_ts_us"))
     }),
+    // --- backward as-of join: each purchase attributed to the user's
+    // most recent view at-or-before it (union-tag window, ONE exchange
+    // on user — never a per-key range join); left-outer, exact micros
+    "q_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.events.AsOf.prior(
+          e.where(col("event_type") === "purchase"),
+          e.where(col("event_type") === "view"),
+          "user_id", "ts", "event_id")
+        .select(col("key").as("user_id"), col("lid").as("purchase_id"),
+          col("ts_us").as("purchase_us"), col("r_id").as("view_id"),
+          col("r_ts_us").as("view_us"), col("gap_us"))
+    }),
+    // --- bucketed band join: all (purchase, view) pairs of a user within
+    // ±6 h — ×3 bucket explode + equi-join on (user, bucket) + exact |Δ|
+    // filter; each pair survives exactly once, no NestedLoop anywhere
+    "q_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.events.RangeJoin.withinRadius(
+          e.where(col("event_type") === "purchase"),
+          e.where(col("event_type") === "view"),
+          "user_id", "ts", "event_id", 21600L * 1000000)
+        .select(col("key").as("user_id"), col("lid").as("purchase_id"),
+          col("rid").as("view_id"), col("delta_us"))
+    }),
     // --- F2 resume anti-join semantics (planning-time complement)
     "q_anti_join" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
@@ -2204,6 +2229,31 @@ object SparkEntry {
           |  min(ts_us)::BIGINT AS start_us,
           |  (max(ts_us) - min(ts_us))::BIGINT AS span_us
           |FROM s GROUP BY 1, 2""".stripMargin,
+      // backward as-of: DuckDB's NATIVE ASOF LEFT JOIN (l.ts >= r.ts,
+      // ties included) — right side pre-collapsed to one row per
+      // (user, instant) keeping max id, so both engines are deterministic
+      "q_asof" ->
+        """WITH p AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id
+          |   FROM events WHERE event_type = 'purchase'),
+          | v AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+          |   max(event_id) AS view_id
+          |   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+          |SELECT p.user_id, p.event_id AS purchase_id, p.ts_us AS purchase_us,
+          |  v.view_id, v.ts_us AS view_us, (p.ts_us - v.ts_us) AS gap_us
+          |FROM p ASOF LEFT JOIN v
+          |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
+      // band join: the oracle is the PLAIN inequality join (DuckDB plans
+      // it as IEJoin; fine at sf) — the engine's bucketed plan must be
+      // pair-for-pair identical
+      "q_range_join" ->
+        """WITH p AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id
+          |   FROM events WHERE event_type = 'purchase'),
+          | v AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id
+          |   FROM events WHERE event_type = 'view')
+          |SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+          |  (p.ts_us - v.ts_us) AS delta_us
+          |FROM p JOIN v ON p.user_id = v.user_id
+          |  AND abs(p.ts_us - v.ts_us) <= 21600000000""".stripMargin,
       "q_anti_join" ->
         """SELECT o_orderkey FROM orders
           | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
