@@ -240,6 +240,19 @@ object Plans {
          |ku equi-key; degree aggregate shows partial_count before its
          |exchange.""".stripMargin,
        graft.SparkEntry.queries("q_triangles")(spark, sfDir)),
+      ("Backward as-of join (q_asof)",
+       """Check: ONE Exchange on the user key — the union of tagged left/
+         |right rows sorts once per key by (ts, tag, ord) and the running
+         |`last(_, ignoreNulls)` window carries the match; no join node at
+         |all, no second shuffle for same-instant collapse, no UDF; all
+         |timestamps exact BIGINT micros.""".stripMargin,
+       graft.SparkEntry.queries("q_asof")(spark, sfDir)),
+      ("Bucketed band join (q_range_join)",
+       """Check: a Generate (explode to 3 candidate buckets) feeding an
+         |EQUI-join on (key, bucket) with the exact |delta| <= radius
+         |band as a residual condition — no BroadcastNestedLoopJoin /
+         |CartesianProduct anywhere; bucket ids via integer div.""".stripMargin,
+       graft.SparkEntry.queries("q_range_join")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
