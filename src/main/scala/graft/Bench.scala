@@ -426,6 +426,7 @@ object Bench {
       f""""docs_per_sec_local32":${nPagesBig / tHi}%.1f,""" +
       f""""efficiency":$eff%.3f,"efficiency_pair":"2->8",""" +
       f""""efficiency_2_to_8":$eff28%.3f,"efficiency_2_to_8_all":$eff28All%.3f,""" +
+      f""""efficiency_2_to_8_best":${(t2 * 2) / (t8small * 8)}%.3f,""" +
       eff28Clean.map(e => f""""efficiency_2_to_8_clean":$e%.3f,""").getOrElse(""""efficiency_2_to_8_clean":null,""") +
       capability28.map(c => s""""capability_2_8":${capabilityJson(c, "t2_sec", "t8_sec")},""").getOrElse(""""capability_2_8":null,""") +
       pairs28.map { case (a, b, g) => f"[$a%.2f,$b%.2f,$g%.2f]" }.mkString(""""pairs_2_8":[""", ",", "],") +
@@ -453,6 +454,7 @@ object Bench {
       f""""sf":"$sfDir","pages":$nPagesBig,"chunks":$nChunks,"extract_wall_sec":$tHi%.3f,""" +
       f""""compact":true,"efficiency":$eff%.3f,"efficiency_pair":"2->8",""" +
       f""""efficiency_2_to_8":$eff28%.3f,""" +
+      f""""efficiency_2_to_8_best":${(t2 * 2) / (t8small * 8)}%.3f,""" +
       eff28Clean.map(e => f""""efficiency_2_to_8_clean":$e%.3f,""").getOrElse(""""efficiency_2_to_8_clean":null,""") +
       capability28.map(c => s""""capability_2_8":${capabilityJson(c, "t2_sec", "t8_sec")},""").getOrElse(""""capability_2_8":null,""") +
       f""""efficiency_8_to_32":$eff832%.3f,""" +

@@ -822,6 +822,25 @@ object SparkEntry {
         rates = Map("en" -> 50), defaultRate = 20)
         .select(col("doc_id"), col("lang"))
     }),
+    // --- temperature-based domain rebalance (α = 0.5): flatten the lang
+    // skew toward p_d ∝ √n_d; keep decision = md5 uniform vs sqrt(n_min/
+    // n_d) — IEEE-exact in both engines, corpus never shuffles
+    "q_mix" -> ((s, dir) => {
+      graft.text.Mix.rebalance(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), 0.5)
+        .select(col("doc_id"), col("lang"))
+    }),
+    // --- Z-order (Morton) clustering value: 31-bit (n_chars, md5(doc_id))
+    // interleaved by the 5-step magic-mask spread — the layout key behind
+    // min/max file skipping; pure bitwise chain, codegen, no UDF
+    "q_zorder" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val y = graft.functions.GraftFunctions
+        .md5Top64(col("doc_id").cast("string")).bitwiseAND(lit(0x7FFFFFFFL))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.layout.ZOrder.value(col("n_chars"), y).as("zval"))
+    }),
     // --- deterministic train/val/test split (80/10/10 by hash bucket):
     // growth-stable — a doc's split depends only on its own key, so
     // re-running after corpus growth never migrates a doc across splits
@@ -1593,6 +1612,28 @@ object SparkEntry {
       graft.streaming.StreamExtract.eventCounts(src)
         .select(col("win_start").cast("long").as("win_start"),
           col("event_type"), col("cnt"), round(col("total"), 2).as("total"))
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      detachAndClean(s.read.parquet(s"$root/out"), root)
+    }),
+    // --- streaming gap sessionization: keyed fragment state sealed by the
+    // event-time watermark (EventTimeTimeout); emitted sessions == batch
+    // sessions with end + gap <= final watermark (the HAVING discipline)
+    "q_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val root = scratchDir("graft-ssess-")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+      ev.write.parquet(s"$root/in")
+      val src = s.readStream.schema(ev.schema).parquet(s"$root/in")
+        .as[(Long, java.sql.Timestamp, Long)]
+      graft.streaming.StreamExtract
+        .sessionsStream(src, 21600L * 1000000, "10 minutes")
+        .toDF("user_id", "session_idx", "n_events", "start_us", "span_us")
         .writeStream.format("parquet").option("path", s"$root/out")
         .option("checkpointLocation", s"$root/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow())
@@ -2898,6 +2939,38 @@ object SparkEntry {
           |WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
           |        % 9223372036854775808) % 100)
           |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+      // temperature rebalance: keep_p = sqrt(n_min/n_d) — sqrt and the
+      // division are IEEE-correctly-rounded in both engines, and the
+      // uniform's /2^63 scale is a pure exponent shift, so the comparison
+      // is bit-exact cross-engine with NO rounding contract
+      "q_mix" ->
+        """WITH c AS (SELECT lang, count(*)::BIGINT AS n_d FROM documents GROUP BY 1),
+          | m AS (SELECT min(n_d) AS n_min FROM c),
+          | q AS (SELECT lang, sqrt(n_min::DOUBLE / n_d::DOUBLE) AS keep_p FROM c, m)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN q USING (lang)
+          |WHERE ((('0x' || substr(md5(d.doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+          |        % 9223372036854775808)::DOUBLE / 9.223372036854775808e18)
+          |      < q.keep_p""".stripMargin,
+      // Morton interleave: the identical 5-step magic-mask spread replayed
+      // on BIGINT (masks in decimal; all intermediates non-negative)
+      "q_zorder" -> {
+        val steps = Seq((16, 281470681808895L), (8, 71777214294589695L),
+          (4, 1085102592571150095L), (2, 3689348814741910323L),
+          (1, 6148914691236517205L))
+        val ctes = steps.zipWithIndex.map { case ((sh, mask), i) =>
+          val src = if (i == 0) "b" else s"s$i"
+          s""" s${i + 1} AS (SELECT doc_id,
+             |  ((x | (x << $sh)) & $mask) AS x,
+             |  ((y | (y << $sh)) & $mask) AS y FROM $src)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (SELECT doc_id,
+           |  (n_chars & 2147483647) AS x,
+           |  ((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
+           |    % 9223372036854775808)::BIGINT & 2147483647) AS y
+           |  FROM documents),
+           |$ctes
+           |SELECT doc_id, (x | (y << 1)) AS zval FROM s5""".stripMargin
+      },
       // same md5-top-64 bucket as q_sample, mapped to cumulative ranges
       "q_split" ->
         """SELECT doc_id, lang,
@@ -2998,6 +3071,25 @@ object SparkEntry {
           |FROM e CROSS JOIN mx
           |GROUP BY 1, 2, mts
           |HAVING (tse // 300) * 300 + 300 <= mts - 600""".stripMargin,
+      // streaming sessionization: the batch lag/cumsum replay, sealed by
+      // the final watermark — wm = (floor(max_ts_us/1000) − 10 min) ms,
+      // exactly Spark's ms-floored event-time watermark
+      "q_stream_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id FROM events),
+          | l AS (SELECT user_id, ts_us, event_id,
+          |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+          | f AS (SELECT user_id, ts_us, event_id,
+          |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 21600000000 THEN 1 ELSE 0 END AS is_new FROM l),
+          | s AS (SELECT user_id, ts_us,
+          |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx FROM f),
+          | g AS (SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+          |    min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us
+          |  FROM s GROUP BY 1, 2),
+          | w AS (SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm_us FROM e)
+          |SELECT user_id, session_idx, n_events, start_us,
+          |  (end_us - start_us)::BIGINT AS span_us
+          |FROM g CROSS JOIN w WHERE end_us + 21600000000 <= wm_us""".stripMargin,
       // the streaming query emits its own verdict relation; the oracle is
       // what parity demands a priori
       "q_stream_parity" ->

@@ -194,6 +194,84 @@ object StreamExtract {
         })
   }
 
+  /** Streaming gap-based sessionization — [[graft.events.Sessions]]
+    * in-stream with WATERMARK FINALIZATION: per-user keyed state holds the
+    * user's OPEN session fragments (start_us, end_us, n_events); arrivals
+    * — out-of-order up to the watermark — merge fragments whenever the
+    * inter-event distance is strictly under the gap (two fragments can
+    * be BRIDGED by one late event); a session emits exactly once, when
+    * the event-time watermark passes `end + gap` (no in-watermark event
+    * can extend or bridge into it any more: an event at t ≥ wm ≥ end+gap
+    * is ≥ gap away — a new session by definition; anything older is late
+    * and dropped). Emission therefore carries the same closed-form
+    * guarantee as the batch operator restricted to the sealed prefix,
+    * and q_stream_sessions' oracle is the batch lag/cumsum replay with
+    * `HAVING end + gap <= final watermark` — the finalization-as-HAVING
+    * discipline of q_stream_events.
+    *
+    * `session_idx` rides a per-user emitted-session counter in state:
+    * sessions of a user are disjoint and seal in start order, so the
+    * counter reproduces the batch cumsum ordinal.
+    *
+    * State is bounded by fragments within one gap horizon of the
+    * watermark per user — eviction IS the emission (EventTimeTimeout),
+    * no separate GC. At-least-once caveat as siblings: a redelivered
+    * event double-counts n_events (counts, not membership).
+    *
+    * Input tuples (user, ts, event_id); output
+    * (user, session_idx, n_events, start_us, span_us). */
+  def sessionsStream(events: Dataset[(Long, java.sql.Timestamp, Long)],
+                     gapUs: Long, watermarkDelay: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    require(gapUs > 0, "gapUs must be positive")
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def mergeFrags(fs: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      fs.sortBy(f => (f._1, f._2)).foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, f) =>
+        acc.lastOption match {
+          case Some((s, e, n)) if f._1 - e < gapUs =>
+            acc.init :+ ((s, math.max(e, f._2), n + f._3))
+          case _ => acc :+ f
+        }
+      }
+    // seal fragments the watermark has passed; returns (emittedRows, newState)
+    def seal(user: Long, st: (Long, Seq[(Long, Long, Long)]), wmUs: Long)
+        : (Seq[(Long, Long, Long, Long, Long)], (Long, Seq[(Long, Long, Long)])) = {
+      val (closed, open) = st._2.partition(f => f._2 + gapUs <= wmUs)
+      val rows = closed.sortBy(_._1).zipWithIndex.map { case ((s, e, n), i) =>
+        (user, st._1 + i + 1, n, s, e - s)
+      }
+      (rows, (st._1 + closed.size, open))
+    }
+    events.toDF("u", "ts", "eid") // name-agnostic: any source column names
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Seq[(Long, Long, Long)])]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st0 = state.getOption.getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+          val merged: (Long, Seq[(Long, Long, Long)]) =
+            if (state.hasTimedOut) st0
+            else (st0._1, mergeFrags(st0._2 ++
+              rows.map(r => (micros(r._2), micros(r._2), 1L))))
+          val (out, st1) = seal(user, merged, wmUs)
+          if (st1._2.isEmpty && st1._1 == 0L) state.remove()
+          else {
+            state.update(st1)
+            if (st1._2.nonEmpty) {
+              // fire when the watermark can seal the earliest open fragment
+              val sealMs = (st1._2.map(_._2).min + gapUs + 999L) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(sealMs, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+        })
+  }
+
   /** Streaming HyperLogLog: per-(key, register) keyed state holds the
     * running max rank — ONE Int per group, so TOTAL state is bounded at
     * [[graft.sketch.Hll.M]]·|keys| regardless of stream length (the
