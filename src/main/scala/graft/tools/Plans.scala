@@ -253,6 +253,36 @@ object Plans {
          |band as a residual condition — no BroadcastNestedLoopJoin /
          |CartesianProduct anywhere; bucket ids via integer div.""".stripMargin,
        graft.SparkEntry.queries("q_range_join")(spark, sfDir)),
+      ("Misra-Gries heavy hitters + exact recheck (q_heavy)",
+       """Check: pass 1 is a narrow MapPartitions (<= K counters leave each
+         |partition — the open vocabulary NEVER shuffles); the candidate set
+         |re-enters as the BROADCAST side of the recheck semi-join; one hash
+         |aggregate with partial combine over candidate rows only.""".stripMargin,
+       graft.SparkEntry.queries("q_heavy")(spark, sfDir)),
+      ("Aho-Corasick blocklist gate (q_blocklist)",
+       """Check: ONE narrow MapPartitions over documents (the automaton is
+         |per-partition driver-array state, not a join side) — zero Exchange,
+         |no ScalaUDF, list size invisible to the plan.""".stripMargin,
+       graft.SparkEntry.queries("q_blocklist")(spark, sfDir)),
+      ("Z-order layout (q_zorder)",
+       """Check: the Morton interleave is a pure bitwise Project inside
+         |WholeStageCodegen (no UDF); exactly ONE Exchange and it is a
+         |rangepartitioning on the z-value (sampled boundaries -> even file
+         |sizes under skew).""".stripMargin,
+       graft.SparkEntry.queries("q_zorder")(spark, sfDir)),
+      ("Bucketed co-located join (q_bucketed)",
+       """Check: `Bucketed: true` on both scans and NO shuffle on either
+         |join input. At this sf the orders side is tiny so AQE picks a
+         |broadcast join (strictly cheaper — still exchange-free on the
+         |probe side); with broadcast off, both sides being co-bucketed
+         |plan as a ZERO-Exchange SortMergeJoin (pinned by BucketedSpec).
+         |The only Exchange below is the group-by's.""".stripMargin,
+       graft.SparkEntry.queries("q_bucketed")(spark, sfDir)),
+      ("Temperature domain mixing (q_mix)",
+       """Check: the domain-count aggregate is the BROADCAST side joined back
+         |to the corpus (corpus never shuffles); the keep decision is a
+         |codegen'd filter (md5/pow chain), no ScalaUDF.""".stripMargin,
+       graft.SparkEntry.queries("q_mix")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
