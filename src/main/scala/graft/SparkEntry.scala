@@ -214,6 +214,46 @@ object SparkEntry {
         .agg(round(sum("l_extendedprice"), 2).as("gross"),
           round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n_items"))
     }),
+    // --- data-quality contracts (audit/Contracts — Deequ-style one-pass
+    // suite): documents + PLANTED violations (dup ids every 50th, empty
+    // texts, an n_chars/text mismatch, an alien lang) so both verdict
+    // branches fire. Metrics are round(int/int, 6) — one correctly-rounded
+    // division, bit-exact cross-engine (quantize-once).
+    "q_contracts" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = docs
+        .unionByName(docs.filter(col("doc_id") % 50 === 0))
+        .unionByName(Seq(
+          (9000001L, "", "en", "srcx", 0L),
+          (9000002L, "", "fr", "srcx", 0L),
+          (9000003L, "abc", "en", "src1", 999L),
+          (9000004L, "hello graft world", "xx", "src1", 17L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      graft.audit.Contracts.run(base, Seq(
+        graft.audit.Contracts.completeness("complete_text", col("text"), 0.95),
+        graft.audit.Contracts.uniqueness("unique_doc_id", col("doc_id"), 1.0),
+        graft.audit.Contracts.bounds("bounds_n_chars", col("n_chars"), 1L, 100000L, 0.999),
+        graft.audit.Contracts.satisfies("consistent_n_chars",
+          col("n_chars") === length(col("text")), 1.0),
+        graft.audit.Contracts.inDomain("lang_domain", col("lang"),
+          Seq("en", "fr", "de", "es", "zh"), 0.95)))
+    }),
+    // --- snapshot CDC (lake/Cdc): crawl-N vs crawl-N+1 diff. The new
+    // snapshot drops every 13th doc, revises the text of every 7th
+    // survivor, and appends fresh ids for every 5th — the diff must
+    // classify each id exactly once (delete beats update on overlap by
+    // construction: a dropped doc never reaches the revision branch).
+    "q_cdc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [revised]"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      graft.lake.Cdc.diff(docs, neu, Seq("doc_id"), Seq("text", "lang"))
+    }),
     // --- gap-based sessionization (6h gap on exact epoch micros — the
     // clickstream operator; one user exchange serves both windows and
     // the session aggregate, spec'd equal to native session_window)
@@ -2278,6 +2318,52 @@ object SparkEntry {
           | round(sum(l_extendedprice),2) AS gross, round(sum(l_quantity),2) AS qty,
           | count(*) AS n_items
           | FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1,2""".stripMargin,
+      // contracts: identical planted violations, one aggregate, thresholds
+      // cast ::DOUBLE (DuckDB numeric literals are DECIMAL — str() diverges)
+      "q_contracts" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, lang, source, n_chars FROM documents
+          |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM documents
+          |    WHERE doc_id % 50 = 0
+          |  UNION ALL SELECT * FROM (VALUES
+          |    (9000001, '', 'en', 'srcx', 0),
+          |    (9000002, '', 'fr', 'srcx', 0),
+          |    (9000003, 'abc', 'en', 'src1', 999),
+          |    (9000004, 'hello graft world', 'xx', 'src1', 17))
+          |    v(doc_id, text, lang, source, n_chars)),
+          | a AS (SELECT count(*)::DOUBLE AS n,
+          |   sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END)::DOUBLE AS c_txt,
+          |   count(DISTINCT doc_id)::DOUBLE AS c_uni,
+          |   sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END)::DOUBLE AS c_bnd,
+          |   sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)::DOUBLE AS c_con,
+          |   sum(CASE WHEN lang IN ('en','fr','de','es','zh') THEN 1 ELSE 0 END)::DOUBLE AS c_dom
+          |  FROM base)
+          |SELECT chk, metric, threshold, metric >= threshold AS pass FROM (
+          |  SELECT 'complete_text' AS chk, round(c_txt/n, 6) AS metric,
+          |     0.95::DOUBLE AS threshold FROM a
+          |  UNION ALL SELECT 'unique_doc_id', round(c_uni/n, 6), 1.0::DOUBLE FROM a
+          |  UNION ALL SELECT 'bounds_n_chars', round(c_bnd/n, 6), 0.999::DOUBLE FROM a
+          |  UNION ALL SELECT 'consistent_n_chars', round(c_con/n, 6), 1.0::DOUBLE FROM a
+          |  UNION ALL SELECT 'lang_domain', round(c_dom/n, 6), 0.95::DOUBLE FROM a)""".stripMargin,
+      // cdc: the same snapshot mutation, diffed by a FULL OUTER JOIN
+      "q_cdc" ->
+        """WITH prev AS (SELECT doc_id, text, lang FROM documents),
+          | curr AS (
+          |   SELECT doc_id,
+          |     CASE WHEN doc_id % 7 = 0 THEN text || ' [revised]' ELSE text END AS text,
+          |     lang
+          |   FROM documents WHERE doc_id % 13 <> 0
+          |   UNION ALL
+          |   SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0)
+          |SELECT doc_id, op FROM (
+          |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+          |    CASE WHEN p.doc_id IS NULL THEN 'insert'
+          |         WHEN c.doc_id IS NULL THEN 'delete'
+          |         WHEN NOT (p.text IS NOT DISTINCT FROM c.text
+          |                   AND p.lang IS NOT DISTINCT FROM c.lang) THEN 'update'
+          |    END AS op
+          |  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)
+          |WHERE op IS NOT NULL""".stripMargin,
       // funnel: the min-then-strictly-after chain unrolled as one CTE
       // per step on epoch_us BIGINT micros
       "q_funnel" ->
