@@ -240,6 +240,39 @@ object SparkEntry {
         graft.audit.Contracts.inDomain("lang_domain", col("lang"),
           Seq("en", "fr", "de", "es", "zh"), 0.95)))
     }),
+    // --- stratified contracts (Contracts.runBy): the per-domain quality
+    // report over the SAME planted base — group keyed on lang, one pass.
+    "q_contracts_domain" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = docs
+        .unionByName(docs.filter(col("doc_id") % 50 === 0))
+        .unionByName(Seq(
+          (9000001L, "", "en", "srcx", 0L),
+          (9000002L, "", "fr", "srcx", 0L),
+          (9000003L, "abc", "en", "src1", 999L),
+          (9000004L, "hello graft world", "xx", "src1", 17L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      graft.audit.Contracts.runBy(base, Seq("lang"), Seq(
+        graft.audit.Contracts.completeness("complete_text", col("text"), 0.95),
+        graft.audit.Contracts.satisfies("consistent_n_chars",
+          col("n_chars") === length(col("text")), 1.0),
+        graft.audit.Contracts.bounds("bounds_n_chars", col("n_chars"), 1L, 100000L, 0.999)))
+    }),
+    // --- rolling window aggregates (events/Rolling): per-user trailing-5
+    // and trailing-6h statistics; one user exchange serves both frames.
+    "q_rolling" -> ((s, dir) => {
+      graft.events.Rolling.stats(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", k = 5, intervalUs = 21600L * 1000000)
+    }),
+    // --- per-domain percentile calibration (text/Calibrate): within-lang
+    // top-half cut on n_chars — pr is one exact-int division, bit-exact.
+    "q_calibrate" -> ((s, dir) => {
+      graft.text.Calibrate.percentile(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", "doc_id", q = 0.5)
+    }),
     // --- snapshot CDC (lake/Cdc): crawl-N vs crawl-N+1 diff. The new
     // snapshot drops every 13th doc, revises the text of every 7th
     // survivor, and appends fresh ids for every 5th — the diff must
@@ -2345,6 +2378,50 @@ object SparkEntry {
           |  UNION ALL SELECT 'bounds_n_chars', round(c_bnd/n, 6), 0.999::DOUBLE FROM a
           |  UNION ALL SELECT 'consistent_n_chars', round(c_con/n, 6), 1.0::DOUBLE FROM a
           |  UNION ALL SELECT 'lang_domain', round(c_dom/n, 6), 0.95::DOUBLE FROM a)""".stripMargin,
+      // stratified contracts: same planted base, grouped by lang
+      "q_contracts_domain" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, lang, source, n_chars FROM documents
+          |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM documents
+          |    WHERE doc_id % 50 = 0
+          |  UNION ALL SELECT * FROM (VALUES
+          |    (9000001, '', 'en', 'srcx', 0),
+          |    (9000002, '', 'fr', 'srcx', 0),
+          |    (9000003, 'abc', 'en', 'src1', 999),
+          |    (9000004, 'hello graft world', 'xx', 'src1', 17))
+          |    v(doc_id, text, lang, source, n_chars)),
+          | a AS (SELECT lang, count(*)::DOUBLE AS n,
+          |   sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END)::DOUBLE AS c_txt,
+          |   sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)::DOUBLE AS c_con,
+          |   sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END)::DOUBLE AS c_bnd
+          |  FROM base GROUP BY lang)
+          |SELECT lang, chk, metric, threshold, metric >= threshold AS pass FROM (
+          |  SELECT lang, 'complete_text' AS chk, round(c_txt/n, 6) AS metric,
+          |     0.95::DOUBLE AS threshold FROM a
+          |  UNION ALL SELECT lang, 'consistent_n_chars', round(c_con/n, 6),
+          |     1.0::DOUBLE FROM a
+          |  UNION ALL SELECT lang, 'bounds_n_chars', round(c_bnd/n, 6),
+          |     0.999::DOUBLE FROM a)""".stripMargin,
+      // rolling: both frames replayed via a WINDOW clause on epoch micros
+      "q_rolling" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, value
+          |  FROM events)
+          |SELECT user_id, ts_us, event_id,
+          |  count(*) OVER w_rows AS cnt_k,
+          |  round(sum(value) OVER w_rows, 4) AS sum_k,
+          |  count(*) OVER w_range AS cnt_win
+          |FROM e
+          |WINDOW w_rows AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+          |  w_range AS (PARTITION BY user_id ORDER BY ts_us
+          |    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      // calibrate: percent_rank over (n_chars DESC, doc_id) within lang
+      "q_calibrate" ->
+        """SELECT doc_id, lang, n_chars,
+          |  percent_rank() OVER w AS pr,
+          |  (percent_rank() OVER w) <= 0.5 AS keep
+          |FROM documents
+          |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)""".stripMargin,
       // cdc: the same snapshot mutation, diffed by a FULL OUTER JOIN
       "q_cdc" ->
         """WITH prev AS (SELECT doc_id, text, lang FROM documents),

@@ -55,16 +55,23 @@ object Contracts {
 
   /** Run the suite: one row per check — (chk, metric, threshold, pass).
     * ("chk", not "check": CHECK is reserved in ANSI SQL engines.) */
-  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame =
+    runBy(df, Nil, checks)
+
+  /** Stratified suite: one row per (group, check) — the per-domain /
+    * per-source quality report. Same single pass; the aggregate is keyed
+    * on the group columns (one |groups|-sized exchange of partial rows). */
+  def runBy(df: DataFrame, groupCols: Seq[String], checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty contract suite")
     val metrics = checks.map(c =>
       round(c.numerator.cast("double") / count(lit(1)), 6).as(c.name))
-    val row = df.agg(metrics.head, metrics.tail: _*)
+    val row = df.groupBy(groupCols.map(col): _*)
+      .agg(metrics.head, metrics.tail: _*)
     val stackArgs = checks
       .map(c => s"'${c.name}', `${c.name}`, CAST(${c.threshold} AS DOUBLE)")
       .mkString(", ")
-    row.select(expr(
-        s"stack(${checks.length}, $stackArgs) AS (chk, metric, threshold)"))
+    row.select(groupCols.map(col) :+ expr(
+        s"stack(${checks.length}, $stackArgs) AS (chk, metric, threshold)"): _*)
       .withColumn("pass", col("metric") >= col("threshold"))
   }
 }

@@ -46,6 +46,16 @@ class ContractsSpec extends SparkSuiteBase {
     assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 3, plan)
   }
 
+  test("runBy stratifies the suite: per-group rows, per-group metrics") {
+    val df = rows.toDF("id", "text", "lang", "n_chars")
+    val got = Contracts.runBy(df, Seq("lang"),
+        Seq(completeness("complete_text", col("text"), 0.5))).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(got("en") == ((0.333333, false)))   // "hello world" of ("", null, hw)
+    assert(got("fr") == ((1.0, true)))
+    assert(got("it") == ((1.0, true)))
+  }
+
   test("perfect data passes everything; empty suite rejected") {
     val clean = Seq((1L, "aa", "en", 2L), (2L, "bbb", "fr", 3L))
       .toDF("id", "text", "lang", "n_chars")
