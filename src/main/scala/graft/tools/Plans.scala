@@ -283,6 +283,22 @@ object Plans {
          |to the corpus (corpus never shuffles); the keep decision is a
          |codegen'd filter (md5/pow chain), no ScalaUDF.""".stripMargin,
        graft.SparkEntry.queries("q_mix")(spark, sfDir)),
+      ("Data-quality contracts (q_contracts)",
+       """Check: the whole suite is ONE aggregate subtree over one pass of
+         |the input (count_distinct's Expand included) — no join, no second
+         |scan, no ScalaUDF; the per-check rows come from a Generate
+         |(stack), not extra jobs.""".stripMargin,
+       graft.SparkEntry.queries("q_contracts")(spark, sfDir)),
+      ("Snapshot CDC diff (q_cdc)",
+       """Check: ONE SortMergeJoin FullOuter on the id (both sides shuffle
+         |once, skew-free unique keys); the op classification is a Project
+         |over the joined row — no hash columns, no second pass.""".stripMargin,
+       graft.SparkEntry.queries("q_cdc")(spark, sfDir)),
+      ("Rolling window stats (q_rolling)",
+       """Check: exactly ONE Exchange (the user key) feeding two Window
+         |nodes (rows frame + range frame) — running evaluation, no
+         |self-join, no UDF.""".stripMargin,
+       graft.SparkEntry.queries("q_rolling")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
