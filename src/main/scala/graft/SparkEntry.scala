@@ -273,6 +273,27 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
         "lang", "n_chars", "doc_id", q = 0.5)
     }),
+    // --- retrieval eval (index/Eval — TREC run-vs-qrels form): the run
+    // ranks term-bearing docs by length (the retrieval signal), relevance
+    // is high term frequency (occ >= 4) — deliberately different signals,
+    // so hits/first_rank vary. All metrics exact ints + one division.
+    "q_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), lower(col("text")).as("lt"))
+      val occ = docs
+        .crossJoin(broadcast(Seq("join", "vector", "customer").toDF("qid")))
+        .withColumn("occ", expr("size(filter(split(lt, '\\\\s+'), x -> x = qid))"))
+        .select("qid", "doc_id", "n_chars", "occ")
+      val w = Window.partitionBy("qid").orderBy(desc("n_chars"), asc("doc_id"))
+      val run = occ.filter(col("occ") >= 1)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("qid"), col("doc_id").as("doc"), col("rnk"))
+      val qrels = occ.filter(col("occ") >= 4)
+        .select(col("qid"), col("doc_id").as("doc"))
+      graft.index.Eval.metrics(run, qrels, k = 10)
+    }),
     // --- snapshot CDC (lake/Cdc): crawl-N vs crawl-N+1 diff. The new
     // snapshot drops every 13th doc, revises the text of every 7th
     // survivor, and appends fresh ids for every 5th — the diff must
@@ -2422,6 +2443,29 @@ object SparkEntry {
           |  (percent_rank() OVER w) <= 0.5 AS keep
           |FROM documents
           |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)""".stripMargin,
+      // retrieval eval: run/qrels replay; rnk alias (rank is a keyword)
+      "q_eval" ->
+        """WITH t(qid) AS (VALUES ('join'), ('vector'), ('customer')),
+          | occ AS (SELECT qid, doc_id, n_chars,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = qid)) AS occ
+          |  FROM documents CROSS JOIN t),
+          | run AS (SELECT qid, doc_id AS doc, row_number() OVER
+          |     (PARTITION BY qid ORDER BY n_chars DESC, doc_id) AS rnk
+          |   FROM occ WHERE occ >= 1 QUALIFY rnk <= 50),
+          | qrels AS (SELECT qid, doc_id AS doc FROM occ WHERE occ >= 4),
+          | perq AS (SELECT r.qid,
+          |    sum(CASE WHEN q.doc IS NOT NULL AND r.rnk <= 10 THEN 1 ELSE 0 END) AS hits_k,
+          |    min(CASE WHEN q.doc IS NOT NULL THEN r.rnk END) AS first_rank0
+          |  FROM run r LEFT JOIN qrels q ON r.qid = q.qid AND r.doc = q.doc GROUP BY 1),
+          | nr AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1)
+          |SELECT coalesce(p.qid, nr.qid) AS qid, coalesce(n_rel, 0) AS n_rel,
+          |  coalesce(hits_k, 0) AS hits_k,
+          |  CASE WHEN n_rel IS NULL THEN 0.0::DOUBLE
+          |       ELSE round(coalesce(hits_k, 0) / n_rel, 6) END AS recall_k,
+          |  coalesce(first_rank0, 0) AS first_rank,
+          |  CASE WHEN first_rank0 IS NULL THEN 0.0::DOUBLE
+          |       ELSE round(1.0::DOUBLE / first_rank0, 6) END AS rr
+          |FROM perq p FULL OUTER JOIN nr ON p.qid = nr.qid""".stripMargin,
       // cdc: the same snapshot mutation, diffed by a FULL OUTER JOIN
       "q_cdc" ->
         """WITH prev AS (SELECT doc_id, text, lang FROM documents),

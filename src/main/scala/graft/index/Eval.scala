@@ -1,0 +1,49 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval evaluation — recall@k and reciprocal rank per query, the
+  * offline eval loop every retrieval stack ships (TREC run-vs-qrels
+  * form): a ranked run is scored against a relevance set, per query,
+  * so index/scoring changes are judged by a number instead of eyeballs.
+  *
+  * Exactness: every metric is integer counting plus ONE correctly-
+  * rounded division quantized at the output (recall = hits/n_rel,
+  * rr = 1/first_rank) — bit-identical cross-engine, no float-sum
+  * contract. Queries with no relevant docs score 0 (never NULL, never
+  * dropped); relevant docs the run missed entirely still count in the
+  * recall denominator (n_rel comes from qrels, NOT from the join).
+  *
+  * Scale: one (qid, doc) equi-join (run size × small constant), one
+  * qid-keyed aggregate each side, and a |queries|-sized final join —
+  * eval cost is proportional to the RUN, never the corpus. Skew-free:
+  * run rows per qid are bounded by the retrieval k.
+  */
+object Eval {
+
+  /** Score `run` (qid, doc, rnk — 1-based, unique per qid) against
+    * `qrels` (qid, doc). Emits per qid:
+    * (qid, n_rel, hits_k, recall_k, first_rank, rr) with first_rank = 0
+    * when no relevant doc was retrieved at any rank. */
+  def metrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = qrels.select(col("qid"), col("doc"), lit(true).as("rel"))
+    val perQ = run.join(rel, Seq("qid", "doc"), "left")
+      .groupBy("qid")
+      .agg(
+        sum(when(col("rel") && col("rnk") <= k, 1L).otherwise(0L)).as("hits_k"),
+        min(when(col("rel"), col("rnk"))).as("first_rank0"))
+    val nRel = qrels.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    perQ.join(nRel, Seq("qid"), "full_outer")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_k"), lit(0L)).as("hits_k"),
+        when(col("n_rel").isNull, lit(0.0))
+          .otherwise(round(coalesce(col("hits_k"), lit(0L)).cast("double")
+            / col("n_rel"), 6)).as("recall_k"),
+        coalesce(col("first_rank0"), lit(0L)).as("first_rank"),
+        when(col("first_rank0").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_rank0"), 6)).as("rr"))
+  }
+}

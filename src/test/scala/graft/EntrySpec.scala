@@ -23,8 +23,10 @@ class EntrySpec extends SparkSuiteBase {
       // or a CTE defined in the same statement
       val ctes = "(?i)\\b([a-z_0-9]+)\\s*(?:\\([a-z_, ]*\\))?\\s*as\\s*(?:materialized\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      // drop extract(hour FROM ts)-style intra-function FROMs first
+      // drop extract(hour FROM ts)-style intra-function FROMs and the
+      // IS [NOT] DISTINCT FROM operator (its FROM is not a table clause)
       val scannable = lower.replaceAll("(?i)extract\\s*\\([^)]*\\)", "")
+        .replaceAll("(?i)is\\s+(not\\s+)?distinct\\s+from", "<=>")
       val targets = "(?i)(?:from|join)\\s+([a-z_0-9]+)".r
         .findAllMatchIn(scannable).map(_.group(1)).toSet
       val unknown = targets -- known -- ctes -- Set("unnest")

@@ -1,0 +1,35 @@
+package graft
+
+import graft.index.Eval
+
+/** Retrieval eval metrics (driver gate: q_eval). */
+class EvalSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("recall@k and rr per query; missed relevants stay in the denominator") {
+    // q1: rel docs a(rank1), c(rank3), z(not retrieved) -> n_rel=3
+    // q2: rel doc at rank 4, k=2 -> hits 0 but rr = 1/4
+    // q3: nothing relevant
+    val run = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "x", 1L), ("q2", "y", 2L), ("q2", "w", 3L), ("q2", "r", 4L),
+      ("q3", "m", 1L)).toDF("qid", "doc", "rnk")
+    val qrels = Seq(("q1", "a"), ("q1", "c"), ("q1", "z"), ("q2", "r"))
+      .toDF("qid", "doc")
+    val got = Eval.metrics(run, qrels, k = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("q1") == ((3L, 1L, 0.333333, 1L, 1.0)))
+    assert(got("q2") == ((1L, 0L, 0.0, 4L, 0.25)))
+    assert(got("q3") == ((0L, 0L, 0.0, 0L, 0.0)))
+  }
+
+  test("qrels-only query (run returned nothing) scores zero recall, not a drop") {
+    val run = Seq(("q1", "a", 1L)).toDF("qid", "doc", "rnk")
+    val qrels = Seq(("q1", "a"), ("q9", "zz")).toDF("qid", "doc")
+    val got = Eval.metrics(run, qrels, 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got("q9") == ((1L, 0.0)))
+    assert(got("q1") == ((1L, 1.0)))
+  }
+}
