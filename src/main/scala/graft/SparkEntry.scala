@@ -273,6 +273,13 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
         "lang", "n_chars", "doc_id", q = 0.5)
     }),
+    // --- collocation mining (text/Collocations): top-100 bigrams by
+    // exact lift (PMI sans log — same ranking, zero float contract),
+    // support >= 5; bigrams built within-doc by a narrow zip-explode.
+    "q_colloc" -> ((s, dir) => {
+      graft.text.Collocations.topLift(t(s, dir, "documents"), "text",
+        minCount = 5L, k = 100)
+    }),
     // --- retrieval eval (index/Eval — TREC run-vs-qrels form): the run
     // ranks term-bearing docs by length (the retrieval signal), relevance
     // is high term frequency (occ >= 4) — deliberately different signals,
@@ -2443,6 +2450,23 @@ object SparkEntry {
           |  (percent_rank() OVER w) <= 0.5 AS keep
           |FROM documents
           |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)""".stripMargin,
+      // collocations: 1-based list slices replay the within-doc zip
+      "q_colloc" ->
+        """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS ts
+          |   FROM documents
+          |   WHERE len(string_split_regex(lower(text), '\s+')) >= 2),
+          | big AS (SELECT t.ts[j] AS a, t.ts[j+1] AS b FROM toks t,
+          |         unnest(range(1, len(t.ts))) AS u(j)),
+          | uni AS (SELECT unnest(ts) AS w FROM toks),
+          | cb AS (SELECT a, b, count(*) AS cnt_ab FROM big GROUP BY 1,2
+          |        HAVING count(*) >= 5),
+          | cu AS (SELECT w, count(*) AS cnt FROM uni GROUP BY 1),
+          | nb AS (SELECT count(*) AS n FROM big)
+          |SELECT a, b, cnt_ab,
+          |  round(cnt_ab::DOUBLE * n / (ca.cnt::DOUBLE * c2.cnt), 6) AS lift
+          |FROM cb JOIN cu ca ON cb.a = ca.w JOIN cu c2 ON cb.b = c2.w
+          |CROSS JOIN nb
+          |ORDER BY lift DESC, a, b LIMIT 100""".stripMargin,
       // retrieval eval: run/qrels replay; rnk alias (rank is a keyword)
       "q_eval" ->
         """WITH t(qid) AS (VALUES ('join'), ('vector'), ('customer')),

@@ -63,6 +63,10 @@ object Contracts {
     * on the group columns (one |groups|-sized exchange of partial rows). */
   def runBy(df: DataFrame, groupCols: Seq[String], checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty contract suite")
+    // names are spliced into a stack() SQL string — keep them identifiers
+    checks.foreach(c => require(c.name.matches("[A-Za-z0-9_]+"),
+      s"check name must be [A-Za-z0-9_]+: '${c.name}'"))
+    require(checks.map(_.name).distinct.size == checks.size, "duplicate check names")
     val metrics = checks.map(c =>
       round(c.numerator.cast("double") / count(lit(1)), 6).as(c.name))
     val row = df.groupBy(groupCols.map(col): _*)

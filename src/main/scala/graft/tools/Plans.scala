@@ -299,6 +299,18 @@ object Plans {
          |nodes (rows frame + range frame) — running evaluation, no
          |self-join, no UDF.""".stripMargin,
        graft.SparkEntry.queries("q_rolling")(spark, sfDir)),
+      ("Collocation mining (q_colloc)",
+       """Check: bigram build is a narrow Generate (explode of the within-doc
+         |zip) — no self-join; the support HAVING filter sits on the bigram
+         |aggregate BEFORE the unigram joins; final top-k is
+         |TakeOrderedAndProject, not Sort+Exchange.""".stripMargin,
+       graft.SparkEntry.queries("q_colloc")(spark, sfDir)),
+      ("Retrieval eval (q_eval)",
+       """Check: one (qid, doc) join between run and qrels + qid-keyed hash
+         |aggregates with partial combine; the n_rel side is a tiny
+         |aggregate joined at |queries| size — eval cost scales with the
+         |run, never the corpus.""".stripMargin,
+       graft.SparkEntry.queries("q_eval")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
