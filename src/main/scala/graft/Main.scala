@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *   ann-search <indexRoot> <queryParquet> [k] [nProbe] [dim]
   *   ann-compact <indexRoot>                                merge cell segments
   *   ann-tombstone <indexRoot> <idsParquet>                 per-id delete markers
+  *   audit     <parquet> <idCol> <textCol>                  data-quality contracts
+  *   diff      <oldParquet> <newParquet> <idCol> <outDir>   snapshot CDC
   *
   * Input schemas are the engine's public row types: pages
   * (url, warc_ts, html, text, lang), docs (url, text), chunks
@@ -131,12 +133,35 @@ object Main {
           df.select(col(df.columns.head).as("id")))
         println(s"""{"command":"ann-tombstone","segment":$v}""")
 
+      case "audit" :: path :: idCol :: textCol :: Nil =>
+        val df = spark.read.parquet(path)
+        val out = audit.Contracts.run(df, Seq(
+          audit.Contracts.completeness("complete_text", col(textCol), 0.95),
+          audit.Contracts.uniqueness("unique_id", col(idCol), 1.0))).collect()
+        val rows = out.map(r =>
+          s"""{"chk":"${lake.LakeTable.esc(r.getString(0))}",""" +
+          s""""metric":${r.getDouble(1)},"pass":${r.getBoolean(3)}}""")
+        println(s"""{"command":"audit","checks":[${rows.mkString(",")}]}""")
+
+      case "diff" :: oldP :: newP :: idCol :: outDir :: Nil =>
+        val o = spark.read.parquet(oldP); val n = spark.read.parquet(newP)
+        val compare = o.columns.toSeq.intersect(n.columns.toSeq)
+          .filterNot(_ == idCol)
+        val d = lake.Cdc.diff(o, n, Seq(idCol), compare)
+        d.write.mode("overwrite").parquet(outDir)
+        val byOp = spark.read.parquet(outDir).groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"""{"command":"diff","insert":${byOp.getOrElse("insert", 0L)},""" +
+          s""""update":${byOp.getOrElse("update", 0L)},""" +
+          s""""delete":${byOp.getOrElse("delete", 0L)},""" +
+          s""""out":"${lake.LakeTable.esc(outDir)}"}""")
+
       case other => throw new IllegalArgumentException(
         s"unknown command: ${other.headOption.getOrElse("")}\n$usage")
     }
   }
 
   private val usage: String =
-    """usage: graft.Main <pipeline|extract|dedup|index|compact|tombstone|search|ann-build|ann-search|ann-compact|ann-tombstone> <args...>
+    """usage: graft.Main <pipeline|extract|dedup|index|compact|tombstone|search|ann-build|ann-search|ann-compact|ann-tombstone|audit|diff> <args...>
       |see the object scaladoc for per-command arguments""".stripMargin
 }

@@ -72,4 +72,29 @@ class MainSpec extends SparkSuiteBase {
       .as[String].collect().toSet
     assert(docs == Set("""he said "hello" \ there""", "plain-id"), s"got $docs")
   }
+
+  test("CLI audit and diff: contract ledger and CDC counts as one-line JSON") {
+    val base = Files.createTempDirectory("graft-cli-audit").toString
+    Seq((1L, "hello"), (2L, ""), (2L, "dup-id"))
+      .toDF("id", "text").write.parquet(s"$base/v1")
+    // unique ids for the diff side (Cdc contract)
+    Seq((1L, "hello"), (2L, "")).toDF("id", "text").write.parquet(s"$base/v1u")
+    Seq((1L, "hello"), (3L, "fresh"), (2L, "changed"))
+      .toDF("id", "text").write.parquet(s"$base/v2")
+
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Main.run(spark, List("audit", s"$base/v1", "id", "text"))
+      Main.run(spark, List("diff", s"$base/v1u", s"$base/v2", "id", s"$base/d"))
+    }
+    val lines = buf.toString("UTF-8").linesIterator.toSeq
+    val auditLine = lines.find(_.startsWith("""{"command":"audit""""))
+      .getOrElse(fail("no audit line"))
+    assert(auditLine.contains(""""chk":"unique_id","metric":0.666667,"pass":false"""),
+      auditLine)
+    val diffLine = lines.find(_.startsWith("""{"command":"diff""""))
+      .getOrElse(fail("no diff line"))
+    assert(diffLine.contains(""""insert":1""") && diffLine.contains(""""update":1"""),
+      diffLine)
+  }
 }
