@@ -36,9 +36,22 @@ object Contracts {
   def completeness(name: String, c: Column, threshold: Double): Check =
     Check(name, sum(when(c.isNotNull && c.cast("string") =!= "", 1L).otherwise(0L)), threshold)
 
-  /** Distinct-key fraction: 1.0 iff `c` is a unique key. */
+  /** Distinct-key fraction: 1.0 iff `c` is a unique key. EXACT — the
+    * right default up to ~10^8 keys; beyond that the internal expand +
+    * key shuffle dominates the suite, switch to [[uniquenessApprox]]. */
   def uniqueness(name: String, c: Column, threshold: Double): Check =
     Check(name, count_distinct(c), threshold)
+
+  /** Approximate distinct-key fraction via HyperLogLog++
+    * (`approx_count_distinct`, relative error `rsd`): keeps the suite a
+    * bounded-memory single pass at 10^9+ keys where the exact form's
+    * expand/shuffle of every key is the dominant cost. Deterministic for
+    * a given dataset (register max-merge is order-independent across
+    * partitionings) but not cross-engine-replicable — pin it with specs,
+    * not the DuckDB oracle; set `threshold` below 1 − 2·rsd. */
+  def uniquenessApprox(name: String, c: Column, threshold: Double,
+                       rsd: Double = 0.05): Check =
+    Check(name, approx_count_distinct(c, rsd), threshold)
 
   /** Fraction of rows with `lo <= c <= hi` (nulls fail). */
   def bounds(name: String, c: Column, lo: Long, hi: Long, threshold: Double): Check =

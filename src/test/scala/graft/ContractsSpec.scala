@@ -56,6 +56,16 @@ class ContractsSpec extends SparkSuiteBase {
     assert(got("it") == ((1.0, true)))
   }
 
+  test("uniquenessApprox: sketch form tracks the exact fraction within rsd") {
+    val unique = (0 until 2000).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    val dupped = (0 until 2000).map(i => ((i % 100).toLong, s"t$i")).toDF("id", "text")
+    def metric(df: org.apache.spark.sql.DataFrame): Double =
+      Contracts.run(df, Seq(uniquenessApprox("u", col("id"), 0.9, 0.05)))
+        .collect().head.getDouble(1)
+    assert(math.abs(metric(unique) - 1.0) < 0.1)     // ~1 within sketch error
+    assert(metric(dupped) < 0.1)                      // 100/2000 = 0.05 true
+  }
+
   test("perfect data passes everything; empty suite rejected") {
     val clean = Seq((1L, "aa", "en", 2L), (2L, "bbb", "fr", 3L))
       .toDF("id", "text", "lang", "n_chars")
