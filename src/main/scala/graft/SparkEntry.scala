@@ -273,6 +273,19 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
         "lang", "n_chars", "doc_id", q = 0.5)
     }),
+    // --- robust outlier trimming (text/Outliers): per-lang median/MAD
+    // band on n_chars; planted monsters (10^6 chars, 0 chars) must be the
+    // ONLY drops — exact interpolated medians, no rounding contract.
+    "q_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val monsters = Seq(
+        ("en", 9100001L, 1000000L), ("fr", 9100002L, 1000000L),
+        ("de", 9100003L, 0L))
+        .toDF("lang", "doc_id", "n_chars")
+      graft.text.Outliers.madGate(docs.unionByName(monsters), "lang", "n_chars", 3.0)
+    }),
     // --- collocation mining (text/Collocations): top-100 bigrams by
     // exact lift (PMI sans log — same ranking, zero float contract),
     // support >= 5; bigrams built within-doc by a narrow zip-explode.
@@ -2450,6 +2463,21 @@ object SparkEntry {
           |  (percent_rank() OVER w) <= 0.5 AS keep
           |FROM documents
           |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)""".stripMargin,
+      // outliers: quantile_cont == Spark percentile (same interpolation)
+      "q_outliers" ->
+        """WITH base AS (SELECT lang, doc_id, n_chars FROM documents
+          |   UNION ALL SELECT * FROM (VALUES
+          |     ('en', 9100001, 1000000), ('fr', 9100002, 1000000),
+          |     ('de', 9100003, 0)) v(lang, doc_id, n_chars)),
+          | med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          |   FROM base GROUP BY 1),
+          | dev AS (SELECT b.lang, b.doc_id, b.n_chars, m.med
+          |   FROM base b JOIN med m USING (lang)),
+          | mad AS (SELECT lang, quantile_cont(abs(n_chars - med), 0.5) AS mad
+          |   FROM dev GROUP BY 1)
+          |SELECT dev.lang, doc_id, n_chars, dev.med, mad.mad,
+          |  abs(n_chars - dev.med) <= 3.0 * mad.mad AS keep
+          |FROM dev JOIN mad USING (lang)""".stripMargin,
       // collocations: 1-based list slices replay the within-doc zip
       "q_colloc" ->
         """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS ts
