@@ -33,11 +33,12 @@ object Outliers {
   def madGate(df: DataFrame, domainCol: String, scoreCol: String,
               c: Double): DataFrame = {
     require(c > 0, "c must be positive")
+    val sc = s"`$scoreCol`" // backtick-quote: the name is spliced into SQL
     val med = df.groupBy(domainCol)
-      .agg(expr(s"percentile($scoreCol, 0.5)").as("med"))
+      .agg(expr(s"percentile($sc, 0.5)").as("med"))
     val withMed = df.join(broadcast(med), domainCol)
     val mad = withMed.groupBy(domainCol)
-      .agg(expr(s"percentile(abs($scoreCol - med), 0.5)").as("mad"))
+      .agg(expr(s"percentile(abs($sc - med), 0.5)").as("mad"))
     withMed.join(broadcast(mad), domainCol)
       .withColumn("keep", abs(col(scoreCol) - col("med")) <= lit(c) * col("mad"))
   }

@@ -311,6 +311,11 @@ object Plans {
          |aggregate joined at |queries| size — eval cost scales with the
          |run, never the corpus.""".stripMargin,
        graft.SparkEntry.queries("q_eval")(spark, sfDir)),
+      ("Median/MAD outlier gate (q_outliers)",
+       """Check: two tiny domain aggregates (exact percentile) re-enter as
+         |BROADCAST joins — the corpus side never shuffles; the keep verdict
+         |is a codegen'd comparison, no UDF.""".stripMargin,
+       graft.SparkEntry.queries("q_outliers")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
