@@ -1663,6 +1663,31 @@ object SparkEntry {
           col("frame_idx").cast("long").as("frame_idx"),
           col("ts_ms"), round(col("mean_luma"), 4).as("mean_luma"))
     }),
+    // --- WARC source gate: documents are packed into 8 deterministic
+    // WARC/1.0 containers (odd buckets member-gzipped — the Common-Crawl
+    // layout), then parsed back by the REAL from-scratch WARC reader
+    // (graft.warc.Warc). WarcGen's record layout is fixed, so every record
+    // offset is a closed form (cumsum of FixedOverhead + len(url) +
+    // len(digits(n)) + n) the DuckDB oracle replays arithmetically — the
+    // container ingest analog of the byte-identity contract.
+    "q_warc" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey { case (id, _) => id % 8 }
+        .flatMapGroups { (b, it) =>
+          val recs = it.toArray.sortBy(_._1)
+          val bytes = recs.map { case (id, tx) =>
+            graft.corpus.WarcGen.record(s"doc://$id", tx.getBytes("UTF-8")) }
+          val name = s"w$b.warc" + (if (b % 2 == 1) ".gz" else "")
+          val file =
+            if (b % 2 == 1) graft.corpus.WarcGen.gzFile(bytes.toSeq)
+            else graft.corpus.WarcGen.file(bytes.toSeq)
+          graft.warc.Warc.parseFile(name, file).iterator.map(r =>
+            (r.warc_file, r.rec_idx, r.offset, r.url, r.content_length,
+              new String(r.payload, "UTF-8")))
+        }
+        .toDF("warc_file", "rec_idx", "offset", "url", "content_length", "body")
+    }),
     // --- streaming parity gate (driver-visible): the SAME seed-42 corpus as
     // q_pipeline, extracted+chunked through the Structured Streaming path
     // (parquet file source → extractStream → AvailableNow parquet sink with
@@ -3357,6 +3382,29 @@ object SparkEntry {
           |  FROM px)
           |SELECT doc_id, w, h, sum(l)::BIGINT AS luma_sum
           |FROM luma GROUP BY 1, 2, 3""".stripMargin,
+      // WarcGen's record layout is frozen (header template + CRLFs = 107
+      // bytes beyond url and payload), so each record's offset in its
+      // container is a per-bucket running sum — the oracle rebuilds the
+      // byte layout without ever constructing the bytes. Text is ASCII in
+      // this corpus but octet_length(encode(...)) keeps the contract
+      // byte-exact (UTF-8 bytes, not characters).
+      "q_warc" ->
+        """WITH d AS (SELECT doc_id, text, doc_id % 8 AS b,
+          |    107 + length('doc://' || doc_id)
+          |        + length(CAST(octet_length(encode(text)) AS VARCHAR))
+          |        + octet_length(encode(text)) AS rlen
+          |  FROM documents),
+          | o AS (SELECT doc_id, text, b,
+          |    row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS rec_idx,
+          |    coalesce(sum(rlen) OVER (PARTITION BY b ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          |  FROM d)
+          |SELECT 'w' || b || CASE WHEN b % 2 = 1 THEN '.warc.gz' ELSE '.warc' END AS warc_file,
+          |  rec_idx::BIGINT AS rec_idx, off::BIGINT AS offset,
+          |  'doc://' || doc_id AS url,
+          |  octet_length(encode(text))::BIGINT AS content_length,
+          |  text AS body
+          |FROM o""".stripMargin,
       // 5-min tumbling windows; HAVING = append-mode watermark finalization
       "q_stream_events" ->
         """WITH e AS (SELECT floor(epoch(ts))::BIGINT AS tse, event_type, value FROM events),

@@ -316,6 +316,21 @@ object Plans {
          |BROADCAST joins — the corpus side never shuffles; the keep verdict
          |is a codegen'd comparison, no UDF.""".stripMargin,
        graft.SparkEntry.queries("q_outliers")(spark, sfDir)),
+      ("WARC container source (Warc.read)",
+       """Check: the real ingest path is ZERO-Exchange — binaryFile scan
+         |(one task per WARC file) straight into a narrow flat-map
+         |(SerializeFromObject/MapPartitions); parallelism = file count,
+         |the natural crawl-archive unit. (q_warc's gate plan is the
+         |GENERATOR harness and has one groupByKey exchange by design.)""".stripMargin, {
+        val dir = Files.createTempDirectory("plans-warc")
+        val recs = (0 until 50).map(i =>
+          graft.corpus.WarcGen.record(s"doc://$i", s"body $i".getBytes("UTF-8")))
+        (0 until 4).foreach { b =>
+          Files.write(dir.resolve(s"w$b.warc"),
+            graft.corpus.WarcGen.file(recs.drop(b * 12).take(12)))
+        }
+        graft.warc.Warc.read(spark, dir.toString)
+      }),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
