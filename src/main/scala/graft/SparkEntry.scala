@@ -1688,6 +1688,51 @@ object SparkEntry {
         }
         .toDF("warc_file", "rec_idx", "offset", "url", "content_length", "body")
     }),
+    // --- robots.txt compliance gate: deterministic per-domain robots.txt
+    // TEXT (23 url domains, robots present for the first 20 — the last 3
+    // exercise the no-robots ⇒ allowed path) parsed by the REAL RFC 9309
+    // parser, longest-match + allow-wins-ties verdicts per url. The DuckDB
+    // oracle replays the precedence MECHANICALLY: a VALUES rule relation,
+    // prefix-match join, and a (length DESC, allow DESC) rank-1 window —
+    // not a hand-derived truth table. Path classes cover: longer-allow
+    // override (/private/ok beats /private), plain disallow (/tmp),
+    // equal-length tie (/dup, allow wins, only on domains %5=0), and the
+    // catch-all Allow: /.
+    "q_robots" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val urls = t(s, dir, "documents").select(id, col("source")).select(id,
+        concat(lit("https://host"), (id % 23).cast("string"), lit(".example"),
+          when(id % 14 === 0, concat(lit("/private/ok"), id.cast("string")))
+            .when(id % 7 === 0, concat(lit("/private/item"), id.cast("string")))
+            .when((id % 13 === 0).and((id % 23) % 5 === 0),
+              concat(lit("/dup/x"), id.cast("string")))
+            .when(id % 11 === 0, concat(lit("/tmp/item"), id.cast("string")))
+            .otherwise(concat(lit("/"), col("source"), lit("/item"), id.cast("string"))))
+          .as("url"))
+      val robots = s.range(20).map { d =>
+        val base =
+          s"""# robots for host$d
+             |User-agent: otherbot
+             |Disallow: /
+             |
+             |Sitemap: https://host$d.example/sitemap.xml
+             |
+             |User-agent: GraftBot
+             |User-agent: crawler
+             |Disallow: /private
+             |Allow: /private/ok
+             |Disallow: /tmp
+             |Allow: /
+             |""".stripMargin
+        val dup = if (d % 5 == 0) "Disallow: /dup\nAllow: /dup\n" else ""
+        val emptyDisallow = if (d % 3 == 0) "Disallow:\n" else ""
+        (s"host$d.example", base + dup + emptyDisallow)
+      }.toDF("domain", "robots_txt")
+      graft.web.Robots.verdicts(urls, "doc_id", "url", robots, "graftbot")
+        .select(col("id").cast("long").as("doc_id"), col("domain"),
+          col("path"), col("allowed"), col("rule"))
+    }),
     // --- streaming parity gate (driver-visible): the SAME seed-42 corpus as
     // q_pipeline, extracted+chunked through the Structured Streaming path
     // (parquet file source → extractStream → AvailableNow parquet sink with
@@ -3405,6 +3450,35 @@ object SparkEntry {
           |  octet_length(encode(text))::BIGINT AS content_length,
           |  text AS body
           |FROM o""".stripMargin,
+      // RFC 9309 precedence replayed mechanically: rule relation via
+      // VALUES, prefix-match join, rank-1 on (length DESC, allow DESC) —
+      // longest match wins, allow wins ties. Domains 20-22 have no robots
+      // row (left join ⇒ allowed, NULL rule).
+      "q_robots" ->
+        """WITH d AS (SELECT doc_id, source, doc_id % 23 AS dom FROM documents),
+          | p AS (SELECT doc_id, dom,
+          |    CASE WHEN doc_id % 14 = 0 THEN '/private/ok' || doc_id
+          |         WHEN doc_id % 7 = 0 THEN '/private/item' || doc_id
+          |         WHEN doc_id % 13 = 0 AND (doc_id % 23) % 5 = 0 THEN '/dup/x' || doc_id
+          |         WHEN doc_id % 11 = 0 THEN '/tmp/item' || doc_id
+          |         ELSE '/' || source || '/item' || doc_id END AS path
+          |  FROM d),
+          | r AS (SELECT * FROM (VALUES
+          |    (false, '/private', 0), (true, '/private/ok', 0),
+          |    (false, '/tmp', 0), (true, '/', 0),
+          |    (false, '/dup', 1), (true, '/dup', 1)) AS t(allow, pat, grp)),
+          | m AS (SELECT p.doc_id, r.allow, r.pat,
+          |    row_number() OVER (PARTITION BY p.doc_id
+          |      ORDER BY length(r.pat) DESC, r.allow DESC) AS rn
+          |  FROM p JOIN r ON p.dom < 20 AND (r.grp = 0 OR p.dom % 5 = 0)
+          |    AND starts_with(p.path, r.pat)),
+          | b AS (SELECT doc_id, allow, pat FROM m WHERE rn = 1)
+          |SELECT p.doc_id, 'host' || p.dom || '.example' AS domain, p.path AS path,
+          |  coalesce(b.allow, true) AS allowed,
+          |  CASE WHEN b.pat IS NULL THEN NULL
+          |       WHEN b.allow THEN 'allow:' || b.pat
+          |       ELSE 'disallow:' || b.pat END AS rule
+          |FROM p LEFT JOIN b USING (doc_id)""".stripMargin,
       // 5-min tumbling windows; HAVING = append-mode watermark finalization
       "q_stream_events" ->
         """WITH e AS (SELECT floor(epoch(ts))::BIGINT AS tse, event_type, value FROM events),

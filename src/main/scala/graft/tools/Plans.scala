@@ -331,6 +331,12 @@ object Plans {
         }
         graft.warc.Warc.read(spark, dir.toString)
       }),
+      ("robots.txt verdicts (q_robots)",
+       """Check: the robots side is parsed ONCE (narrow map over the tiny
+         |per-domain relation) and re-enters as a BROADCAST join — the url
+         |corpus never shuffles; the RFC 9309 longest-match verdict is a
+         |narrow typed map after the join.""".stripMargin,
+       graft.SparkEntry.queries("q_robots")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
