@@ -863,6 +863,15 @@ object SparkEntry {
           k = 8, iters = 4, dim = 64)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"))
     }),
+    // --- product quantization (Jégou et al., TPAMI 2011): m per-subspace
+    // fixed-point Lloyd codebooks → m-byte codes → ADC table-lookup
+    // search. Every train/encode/score step is integer-exact on the 2^15
+    // grid, so the DuckDB oracle unrolls the SAME m Lloyd runs and
+    // hash-checks codes AND approximate distances end-to-end.
+    "q_pq" -> ((s, dir) => {
+      graft.sim.Pq.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8)
+    }),
     // --- per-id VECTOR upsert over the materialized ANN index (the
     // reference's chroma upsert, chroma_store.py:33-61): full corpus as
     // segment 1; every vec_id % 20 == 17 is then tombstoned and re-appended
@@ -2063,6 +2072,76 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY pts.id ORDER BY
          |      list_sum(list_transform(range(1, $dd), i -> (p[i]-q[i])*(p[i]-q[i]))), c.j) AS rn
          |  FROM pts CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB replica of [[graft.sim.Pq.topK]] — identical by construction:
+    * the SAME quantize-once grid, m unrolled per-subspace Lloyd runs
+    * (each the [[kmeansOracleSql]] block over a list slice), argmin code
+    * assignment (tie → smallest code), and ADC scoring as a sum of m
+    * per-(subspace, code) exact integer distance-table lookups. All
+    * arithmetic is BIGINT — the gate hash-checks with no float contract. */
+  private def pqOracleSql(k: Int, m: Int, ks: Int, iters: Int, dim: Int,
+                          nQueries: Int): String = {
+    val scale = graft.sim.Kmeans.Scale
+    val sub = dim / m
+    val sd = sub + 1
+    val dist = s"list_sum(list_transform(range(1, $sd), i -> (p[i]-q[i])*(p[i]-q[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS (SELECT vec_id AS id,
+         |    list_transform(embedding::DOUBLE[], x -> floor(x * $scale)::BIGINT + $scale) AS p
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim)""".stripMargin)
+    for (j <- 0 until m) {
+      sb.append(
+        s""",
+           | sub$j AS (SELECT id, p[${j * sub + 1}:${(j + 1) * sub}] AS p FROM pts),
+           | c0_$j AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, p AS q
+           |   FROM (SELECT id, p FROM sub$j ORDER BY id LIMIT $ks))""".stripMargin)
+      for (i <- 1 to iters) {
+        sb.append(
+          s""",
+             | a${i}_$j AS (SELECT id, j FROM (
+             |    SELECT t.id, c.j,
+             |      row_number() OVER (PARTITION BY t.id ORDER BY $dist, c.j) AS rn
+             |    FROM sub$j t CROSS JOIN c${i - 1}_$j c) WHERE rn = 1),
+             | s${i}_$j AS (SELECT a.j, u.i, sum(p[u.i])::BIGINT AS s, count(*)::BIGINT AS cnt
+             |    FROM a${i}_$j a JOIN sub$j USING(id), unnest(range(1, $sd)) AS u(i)
+             |    GROUP BY a.j, u.i),
+             | n${i}_$j AS (SELECT j, list(s // cnt ORDER BY i) AS q FROM s${i}_$j GROUP BY j),
+             | c${i}_$j AS (SELECT c.j, coalesce(n.q, c.q) AS q FROM c${i - 1}_$j c LEFT JOIN n${i}_$j n USING(j))""".stripMargin)
+      }
+    }
+    val codesUnion = (0 until m).map { j =>
+      s"""SELECT id, $j AS sub, j AS code FROM (
+         |    SELECT t.id, c.j,
+         |      row_number() OVER (PARTITION BY t.id ORDER BY $dist, c.j) AS rn
+         |    FROM sub$j t CROSS JOIN c${iters}_$j c) WHERE rn = 1""".stripMargin
+    }.mkString("\n   UNION ALL ")
+    val booksUnion = (0 until m)
+      .map(j => s"SELECT $j AS sub, j AS code, q FROM c${iters}_$j")
+      .mkString("\n   UNION ALL ")
+    val qsubUnion = (0 until m)
+      .map(j => s"SELECT id AS qid, $j AS sub, p FROM sub$j WHERE id < $nQueries")
+      .mkString("\n   UNION ALL ")
+    sb.append(
+      s""",
+         | codes AS (
+         |   $codesUnion),
+         | books AS (
+         |   $booksUnion),
+         | qsub AS (
+         |   $qsubUnion),
+         | dt AS (SELECT t.qid, b.sub, b.code,
+         |     list_sum(list_transform(range(1, $sd), i -> (t.p[i]-b.q[i])*(t.p[i]-b.q[i])))::BIGINT AS d
+         |   FROM qsub t JOIN books b ON b.sub = t.sub),
+         | scored AS (SELECT dd.qid, c.id, sum(dd.d)::BIGINT AS adist
+         |   FROM codes c JOIN dt dd ON dd.sub = c.sub AND dd.code = c.code
+         |   WHERE c.id <> dd.qid GROUP BY dd.qid, c.id)
+         |SELECT qid, id, adist, rank::INT AS rank FROM (
+         |  SELECT qid, id, adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+         |  FROM scored) WHERE rank <= $k""".stripMargin)
     sb.toString
   }
 
@@ -3708,6 +3787,7 @@ object SparkEntry {
           |SELECT doc_id, count(*)::BIGINT AS n_matches FROM occ GROUP BY doc_id""".stripMargin,
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_kmeans" -> kmeansOracleSql(k = 8, iters = 4, dim = 64),
+      "q_pq" -> pqOracleSql(k = 10, m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf
       "q_ann_index" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),

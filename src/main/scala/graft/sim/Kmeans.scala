@@ -68,8 +68,15 @@ object Kmeans {
   /** T Lloyd iterations; returns the final centroids and the assignment
     * relation (id, cluster, dist) under them. */
   def train(df: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int, dim: Int): (Array[Array[Long]], DataFrame) = {
-    val pts = quantize(df, idCol, vecCol, dim).persist()
+            k: Int, iters: Int, dim: Int): (Array[Array[Long]], DataFrame) =
+    trainQuantized(quantize(df, idCol, vecCol, dim), k, iters)
+
+  /** The Lloyd loop over an ALREADY-quantized `(id BIGINT, p ARRAY<BIGINT>)`
+    * relation — the entry [[Pq]] uses to train one codebook per sub-vector
+    * slice without re-quantizing. Semantics identical to [[train]]. */
+  def trainQuantized(quantized: DataFrame,
+                     k: Int, iters: Int): (Array[Array[Long]], DataFrame) = {
+    val pts = quantized.persist()
     try {
       // init: the k smallest-id vectors, centroid index = id rank
       var cents: Array[Array[Long]] = pts.orderBy("id").limit(k).collect()
