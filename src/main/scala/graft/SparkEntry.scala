@@ -872,6 +872,17 @@ object SparkEntry {
       graft.sim.Pq.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 10, m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8)
     }),
+    // --- IVF-PQ (Jégou et al. §V "IVFADC" — the composed inverted-file +
+    // product-quantization index a billion-vector deployment runs): coarse
+    // fixed-point Lloyd cells, PQ codebooks trained on RESIDUALS, ADC
+    // search over the nProbe probed cells with a per-(query, cell) table.
+    // Integer-exact end-to-end on the 2^15 grid → the DuckDB oracle
+    // unrolls the same coarse + m residual Lloyd runs and hash-checks.
+    "q_ivfpq" -> ((s, dir) => {
+      graft.sim.IvfPq.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, nCells = 8, citers = 2, nProbe = 2,
+        m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8)
+    }),
     // --- per-id VECTOR upsert over the materialized ANN index (the
     // reference's chroma upsert, chroma_store.py:33-61): full corpus as
     // segment 1; every vec_id % 20 == 17 is then tombstoned and re-appended
@@ -2138,6 +2149,114 @@ object SparkEntry {
          | scored AS (SELECT dd.qid, c.id, sum(dd.d)::BIGINT AS adist
          |   FROM codes c JOIN dt dd ON dd.sub = c.sub AND dd.code = c.code
          |   WHERE c.id <> dd.qid GROUP BY dd.qid, c.id)
+         |SELECT qid, id, adist, rank::INT AS rank FROM (
+         |  SELECT qid, id, adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+         |  FROM scored) WHERE rank <= $k""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB replica of [[graft.sim.IvfPq.topK]] — identical by
+    * construction: the SAME quantize-once grid, the coarse Lloyd unroll
+    * (the [[kmeansOracleSql]] block, `g*` CTEs), residuals re-offset by
+    * `2·Scale` against the assigned cell's centroid, m unrolled residual
+    * Lloyd runs (the [[pqOracleSql]] blocks over residual slices), argmin
+    * codes, per-(query, probed-cell) ADC tables, and scoring restricted to
+    * the probed cells' members. All arithmetic is BIGINT — the gate
+    * hash-checks with no float contract. */
+  private def ivfPqOracleSql(k: Int, nCells: Int, citers: Int, nProbe: Int,
+                             m: Int, ks: Int, iters: Int, dim: Int,
+                             nQueries: Int): String = {
+    val scale = graft.sim.Kmeans.Scale
+    val off = graft.sim.IvfPq.ResOff
+    val dd = dim + 1
+    val sub = dim / m
+    val sd = sub + 1
+    val cdist = s"list_sum(list_transform(range(1, $dd), i -> (p[i]-q[i])*(p[i]-q[i])))"
+    val sdist = s"list_sum(list_transform(range(1, $sd), i -> (p[i]-q[i])*(p[i]-q[i])))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS (SELECT vec_id AS id,
+         |    list_transform(embedding::DOUBLE[], x -> floor(x * $scale)::BIGINT + $scale) AS p
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+         | g0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, p AS q
+         |   FROM (SELECT id, p FROM pts ORDER BY id LIMIT $nCells))""".stripMargin)
+    for (i <- 1 to citers) {
+      sb.append(
+        s""",
+           | ga$i AS (SELECT id, j FROM (
+           |    SELECT pts.id, c.j,
+           |      row_number() OVER (PARTITION BY pts.id ORDER BY $cdist, c.j) AS rn
+           |    FROM pts CROSS JOIN g${i - 1} c) WHERE rn = 1),
+           | gs$i AS (SELECT a.j, u.i, sum(p[u.i])::BIGINT AS s, count(*)::BIGINT AS cnt
+           |    FROM ga$i a JOIN pts USING(id), unnest(range(1, $dd)) AS u(i)
+           |    GROUP BY a.j, u.i),
+           | gn$i AS (SELECT j, list(s // cnt ORDER BY i) AS q FROM gs$i GROUP BY j),
+           | g$i AS (SELECT c.j, coalesce(n.q, c.q) AS q FROM g${i - 1} c LEFT JOIN gn$i n USING(j))""".stripMargin)
+    }
+    sb.append(
+      s""",
+         | cells AS (SELECT id, j AS cell FROM (
+         |    SELECT pts.id, c.j,
+         |      row_number() OVER (PARTITION BY pts.id ORDER BY $cdist, c.j) AS rn
+         |    FROM pts CROSS JOIN g$citers c) WHERE rn = 1),
+         | res AS (SELECT pts.id, cells.cell,
+         |     list_transform(range(1, $dd), i -> p[i] - c.q[i] + $off) AS r
+         |   FROM pts JOIN cells USING(id) JOIN g$citers c ON c.j = cells.cell)""".stripMargin)
+    for (j <- 0 until m) {
+      sb.append(
+        s""",
+           | sub$j AS (SELECT id, r[${j * sub + 1}:${(j + 1) * sub}] AS p FROM res),
+           | c0_$j AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, p AS q
+           |   FROM (SELECT id, p FROM sub$j ORDER BY id LIMIT $ks))""".stripMargin)
+      for (i <- 1 to iters) {
+        sb.append(
+          s""",
+             | a${i}_$j AS (SELECT id, j FROM (
+             |    SELECT t.id, c.j,
+             |      row_number() OVER (PARTITION BY t.id ORDER BY $sdist, c.j) AS rn
+             |    FROM sub$j t CROSS JOIN c${i - 1}_$j c) WHERE rn = 1),
+             | s${i}_$j AS (SELECT a.j, u.i, sum(p[u.i])::BIGINT AS s, count(*)::BIGINT AS cnt
+             |    FROM a${i}_$j a JOIN sub$j USING(id), unnest(range(1, $sd)) AS u(i)
+             |    GROUP BY a.j, u.i),
+             | n${i}_$j AS (SELECT j, list(s // cnt ORDER BY i) AS q FROM s${i}_$j GROUP BY j),
+             | c${i}_$j AS (SELECT c.j, coalesce(n.q, c.q) AS q FROM c${i - 1}_$j c LEFT JOIN n${i}_$j n USING(j))""".stripMargin)
+      }
+    }
+    val codesUnion = (0 until m).map { j =>
+      s"""SELECT id, $j AS sub, j AS code FROM (
+         |    SELECT t.id, c.j,
+         |      row_number() OVER (PARTITION BY t.id ORDER BY $sdist, c.j) AS rn
+         |    FROM sub$j t CROSS JOIN c${iters}_$j c) WHERE rn = 1""".stripMargin
+    }.mkString("\n   UNION ALL ")
+    val booksUnion = (0 until m)
+      .map(j => s"SELECT $j AS sub, j AS code, q FROM c${iters}_$j")
+      .mkString("\n   UNION ALL ")
+    val qsubUnion = (0 until m)
+      .map(j => s"SELECT qid, cell, $j AS sub, r[${j * sub + 1}:${(j + 1) * sub}] AS p FROM qres")
+      .mkString("\n   UNION ALL ")
+    sb.append(
+      s""",
+         | codes AS (
+         |   $codesUnion),
+         | books AS (
+         |   $booksUnion),
+         | qprobe AS (SELECT id AS qid, j AS cell FROM (
+         |    SELECT pts.id, c.j,
+         |      row_number() OVER (PARTITION BY pts.id ORDER BY $cdist, c.j) AS rn
+         |    FROM pts CROSS JOIN g$citers c WHERE pts.id < $nQueries) WHERE rn <= $nProbe),
+         | qres AS (SELECT qp.qid, qp.cell,
+         |     list_transform(range(1, $dd), i -> p[i] - c.q[i] + $off) AS r
+         |   FROM qprobe qp JOIN pts ON pts.id = qp.qid JOIN g$citers c ON c.j = qp.cell),
+         | qsub AS (
+         |   $qsubUnion),
+         | dt AS (SELECT t.qid, t.cell, b.sub, b.code,
+         |     list_sum(list_transform(range(1, $sd), i -> (t.p[i]-b.q[i])*(t.p[i]-b.q[i])))::BIGINT AS d
+         |   FROM qsub t JOIN books b ON b.sub = t.sub),
+         | scored AS (SELECT dd.qid, cd.id, sum(dd.d)::BIGINT AS adist
+         |   FROM codes cd JOIN cells cl ON cl.id = cd.id
+         |   JOIN dt dd ON dd.cell = cl.cell AND dd.sub = cd.sub AND dd.code = cd.code
+         |   WHERE cd.id <> dd.qid GROUP BY dd.qid, cd.id)
          |SELECT qid, id, adist, rank::INT AS rank FROM (
          |  SELECT qid, id, adist,
          |    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
@@ -3788,6 +3907,8 @@ object SparkEntry {
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_kmeans" -> kmeansOracleSql(k = 8, iters = 4, dim = 64),
       "q_pq" -> pqOracleSql(k = 10, m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8),
+      "q_ivfpq" -> ivfPqOracleSql(k = 10, nCells = 8, citers = 2, nProbe = 2,
+        m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
       // the materialized path is determinism-identical to q_ivf
       "q_ann_index" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),

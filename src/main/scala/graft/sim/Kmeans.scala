@@ -57,7 +57,7 @@ object Kmeans {
 
   /** (cluster INT, dist BIGINT) appended: argmin over the k centroids,
     * ties to the smallest index. */
-  private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+  private[sim] def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val dists = array(cents.map(c => sqDist(col("p"), c.toSeq)).toIndexedSeq: _*)
     pts.withColumn("_d", dists)
       .withColumn("dist", array_min(col("_d")))

@@ -146,7 +146,7 @@ object Pq {
   /** The [[Kmeans.quantize]] formula, row-local: floor(x·Scale) + Scale.
     * MUST match the Catalyst/DuckDB expression bit-for-bit (float→double
     * widening is exact; floor of a double is engine-independent). */
-  private def quantizeVec(vec: Array[Double]): Array[Long] = {
+  private[sim] def quantizeVec(vec: Array[Double]): Array[Long] = {
     val out = new Array[Long](vec.length)
     var i = 0
     while (i < vec.length) {
@@ -157,7 +157,7 @@ object Pq {
   }
 
   /** Exact integer squared distance from q[base .. base+len) to `cent`. */
-  private def sqDistAt(q: Array[Long], base: Int, cent: Array[Long]): Long = {
+  private[sim] def sqDistAt(q: Array[Long], base: Int, cent: Array[Long]): Long = {
     var d = 0L
     var i = 0
     while (i < cent.length) {
@@ -170,7 +170,7 @@ object Pq {
 
   /** Argmin codebook entry for the sub-vector at `base`; strict `<` keeps
     * the smallest code on ties (the Kmeans assignment convention). */
-  private def argminCode(q: Array[Long], base: Int, book: Array[Array[Long]]): Int = {
+  private[sim] def argminCode(q: Array[Long], base: Int, book: Array[Array[Long]]): Int = {
     var best = 0
     var bestD = Long.MaxValue
     var c = 0
