@@ -1874,6 +1874,31 @@ object SparkEntry {
         .start().awaitTermination()
       detachAndClean(s.read.parquet(s"$root/out"), root)
     }),
+    // --- stream-stream watermarked band join: purchases attributed to the
+    // same user's views within a FORWARD 6 h band. Symmetric hash join,
+    // state bounded by watermark + band on both sides. One AvailableNow
+    // batch over the parquet sources (no late arrivals) => the emitted
+    // pairs are exactly the batch forward band join, which is the oracle.
+    "q_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = scratchDir("graft-sjoin-")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      ev.where(col("event_type") === "view").drop("event_type")
+        .write.parquet(s"$root/in_v")
+      ev.where(col("event_type") === "purchase").drop("event_type")
+        .write.parquet(s"$root/in_p")
+      val sch = ev.drop("event_type").schema
+      val vs = s.readStream.schema(sch).parquet(s"$root/in_v")
+      val ps = s.readStream.schema(sch).parquet(s"$root/in_p")
+      graft.streaming.StreamExtract.bandJoinStream(vs, ps, 21600L)
+        .writeStream.format("parquet").option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      detachAndClean(s.read.parquet(s"$root/out"), root)
+    }),
     // --- full pipeline shape on generated pages (rows-only)
     "q_pipeline" -> ((s, dir) => {
       import s.implicits._
@@ -3705,6 +3730,17 @@ object SparkEntry {
           |SELECT user_id, session_idx, n_events, start_us,
           |  (end_us - start_us)::BIGINT AS span_us
           |FROM g CROSS JOIN w WHERE end_us + 21600000000 <= wm_us""".stripMargin,
+      // stream-stream band join: single-batch AvailableNow drain emits every
+      // in-band (view, purchase) pair — the plain forward band join
+      "q_stream_join" ->
+        """WITH p AS (SELECT user_id, epoch_us(ts)::BIGINT AS us, event_id
+          |   FROM events WHERE event_type = 'purchase'),
+          | v AS (SELECT user_id, epoch_us(ts)::BIGINT AS us, event_id
+          |   FROM events WHERE event_type = 'view')
+          |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+          |  (p.us - v.us) AS delta_us
+          |FROM p JOIN v ON p.user_id = v.user_id
+          |  AND p.us >= v.us AND p.us - v.us <= 21600000000""".stripMargin,
       // the streaming query emits its own verdict relation; the oracle is
       // what parity demands a priori
       "q_stream_parity" ->

@@ -357,6 +357,39 @@ object StreamExtract {
         })
   }
 
+  /** Stream-stream watermarked band join: each purchase matched to the same
+    * user's views at most `bandSec` seconds BEFORE it (forward band — the
+    * streaming form of the batch attribution join, [[graft.events.RangeJoin]]
+    * being the symmetric-radius batch cousin). Both inputs are streams of
+    * `(user_id, ts, event_id)`.
+    *
+    * Plan shape: StreamingSymmetricHashJoin — both sides shuffle ONCE on
+    * `user_id` and buffer rows in keyed state. The time-band condition plus
+    * the two watermarks bound that state on BOTH sides: a view is evicted
+    * once the watermark passes `v_ts + bandSec` (no in-time purchase can
+    * still match it), a purchase once the watermark passes `p_ts`. So state
+    * per side is the last `bandSec + delay` of events — independent of
+    * stream length, the property that lets this run forever on a
+    * 1000-executor cluster. Inner join: every surviving match is emitted in
+    * the micro-batch where the later side arrives; rows later than the
+    * global (min-of-sides) watermark are dropped as late — the recall trade
+    * is explicit in `delay`. */
+  def bandJoinStream(views: DataFrame, purchases: DataFrame,
+      bandSec: Long, delay: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", delay)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", delay)
+    v.join(p,
+        col("p_user") === col("v_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $bandSec SECONDS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("delta_us"))
+  }
+
   /** Batch-over-table incremental run: `Trigger.AvailableNow` drains the
     * pages directory once and stops — the streaming-native equivalent of the
     * reference's resume loop (checkpointed source offsets replace the
