@@ -872,6 +872,14 @@ object SparkEntry {
       graft.sim.Pq.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 10, m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8)
     }),
+    // --- sparse sign random projection (Achlioptas JL, JCSS'03): dim-64
+    // embeddings onto 16 hash-derived {+1,0,-1} rows on the fixed-point
+    // grid — integer-exact, matrix never materializes, one narrow codegen
+    // pass, zero shuffles. Long-format (id, j, y) output.
+    "q_rproj" -> ((s, dir) => {
+      graft.sim.Projection.project(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 16, dim = 64)
+    }),
     // --- IVF-PQ (Jégou et al. §V "IVFADC" — the composed inverted-file +
     // product-quantization index a billion-vector deployment runs): coarse
     // fixed-point Lloyd cells, PQ codebooks trained on RESIDUALS, ADC
@@ -1445,6 +1453,24 @@ object SparkEntry {
           iters = 8)
         .select(col("id").as("doc_id"), col("rank"))
     }),
+    // --- HITS hubs/authorities over the same quadratic pseudo-graph:
+    // UNNORMALIZED integer power rounds (normalization is a per-round
+    // global scalar — rankings identical without it), bit-exact on any
+    // engine/partitioning; 2 keyed aggregate shuffles per round
+    "q_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"))
+      graft.graph.Hits.run(edges, docs.select(col("doc_id").as("id")),
+          iters = 3)
+        .select(col("id").as("doc_id"), col("auth"), col("hub"))
+    }),
     // --- degree-oriented triangle counting over the same quadratic
     // pseudo-graph as q_pagerank (undirected-ized): per-vertex triangle
     // participation — every join an integer-key equi-shuffle, each
@@ -1983,6 +2009,34 @@ object SparkEntry {
         |   FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin)
     }
     sb.append(s"\nSELECT id AS doc_id, rank FROM r$iters")
+    sb.toString
+  }
+
+  /** DuckDB replica of [[graft.graph.Hits.run]]: the unnormalized integer
+    * power rounds unrolled — a_i from h_{i-1} keyed on dst, h_i from a_i
+    * keyed on src; all integer sums, hash-exact. */
+  private def hitsOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH n1 AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
+        |   FROM documents, n1, unnest([1, 2, 3]) AS t(j)),
+        | edges AS (SELECT src,
+        |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
+        | h0 AS (SELECT DISTINCT src AS id, 1::BIGINT AS s FROM edges)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        | a$i AS (SELECT e.dst AS id, sum(h.s)::BIGINT AS s
+        |   FROM edges e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+        | h$i AS (SELECT e.src AS id, sum(a.s)::BIGINT AS s
+        |   FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT n.id AS doc_id, coalesce(a.s, 0)::BIGINT AS auth,
+      |  coalesce(h.s, 0)::BIGINT AS hub
+      |FROM nodes n LEFT JOIN a$iters a ON a.id = n.id
+      |LEFT JOIN h$iters h ON h.id = n.id""".stripMargin)
     sb.toString
   }
 
@@ -3472,6 +3526,7 @@ object SparkEntry {
           |SELECT k.doc_id, k.title, p.id_b IS NOT NULL AS is_fuzzy_dup, p.dup_of
           |FROM k LEFT JOIN p ON p.id_b = k.doc_id""".stripMargin,
       "q_pagerank" -> pageRankOracleSql(8),
+      "q_hits" -> hitsOracleSql(3),
       // degree-oriented triangle counting: the whole pipeline is integer
       // (packed (deg, id) keys, equi-joins) — replicated join-for-join
       "q_triangles" ->
@@ -3943,6 +3998,22 @@ object SparkEntry {
       "q_ann" -> annOracleSql(k = 5, bits = 10, tables = 3, dim = 64, maxBucket = 256),
       "q_kmeans" -> kmeansOracleSql(k = 8, iters = 4, dim = 64),
       "q_pq" -> pqOracleSql(k = 10, m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8),
+      // sparse sign projection: the md5-derived {+1,0,-1} matrix and the
+      // 2^15 fixed-point grid replayed in SQL — integer sums, hash-exact
+      "q_rproj" ->
+        """WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+          |   WHERE embedding IS NOT NULL AND len(embedding) = 64),
+          | q AS (SELECT id, u.i AS i,
+          |     floor(embedding[u.i + 1]::DOUBLE * 32768)::BIGINT AS qi
+          |   FROM e, unnest(range(64)) AS u(i)),
+          | s AS (SELECT r1.j, r2.i,
+          |     CASE ((('0x' || substr(md5('rp:' || r1.j || ':' || r2.i), 1, 16))::UBIGINT
+          |            & 9223372036854775807) % 6)
+          |       WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+          |   FROM range(16) r1(j), range(64) r2(i))
+          |SELECT q.id, s.j::INT AS j, sum(s.sgn * q.qi)::BIGINT AS y
+          |FROM q JOIN s ON q.i = s.i
+          |GROUP BY 1, 2""".stripMargin,
       "q_ivfpq" -> ivfPqOracleSql(k = 10, nCells = 8, citers = 2, nProbe = 2,
         m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),
