@@ -29,7 +29,8 @@ class EntrySpec extends SparkSuiteBase {
         .replaceAll("(?i)is\\s+(not\\s+)?distinct\\s+from", "<=>")
       val targets = "(?i)(?:from|join)\\s+([a-z_0-9]+)".r
         .findAllMatchIn(scannable).map(_.group(1)).toSet
-      val unknown = targets -- known -- ctes -- Set("unnest")
+      // `range` is DuckDB's table function (FROM range(16) r(j))
+      val unknown = targets -- known -- ctes -- Set("unnest", "range")
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }
