@@ -880,6 +880,15 @@ object SparkEntry {
       graft.sim.Projection.project(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 16, dim = 64)
     }),
+    // --- JL-shortlisted exact KNN: the projection's downstream payoff —
+    // integer shortlist in the 16-dim projected space (WindowGroupLimit
+    // pre-cap), exact dim-64 re-rank on shortlist×queries rows only.
+    // Both stages integer on the fixed-point grid → hash-exact.
+    "q_rproj_knn" -> ((s, dir) => {
+      graft.sim.Projection.shortlistTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5, kProj = 16, dim = 64, shortlist = 32,
+        nQueries = 8)
+    }),
     // --- IVF-PQ (Jégou et al. §V "IVFADC" — the composed inverted-file +
     // product-quantization index a billion-vector deployment runs): coarse
     // fixed-point Lloyd cells, PQ codebooks trained on RESIDUALS, ADC
@@ -4014,6 +4023,40 @@ object SparkEntry {
           |SELECT q.id, s.j::INT AS j, sum(s.sgn * q.qi)::BIGINT AS y
           |FROM q JOIN s ON q.i = s.i
           |GROUP BY 1, 2""".stripMargin,
+      // JL shortlist + exact re-rank, both stages replayed: the q_rproj
+      // sign grid, projected integer distances with a 32-deep per-query
+      // window cut, then exact grid distances on the survivors
+      "q_rproj_knn" ->
+        """WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+          |   WHERE embedding IS NOT NULL AND len(embedding) = 64),
+          | q AS (SELECT id, u.i AS i,
+          |     floor(embedding[u.i + 1]::DOUBLE * 32768)::BIGINT AS qi
+          |   FROM e, unnest(range(64)) AS u(i)),
+          | s AS (SELECT r1.j, r2.i,
+          |     CASE ((('0x' || substr(md5('rp:' || r1.j || ':' || r2.i), 1, 16))::UBIGINT
+          |            & 9223372036854775807) % 6)
+          |       WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+          |   FROM range(16) r1(j), range(64) r2(i)),
+          | proj AS (SELECT q.id, s.j, sum(s.sgn * q.qi)::BIGINT AS y
+          |   FROM q JOIN s ON q.i = s.i GROUP BY 1, 2),
+          | pd AS (SELECT qp.id AS qid, cp.id AS id,
+          |     sum((cp.y - qp.y) * (cp.y - qp.y))::BIGINT AS pdist
+          |   FROM proj qp JOIN proj cp ON qp.j = cp.j
+          |   WHERE qp.id < 8 AND cp.id <> qp.id GROUP BY 1, 2),
+          | short AS (SELECT qid, id FROM (
+          |     SELECT qid, id,
+          |       row_number() OVER (PARTITION BY qid ORDER BY pdist, id) AS rn
+          |     FROM pd) WHERE rn <= 32),
+          | ed AS (SELECT sh.qid, sh.id,
+          |     sum((cq.qi - qq.qi) * (cq.qi - qq.qi))::BIGINT AS edist
+          |   FROM short sh
+          |   JOIN q cq ON cq.id = sh.id
+          |   JOIN q qq ON qq.id = sh.qid AND qq.i = cq.i
+          |   GROUP BY 1, 2)
+          |SELECT qid, id, edist, rank FROM (
+          |   SELECT qid, id, edist,
+          |     row_number() OVER (PARTITION BY qid ORDER BY edist, id)::INT AS rank
+          |   FROM ed) WHERE rank <= 5""".stripMargin,
       "q_ivfpq" -> ivfPqOracleSql(k = 10, nCells = 8, citers = 2, nProbe = 2,
         m = 4, ks = 8, iters = 2, dim = 64, nQueries = 8),
       "q_ivf" -> ivfOracleSql(k = 5, nCells = 16, nProbe = 2, nQueries = 10),

@@ -1,6 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse sign random projection (Achlioptas, "Database-friendly random
@@ -49,14 +50,65 @@ object Projection {
   def project(df: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int): DataFrame = {
     val rows = signMatrix(k, dim)
-    val q = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol),
-          x => floor(x.cast("double") * Kmeans.Scale).cast("long")).as("p"))
+    val q = quantized(df, idCol, vecCol, dim)
     def dot(row: Array[Long]): Column =
       aggregate(zip_with(col("p"), typedlit(row.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
     q.select(col("id"), posexplode(array(rows.map(dot).toIndexedSeq: _*)))
       .select(col("id"), col("pos").as("j"), col("col").as("y"))
+  }
+
+  /** (id, p): in-shape vectors on the 2^15 fixed-point grid. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * Kmeans.Scale).cast("long")).as("p"))
+
+  /** JL-shortlisted exact KNN — the projection's downstream payoff: score
+    * the corpus against each query in the kProj-dim projected space (a
+    * kProj/dim-width integer scan), keep a `shortlist`-deep candidate set
+    * per query (`row_number ≤ cap` → WindowGroupLimit, map-side partial
+    * truncation), then re-rank ONLY the shortlist with the exact dim-wide
+    * distance. At 100 TB the full-width vectors are touched for
+    * nQueries·shortlist rows instead of nQueries·corpus.
+    *
+    * Determinism: both distances are integer sums on the fixed-point grid
+    * (projected values are integer already) — hash-exact, ties broken by
+    * id at both stages; JL recall loss is a property of the shortlist CUT,
+    * not of any float. Queries are the `id < nQueries` corpus rows (the
+    * IVF/PQ convention), joined via a broadcast nested-loop over nQueries
+    * rows — the corpus never shuffles until the per-query window on
+    * nQueries keys, which WindowGroupLimit truncates map-side first.
+    *
+    * Output: (qid, id, edist, rank) — exact squared grid distance, rank
+    * 1..k per query. */
+  def shortlistTopK(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, kProj: Int, dim: Int, shortlist: Int,
+                    nQueries: Int): DataFrame = {
+    val rows = signMatrix(kProj, dim)
+    def dots(c: Column): Column =
+      array(rows.map(row =>
+        aggregate(zip_with(c, typedlit(row.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)).toIndexedSeq: _*)
+    val base = quantized(df, idCol, vecCol, dim)
+      .select(col("id"), col("p"), dots(col("p")).as("proj"))
+    val queries = base.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("p").as("qp"), col("proj").as("qproj"))
+    def sqSum(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val wShort = Window.partitionBy("qid").orderBy(asc("pdist"), asc("id"))
+    val short = base.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("p"), col("qp"),
+        sqSum(col("proj"), col("qproj")).as("pdist"))
+      .withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+    val wK = Window.partitionBy("qid").orderBy(asc("edist"), asc("id"))
+    short.select(col("qid"), col("id"), sqSum(col("p"), col("qp")).as("edist"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
   }
 }

@@ -48,6 +48,57 @@ class ProjectionSpec extends SparkSuiteBase {
     assert(got == expected)
   }
 
+  test("shortlistTopK: parity with driver-side two-stage brute force; partition-invariant") {
+    val dim = 8; val kProj = 4; val shortlist = 8; val k = 3; val nQ = 3
+    val vecs: Seq[(Long, Array[Float])] = (0L until 30L).map { id =>
+      id -> Array.tabulate(dim)(i => (((id * 7 + i * 3) % 13) - 6) * 0.1f)
+    }
+    val bad: Seq[(Long, Array[Float])] =
+      Seq(90L -> Array(1.0f), 91L -> null)
+    val df = (vecs ++ bad).toDF("vec_id", "embedding")
+
+    val p: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * Kmeans.Scale).toLong)
+    }.toMap
+    val proj: Map[Long, Array[Long]] = p.map { case (id, q) =>
+      id -> Array.tabulate(kProj)(j =>
+        (0 until dim).map(i => Projection.sign(j, i).toLong * q(i)).sum)
+    }
+    val expected = (for {
+      qid <- vecs.map(_._1) if qid < nQ
+      pdists = vecs.map(_._1).filter(_ != qid).map { id =>
+        (id, (0 until kProj).map { j =>
+          val d = proj(id)(j) - proj(qid)(j); d * d }.sum)
+      }.sortBy(t => (t._2, t._1)).take(shortlist)
+      ranked = pdists.map { case (id, _) =>
+        (id, (0 until dim).map { i =>
+          val d = p(id)(i) - p(qid)(i); d * d }.sum)
+      }.sortBy(t => (t._2, t._1)).take(k).zipWithIndex
+      ((id, ed), r) <- ranked
+    } yield (qid, id, ed, r + 1)).toSet
+
+    val got = Projection.shortlistTopK(df, "vec_id", "embedding",
+        k, kProj, dim, shortlist, nQ)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == expected)
+    val got7 = Projection.shortlistTopK(df.repartition(7), "vec_id",
+        "embedding", k, kProj, dim, shortlist, nQ)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got7 == expected)
+  }
+
+  test("shortlistTopK: shortlist window runs as WindowGroupLimit (map-side pre-cap)") {
+    val df = spark.range(40)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          i => ((i + col("id")).cast("double") / 16.0 - 0.5).cast("float"))
+          .as("embedding"))
+    val plan = Projection.shortlistTopK(df, "vec_id", "embedding",
+        k = 3, kProj = 4, dim = 16, shortlist = 8, nQueries = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("project: shuffle-free narrow plan (no Exchange)") {
     val df = spark.range(20)
       .select(col("id").as("vec_id"),
