@@ -1517,6 +1517,24 @@ object SparkEntry {
         .select(col("dst").as("doc_id"), col("n_links"), col("n_anchors"),
           col("kept"))
     }),
+    // --- label-propagation communities (Raghavan et al. 2007, synchronous
+    // deterministic form) over the same quadratic pseudo-graph as
+    // q_pagerank: 4 majority rounds, integer end-to-end — the oracle
+    // replays every vote count, argmax and tie-break CTE-for-CTE.
+    "q_labelprop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"))
+      graft.graph.LabelProp.run(edges, docs.select(col("doc_id").as("id")),
+          iters = 4)
+        .select(col("id").as("doc_id"), col("label"))
+    }),
     // --- distributed BPE tokenizer training (Sennrich et al. 2016): 4
     // merge rounds over the corpus word-frequency table. The DuckDB oracle
     // unrolls the same 4 rounds, each a recursive-CTE fixpoint of the
@@ -2046,6 +2064,38 @@ object SparkEntry {
       |  coalesce(h.s, 0)::BIGINT AS hub
       |FROM nodes n LEFT JOIN a$iters a ON a.id = n.id
       |LEFT JOIN h$iters h ON h.id = n.id""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB replica of [[graft.graph.LabelProp.run]]: the synchronous
+    * majority rounds unrolled. Per round — vote counts over the
+    * symmetrized edges keyed on the PREVIOUS round's labels, the per-node
+    * max count, then min(label) among the max-count votes (exactly the
+    * engine's `max(struct(c, -label))` argmax), isolated nodes kept by the
+    * left-join coalesce. Integer end-to-end: hash-exact by construction,
+    * no float contract. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH n1 AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
+        |   FROM documents, n1, unnest([1, 2, 3]) AS t(j)),
+        | ed AS (SELECT src,
+        |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
+        | edges AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
+        | l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        | v$i AS (SELECT e.dst AS id, l.label, count(*)::BIGINT AS c
+        |   FROM edges e JOIN l${i - 1} l ON e.src = l.id GROUP BY 1, 2),
+        | m$i AS (SELECT id, max(c) AS mc FROM v$i GROUP BY 1),
+        | u$i AS (SELECT v.id, min(v.label) AS label
+        |   FROM v$i v JOIN m$i m ON v.id = m.id AND v.c = m.mc GROUP BY 1),
+        | l$i AS (SELECT p.id, coalesce(u.label, p.label) AS label
+        |   FROM l${i - 1} p LEFT JOIN u$i u ON u.id = p.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id AS doc_id, label FROM l$iters")
     sb.toString
   }
 
@@ -3536,6 +3586,7 @@ object SparkEntry {
           |FROM k LEFT JOIN p ON p.id_b = k.doc_id""".stripMargin,
       "q_pagerank" -> pageRankOracleSql(8),
       "q_hits" -> hitsOracleSql(3),
+      "q_labelprop" -> labelPropOracleSql(4),
       // degree-oriented triangle counting: the whole pipeline is integer
       // (packed (deg, id) keys, equi-joins) — replicated join-for-join
       "q_triangles" ->
