@@ -393,6 +393,19 @@ object SparkEntry {
         qualityScoreCol(col("text")).as("quality"),
         readabilityCol(col("text")).as("readability"))
     }),
+    // --- character-bigram Shannon entropy (gibberish / machine-text
+    // quality feature): SHUFFLE-FREE per-row higher-order-function
+    // pipeline (bigrams → sort → run-length counts → H) vs the oracle's
+    // plain unnest+groupBy formulation — same math, one 4-dp rounding at
+    // the output only. The harness also scores a provably-low-entropy
+    // variant (first char repeated) so the feature's range is exercised.
+    "q_entropy" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        (length(col("text")) - 1).cast("long").as("n_bigrams"),
+        charBigramEntropyCol(col("text")).as("bigram_entropy"),
+        charBigramEntropyCol(repeat(substring(col("text"), 1, 1),
+          least(length(col("text")), lit(40)))).as("degenerate_entropy"))
+    }),
     // --- Gopher/MassiveText repetition ratios (quality-filter family):
     // the harness doubles each doc (text\ntext) so duplicate-line and
     // duplicate-5-gram mass provably exists for the arithmetic to act on
@@ -3058,6 +3071,32 @@ object SparkEntry {
            |FROM documents""".stripMargin
       },
       "q_fingerprint" -> s"SELECT doc_id, $fp AS fp FROM documents",
+      // char-bigram Shannon entropy: plain unnest+groupBy formulation of
+      // the engine's shuffle-free HOF pipeline — identical math, raw
+      // doubles mid-pipeline, ONE 4-dp rounding at the output.
+      // range(1, len) yields 1..len-1 — exactly the bigram starts.
+      "q_entropy" ->
+        """WITH v AS (SELECT doc_id, text AS t FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, repeat(substr(text, 1, 1),
+          |      least(len(text), 40)) AS t
+          |  FROM documents),
+          | b AS (SELECT doc_id, t, substr(t, i::INT, 2) AS g
+          |   FROM v, unnest(range(1, len(t))) AS u(i)),
+          | c AS (SELECT doc_id, t, g, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2, 3),
+          | s AS (SELECT doc_id, t, sum(c * ln(c)) AS sc, sum(c) AS n
+          |   FROM c GROUP BY 1, 2),
+          | h AS (SELECT doc_id, t, coalesce(abs(round(ln(n) - sc / n, 4)), 0.0) AS e
+          |   FROM s),
+          | base AS (SELECT d.doc_id, (len(d.text) - 1)::BIGINT AS n_bigrams,
+          |    coalesce(h.e, 0.0) AS bigram_entropy
+          |   FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id AND h.t = d.text),
+          | degen AS (SELECT d.doc_id, coalesce(h.e, 0.0) AS degenerate_entropy
+          |   FROM documents d LEFT JOIN h
+          |     ON h.doc_id = d.doc_id
+          |     AND h.t = repeat(substr(d.text, 1, 1), least(len(d.text), 40)))
+          |SELECT b.doc_id, b.n_bigrams, b.bigram_entropy, g.degenerate_entropy
+          |FROM base b JOIN degen g ON g.doc_id = b.doc_id""".stripMargin,
       // quality rule gate over the every-10th-doc-doubled harness; reasons
       // assembled in the operator's fixed rule order
       "q_quality_filter" ->
