@@ -1510,6 +1510,30 @@ object SparkEntry {
       graft.graph.Triangles.perVertex(edges, "src", "dst")
         .select(col("v").as("doc_id"), col("n_triangles"))
     }),
+    // --- k-core decomposition (Seidman 1983) over the quadratic
+    // pseudo-graph PLUS a planted 50-node hub ring (each doc_id < 50 links
+    // to (doc_id+d) mod 50, d ∈ 1..3): at k=5 the quasi-random bulk
+    // cascades away over ~20 synchronized peel rounds while the ring core
+    // survives — both the long cascade and the nontrivial fixpoint are
+    // exercised. Integer end-to-end; the oracle unrolls 26 synchronized
+    // rounds (fixpoint + slack — k-core is confluent, extra rounds no-op).
+    "q_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val quad = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"))
+      val ring = docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .select(col("src"), ((col("src") + col("d")) % 50).as("dst"))
+      graft.graph.KCore.run(quad.union(ring), k = 5)
+        .select(col("id").as("doc_id"), col("core_deg"))
+    }),
     // --- anchor-text aggregation over the same quadratic pseudo-graph as
     // q_pagerank, anchors varying per edge ((src+j) % 13): per target, the
     // top-3 anchors by in-link count with EXACT pre-cap totals — string +
@@ -2109,6 +2133,43 @@ object SparkEntry {
         |   FROM l${i - 1} p LEFT JOIN u$i u ON u.id = p.id)""".stripMargin)
     }
     sb.append(s"\nSELECT id AS doc_id, label FROM l$iters")
+    sb.toString
+  }
+
+  /** DuckDB replica of [[graft.graph.KCore.run]] over the quad+ring
+    * harness: simple-graph normalization, then `rounds` synchronized peel
+    * rounds unrolled (degree among the previous survivor set, keep ≥ k).
+    * k-core is confluent and `rounds` exceeds the measured fixpoint (~20
+    * at this corpus), so the extra rounds are no-ops and both engines land
+    * on the identical unique core. Integer end-to-end, hash-exact. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH n1 AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+        | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
+        |   FROM documents, n1, unnest([1, 2, 3]) AS t(j)),
+        | eq AS (SELECT src,
+        |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
+        | er AS (SELECT doc_id AS src, (doc_id + d) % 50 AS dst
+        |   FROM documents, unnest([1, 2, 3]) AS t(d) WHERE doc_id < 50),
+        | eall AS (SELECT src, dst FROM eq UNION ALL SELECT src, dst FROM er),
+        | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |   FROM eall WHERE src <> dst),
+        | edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+        |   UNION ALL SELECT b AS src, a AS dst FROM und),
+        | d0r AS (SELECT src AS v, count(*)::BIGINT AS c FROM edges GROUP BY 1),
+        | a0 AS MATERIALIZED (SELECT v FROM d0r WHERE c >= $k)""".stripMargin)
+    for (i <- 1 to rounds) {
+      // MATERIALIZED is load-bearing: each round references the previous
+      // survivor CTE twice, so default inlining recurses 2^rounds deep
+      // (observed as a "Too many open files" parquet-handle explosion)
+      sb.append(s""",
+        | d$i AS (SELECT e.src AS v, count(*)::BIGINT AS c FROM edges e
+        |   JOIN a${i - 1} s ON e.src = s.v JOIN a${i - 1} u ON e.dst = u.v
+        |   GROUP BY 1),
+        | a$i AS MATERIALIZED (SELECT v FROM d$i WHERE c >= $k)""".stripMargin)
+    }
+    sb.append(s"\nSELECT v AS doc_id, c AS core_deg FROM d$rounds WHERE c >= $k")
     sb.toString
   }
 
@@ -3626,6 +3687,7 @@ object SparkEntry {
       "q_pagerank" -> pageRankOracleSql(8),
       "q_hits" -> hitsOracleSql(3),
       "q_labelprop" -> labelPropOracleSql(4),
+      "q_kcore" -> kCoreOracleSql(k = 5, rounds = 26),
       // degree-oriented triangle counting: the whole pipeline is integer
       // (packed (deg, id) keys, equi-joins) — replicated join-for-join
       "q_triangles" ->
