@@ -646,6 +646,24 @@ object SparkEntry {
         }.toDF("doc_id", "j")
         .select(col("doc_id"), round(col("j"), 6).as("jaccard"))
     }),
+    // --- Broder shingle CONTAINMENT (the asymmetric dedup member): planted
+    // containers c<id> = text(id) || ' ' || text((id+1) mod n) for
+    // doc_id % 7 == 2 — each container must surface BOTH constituent docs
+    // at containment 1.0 even though their Jaccard vs the container is ~0.5
+    // (the pair class the resemblance family cannot see). Integer
+    // intersection/set sizes, one correctly-rounded division, 6-dp output.
+    "q_containment" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val base = docs.select(concat(lit("d"), col("doc_id")).as("id"), col("text"))
+      val containers = docs.as("a").where($"a.doc_id" % 7 === 2)
+        .join(docs.as("b"), ($"a.doc_id" + 1) % n === $"b.doc_id")
+        .select(concat(lit("c"), $"a.doc_id").as("id"),
+          concat($"a.text", lit(" "), $"b.text").as("text"))
+      graft.dedup.Containment.pairs(s, base.unionByName(containers),
+        "id", "text", tau = 0.9, maxDf = 64)
+    }),
     // --- D3 MinHash-LSH near-dup pairs (planted pairs; rows-only oracle)
     "q_minhash_neardup" -> ((s, dir) => {
       MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
@@ -3986,6 +4004,35 @@ object SparkEntry {
            |LEFT JOIN n na ON na.doc_id = d.doc_id AND na.m = 0
            |LEFT JOIN n nb ON nb.doc_id = d.doc_id AND nb.m = 1
            |LEFT JOIN i ON i.doc_id = d.doc_id""".stripMargin,
+      // Broder containment replica: same corpus synthesis (planted
+      // containers), same distinct word-5-gram md5-top-64 shingle sets,
+      // df <= 64 common-shingle cut, inverted-index pair counting,
+      // smaller-set direction (tie -> larger id), C >= 0.9 on the raw
+      // correctly-rounded division, quantized once at 6 dp.
+      "q_containment" ->
+        s"""WITH nn AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+           | base AS (SELECT 'd' || doc_id::VARCHAR AS id, text FROM documents),
+           | cont AS (SELECT 'c' || a.doc_id::VARCHAR AS id, a.text || ' ' || b.text AS text
+           |   FROM documents a, nn, documents b
+           |   WHERE a.doc_id % 7 = 2 AND b.doc_id = (a.doc_id + 1) % cnt),
+           | corpus AS (SELECT id, text FROM base UNION ALL SELECT id, text FROM cont),
+           | toks AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM corpus),
+           | shing AS (SELECT id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+           |     WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+           |     ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+           |   FROM toks),
+           | shd AS MATERIALIZED (SELECT DISTINCT id, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h FROM shing),
+           | sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY 1),
+           | dfok AS (SELECT h FROM shd GROUP BY h HAVING count(*) <= 64),
+           | kept AS MATERIALIZED (SELECT s.id, s.h FROM shd s JOIN dfok f ON s.h = f.h),
+           | pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |   FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+           | sized AS (SELECT p.id_a, p.id_b, p.i, na.n AS n_a, nb.n AS n_b
+           |   FROM pairs p JOIN sizes na ON na.id = p.id_a JOIN sizes nb ON nb.id = p.id_b)
+           |SELECT CASE WHEN n_a < n_b THEN id_a ELSE id_b END AS contained_id,
+           |  CASE WHEN n_a < n_b THEN id_b ELSE id_a END AS container_id,
+           |  round(i::DOUBLE / least(n_a, n_b), 6) AS containment
+           |FROM sized WHERE i::DOUBLE / least(n_a, n_b) >= 0.9""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
       // streaming near-dup: same band buckets, SIGNATURE-estimated jaccard
       // (the streaming state can't hold texts). The operator's closed form:
