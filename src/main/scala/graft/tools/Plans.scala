@@ -337,6 +337,18 @@ object Plans {
          |corpus never shuffles; the RFC 9309 longest-match verdict is a
          |narrow typed map after the join.""".stripMargin,
        graft.SparkEntry.queries("q_robots")(spark, sfDir)),
+      ("Shingle containment pair counting (q_containment)",
+       """Check: per-doc distinct shingles come out of ONE narrow flat-map
+         |(no distinct Exchange); the df aggregate and the pair self-join
+         |share the shingle-hash key; the (a,b) intersection aggregate has
+         |partial_ combine; verdict is a codegen'd projection, no UDF.""".stripMargin,
+       graft.SparkEntry.queries("q_containment")(spark, sfDir)),
+      ("k-core peel, final round shape (q_kcore)",
+       """Check: the iterative loop is INVISIBLE here by design — each round
+         |localCheckpoints, so the final plan reads one materialized edge
+         |leaf (Scan ExistingRDD) into a single partial-combined degree
+         |aggregate; no 4^k lineage tree survives to the analyzer.""".stripMargin,
+       graft.SparkEntry.queries("q_kcore")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
