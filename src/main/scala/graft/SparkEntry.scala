@@ -1552,6 +1552,45 @@ object SparkEntry {
       graft.graph.KCore.run(quad.union(ring), k = 5)
         .select(col("id").as("doc_id"), col("core_deg"))
     }),
+    // --- HyperBall neighborhood function (Boldi–Vigna) over the same
+    // quad+ring pseudo-graph: per-vertex radius-2 out-ball HLL summary,
+    // with the EXACT ball size riding in the row (the q_hll accuracy
+    // convention — quad balls vary quasi-randomly, ring balls are the
+    // analytic 7). Registers are integers and max-merge is order-free, so
+    // the whole trajectory replays hash-exact in SQL with no float clause.
+    "q_hyperball" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val quad = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(col("src"),
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"))
+      val ring = docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .select(col("src"), ((col("src") + col("d")) % 50).as("dst"))
+      val edges = quad.union(ring)
+      val summ = graft.graph.HyperBall.run(edges, 2)
+        .select(col("v").cast("long").as("v"), col("present"),
+          col("s_scaled"), col("est_milli"))
+      val verts = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct()
+      val b1 = verts.select(col("v").as("root"), col("v").as("u"))
+        .union(edges.select(col("src").as("root"), col("dst").as("u")))
+        .distinct()
+      val eA = edges.select(col("src").as("es"), col("dst").as("ed"))
+      val b2 = b1
+        .union(b1.join(eA, col("u") === col("es"))
+          .select(col("root"), col("ed").as("u")))
+        .distinct()
+      val exact = b2.groupBy("root").agg(count(lit(1)).as("exact_ball"))
+      summ.join(exact, col("v") === col("root"))
+        .select(col("v"), col("present"), col("s_scaled"), col("est_milli"),
+          col("exact_ball"))
+    }),
     // --- anchor-text aggregation over the same quadratic pseudo-graph as
     // q_pagerank, anchors varying per edge ((src+j) % 13): per target, the
     // top-3 anchors by in-link count with EXACT pre-cap totals — string +
@@ -3706,6 +3745,44 @@ object SparkEntry {
       "q_hits" -> hitsOracleSql(3),
       "q_labelprop" -> labelPropOracleSql(4),
       "q_kcore" -> kCoreOracleSql(k = 5, rounds = 26),
+      // HyperBall replica: same directed quad+ring edges, HLL register
+      // init per vertex (md5 of the id string — the Hll layout), two
+      // unrolled max-merge rounds, the q_hll integer summary arithmetic,
+      // and the exact radius-2 ball via two set-union expansions.
+      "q_hyperball" ->
+        s"""WITH nn AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+           | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
+           |   FROM documents, nn, unnest([1, 2, 3]) AS t(j)),
+           | eq AS (SELECT src,
+           |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
+           | er AS (SELECT doc_id AS src, (doc_id + d) % 50 AS dst
+           |   FROM documents, unnest([1, 2, 3]) AS t(d) WHERE doc_id < 50),
+           | edges AS MATERIALIZED (SELECT src, dst FROM eq UNION ALL SELECT src, dst FROM er),
+           | verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
+           | h AS (SELECT v, ((('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT
+           |                   & 9223372036854775807)::BIGINT) AS h63 FROM verts),
+           | r0 AS MATERIALIZED (SELECT v, (h63 >> 55)::INT AS j,
+           |   (CASE WHEN (h63 & ((1::BIGINT << 55) - 1)) = 0 THEN 56
+           |         ELSE 56 - length(bin(h63 & ((1::BIGINT << 55) - 1))) END)::INT AS m FROM h),
+           | r1 AS MATERIALIZED (SELECT v, j, max(m)::INT AS m FROM (
+           |     SELECT v, j, m FROM r0
+           |     UNION ALL SELECT e.src AS v, r.j, r.m FROM edges e JOIN r0 r ON r.v = e.dst) GROUP BY 1, 2),
+           | r2 AS (SELECT v, j, max(m)::INT AS m FROM (
+           |     SELECT v, j, m FROM r1
+           |     UNION ALL SELECT e.src AS v, r.j, r.m FROM edges e JOIN r1 r ON r.v = e.dst) GROUP BY 1, 2),
+           | summ AS (SELECT v, count(*)::BIGINT AS present,
+           |    (sum(CASE WHEN m <= 50 THEN (1::BIGINT << (50 - m)) ELSE 0 END)
+           |     + (256 - count(*)) * (1::BIGINT << 50))::BIGINT AS s_scaled
+           |   FROM r2 GROUP BY 1),
+           | b1 AS (SELECT v AS root, v AS u FROM verts UNION SELECT src, dst FROM edges),
+           | b2 AS (SELECT root, u FROM b1
+           |   UNION SELECT b1.root, e.dst FROM b1 JOIN edges e ON e.src = b1.u),
+           | exact AS (SELECT root AS v, count(*)::BIGINT AS exact_ball FROM b2 GROUP BY 1)
+           |SELECT s.v, s.present, s.s_scaled,
+           |  ((718213::HUGEINT * 65536 * 1125899906842624)
+           |   // (greatest(s.s_scaled, 1)::HUGEINT * 1000))::BIGINT AS est_milli,
+           |  x.exact_ball
+           |FROM summ s JOIN exact x ON x.v = s.v""".stripMargin,
       // degree-oriented triangle counting: the whole pipeline is integer
       // (packed (deg, id) keys, equi-joins) — replicated join-for-join
       "q_triangles" ->

@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sketch.Hll
+
+/** HyperBall / HyperANF (Boldi, Rosa & Vigna, WWW 2011; Boldi & Vigna
+  * 2013): the approximate NEIGHBORHOOD FUNCTION — per vertex, the size of
+  * the out-ball B(v, t) = |{u : dist(v, u) ≤ t}| — computed with one HLL
+  * sketch per vertex instead of one visited-set per vertex. The exact
+  * computation is |V| BFS runs (10⁹ vertices → hopeless); the sketch form
+  * is t rounds of register max-merge along edges, the published algorithm
+  * behind web-graph distance distributions, closeness/harmonic centrality
+  * and "effective diameter" at crawl scale.
+  *
+  * Iteration (register-wise): R₀(v) = HLL({v}); R_{t+1}(v) = max(R_t(v),
+  * max over edges (v,u) of R_t(u)). Since HLL registers of a union ARE the
+  * elementwise max ([[Hll.merge]]'s exactness property), R_t(v) equals the
+  * registers of the true ball membership set at every round — not an
+  * approximation OF the iteration, only of the final cardinality readout.
+  *
+  * Determinism contract: registers are integers derived from md5
+  * ([[Hll]] layout) and max-merge is order/partitioning-insensitive, so
+  * the whole trajectory is hash-exact across engines with NO float
+  * contract; the gate pins the integer summary columns (present,
+  * s_scaled, est_milli).
+  *
+  * Plan shape per round: ONE equi-join shuffle (registers keyed by the
+  * edge dst) + one (v, j) aggregate with map-side partial max;
+  * `localCheckpoint` per round truncates the iterative lineage (the
+  * round-3 lesson). State is ≤ min(|ball|, 256) rows per vertex — the
+  * sketch, not the ball, is what travels. Multi-edges and self-loops are
+  * harmless (max is duplicate-insensitive) so no distinct pass is paid.
+  */
+object HyperBall {
+
+  /** Per-vertex ball register table `(key, j, m)` after `radius` rounds;
+    * `key` is the vertex id cast to string ([[Hll]] key convention).
+    * Vertices = src ∪ dst of `edges` (src/dst columns). */
+  def registers(edges: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 0, s"radius $radius")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    var r = Hll.registers(verts.select(col("v").as("k"), col("v")), "k", "v")
+      .localCheckpoint()
+    var t = 0
+    while (t < radius) {
+      val fromNbrs = e.join(r, col("key") === col("dst"))
+        .select(col("src").as("key"), col("j"), col("m"))
+      val next = r.unionByName(fromNbrs)
+        .groupBy("key", "j").agg(max("m").as("m"))
+        .localCheckpoint()
+      dropCheckpoint(r)
+      r = next
+      t += 1
+    }
+    r
+  }
+
+  /** Per-vertex ball-size summary `(v, present, s_scaled, est_milli,
+    * est)` — [[Hll.summarize]] over [[registers]]; integer columns are
+    * cross-engine exact, `est` is the user-facing corrected double. */
+  def run(edges: DataFrame, radius: Int): DataFrame =
+    Hll.summarize(registers(edges, radius)).withColumnRenamed("key", "v")
+
+  /** Unpersist a superseded localCheckpoint's blocks now. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+}
