@@ -1165,6 +1165,22 @@ object SparkEntry {
     // assembly (prefix-truncating greedy packing; the LLM call itself stays
     // out of scope, SURVEY §2.8). tokens = max(1, len/4) — the billing
     // convention — and at budget 400 the BM25 top-10 truncates mid-list.
+    // --- KWIC snippets over the BM25 top-10 (the passage-highlight step
+    // between ranked ids and human eyes): densest width-12 query-term
+    // window, tie to earliest — integer scoring, the snippet is the
+    // space-joined normalized window, replayed in SQL with a running-sum
+    // window + rank-1 cut.
+    "q_snippet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val top = graft.index.Bm25.search(docs, "doc_id", "text",
+        "spark filter join table", k = 10)
+      val topDocs = docs.join(top.select(col("doc")), col("doc_id") === col("doc"))
+        .select(col("doc_id"), col("text"))
+      graft.index.Snippets.of(topDocs, "doc_id", "text",
+          "spark filter join table", width = 12)
+        .select(col("doc").cast("long").as("doc_id"), col("win_start"),
+          col("hits"), col("snippet"))
+    }),
     "q_context" -> ((s, dir) => {
       graft.index.Context.assemble(t(s, dir, "documents"), "doc_id", "text",
           "spark filter join table", k = 10, tokenBudget = 400)
@@ -3469,6 +3485,33 @@ object SparkEntry {
       // rank over the ROUNDED bm25 scores (ties -> smaller doc), prefix-
       // truncating token-budget selection: cum tokens monotone, so
       // cum <= budget IS "stop at the first overflow"
+      // KWIC snippets: the q_context BM25 composition (same scored/ranked
+      // CTEs, same rank <= 10 cut) feeding a per-doc window replay —
+      // running hit sums over token positions (ROWS CURRENT..11 FOLLOWING
+      // naturally shortens on sub-width docs, matching the operator's
+      // clamped prefix sums), rank-1 on (hits DESC, start).
+      "q_snippet" ->
+        s"""WITH scored AS (${bm25OracleSql("")}),
+           | ranked AS (SELECT doc, score,
+           |    row_number() OVER (ORDER BY score DESC, doc) AS rank FROM scored),
+           | top AS (SELECT d.doc_id, d.text FROM ranked r
+           |   JOIN documents d ON d.doc_id = r.doc WHERE r.rank <= 10),
+           | tk AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+           |   FROM top),
+           | pos AS (SELECT doc_id, toks, len(toks) AS n,
+           |    unnest(range(1, len(toks) + 1)) AS p FROM tk WHERE len(toks) > 0),
+           | m AS (SELECT doc_id, toks, n, p,
+           |    CASE WHEN toks[p] IN ('spark', 'filter', 'join', 'table') THEN 1 ELSE 0 END AS hit
+           |   FROM pos),
+           | win AS (SELECT doc_id, toks, n, p AS s, sum(hit) OVER (PARTITION BY doc_id ORDER BY p
+           |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS hits
+           |   FROM m QUALIFY s <= greatest(1, n - 11)),
+           | best AS (SELECT doc_id, s, hits, toks, n,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, s) AS rn FROM win)
+           |SELECT doc_id, s::BIGINT AS win_start, hits::BIGINT AS hits,
+           |  array_to_string(toks[s:least(s + 11, n)], ' ') AS snippet
+           |FROM best WHERE rn = 1 AND hits > 0""".stripMargin,
       "q_context" ->
         s"""WITH scored AS (${bm25OracleSql("")}),
            | ranked AS (SELECT doc, score,
