@@ -156,6 +156,25 @@ object SparkEntry {
       concat(col("text"), lit(" appended trailing marker")).as("text")))
   }
 
+  /** Graph harness shared by q_kcore / q_hyperball: the DIRECTED quadratic
+    * pseudo-graph (outdeg 3, self-loops shifted to the next id) PLUS a
+    * planted 50-node hub ring (doc_id < 50 → (doc_id+d) mod 50, d ∈ 1..3).
+    * SQL twin: [[quadRingCtesSql]]. */
+  private def quadRingEdges(docs: DataFrame, n: Long): DataFrame = {
+    val quad = docs
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+      .select(col("src"),
+        when(col("d0") === col("src"), (col("d0") + 1) % n)
+          .otherwise(col("d0")).as("dst"))
+    val ring = docs.where(col("doc_id") < 50)
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+      .select(col("src"), ((col("src") + col("d")) % 50).as("dst"))
+    quad.union(ring)
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1172,8 +1191,13 @@ object SparkEntry {
     // window + rank-1 cut.
     "q_snippet" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val top = graft.index.Bm25.search(docs, "doc_id", "text",
-        "spark filter join table", k = 10)
+      // rank on the ROUNDED scores (Bm25.scores, the Context.assemble
+      // discipline) — the oracle's ranked CTE orders by round(score, 4),
+      // and an unrounded orderBy could flip rank-10 boundary membership on
+      // a near-tie one corpus away
+      val top = graft.index.Bm25.scores(docs, "doc_id", "text",
+          "spark filter join table")
+        .orderBy(desc("score"), asc("doc")).limit(10)
       val topDocs = docs.join(top.select(col("doc")), col("doc_id") === col("doc"))
         .select(col("doc_id"), col("text"))
       graft.index.Snippets.of(topDocs, "doc_id", "text",
@@ -1549,23 +1573,12 @@ object SparkEntry {
     // to (doc_id+d) mod 50, d ∈ 1..3): at k=5 the quasi-random bulk
     // cascades away over ~20 synchronized peel rounds while the ring core
     // survives — both the long cascade and the nontrivial fixpoint are
-    // exercised. Integer end-to-end; the oracle unrolls 26 synchronized
+    // exercised. Integer end-to-end; the oracle unrolls 40 synchronized
     // rounds (fixpoint + slack — k-core is confluent, extra rounds no-op).
     "q_kcore" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val quad = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"))
-      val ring = docs.where(col("doc_id") < 50)
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
-        .select(col("src"), ((col("src") + col("d")) % 50).as("dst"))
-      graft.graph.KCore.run(quad.union(ring), k = 5)
+      graft.graph.KCore.run(quadRingEdges(docs, n), k = 5)
         .select(col("id").as("doc_id"), col("core_deg"))
     }),
     // --- HyperBall neighborhood function (Boldi–Vigna) over the same
@@ -1577,18 +1590,7 @@ object SparkEntry {
     "q_hyperball" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val quad = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"))
-      val ring = docs.where(col("doc_id") < 50)
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
-        .select(col("src"), ((col("src") + col("d")) % 50).as("dst"))
-      val edges = quad.union(ring)
+      val edges = quadRingEdges(docs, n)
       val summ = graft.graph.HyperBall.run(edges, 2)
         .select(col("v").cast("long").as("v"), col("present"),
           col("s_scaled"), col("est_milli"))
@@ -2209,25 +2211,35 @@ object SparkEntry {
     sb.toString
   }
 
+  /** SQL twin of [[quadRingEdges]] — the directed quad+ring CTE prefix
+    * shared by the q_kcore and q_hyperball oracles (`nn` corpus count,
+    * `dedges` directed edge union). */
+  private val quadRingCtesSql =
+    """nn AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+      | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
+      |   FROM documents, nn, unnest([1, 2, 3]) AS t(j)),
+      | eq AS (SELECT src,
+      |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
+      | er AS (SELECT doc_id AS src, (doc_id + d) % 50 AS dst
+      |   FROM documents, unnest([1, 2, 3]) AS t(d) WHERE doc_id < 50),
+      | dedges AS (SELECT src, dst FROM eq UNION ALL SELECT src, dst FROM er)""".stripMargin
+
   /** DuckDB replica of [[graft.graph.KCore.run]] over the quad+ring
     * harness: simple-graph normalization, then `rounds` synchronized peel
     * rounds unrolled (degree among the previous survivor set, keep ≥ k).
     * k-core is confluent and `rounds` exceeds the measured fixpoint (~20
-    * at this corpus), so the extra rounds are no-ops and both engines land
-    * on the identical unique core. Integer end-to-end, hash-exact. */
+    * at this corpus; the 2× slack exists because cascade length is
+    * data-dependent and a too-small unroll would diverge from the
+    * converged operator SILENTLY — the CLAUDE.md one-dataset-away class;
+    * post-fixpoint rounds are cheap no-ops over the surviving core), so
+    * both engines land on the identical unique core. Integer end-to-end,
+    * hash-exact. */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH n1 AS (SELECT count(*)::BIGINT AS cnt FROM documents),
-        | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
-        |   FROM documents, n1, unnest([1, 2, 3]) AS t(j)),
-        | eq AS (SELECT src,
-        |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
-        | er AS (SELECT doc_id AS src, (doc_id + d) % 50 AS dst
-        |   FROM documents, unnest([1, 2, 3]) AS t(d) WHERE doc_id < 50),
-        | eall AS (SELECT src, dst FROM eq UNION ALL SELECT src, dst FROM er),
+      s"""WITH $quadRingCtesSql,
         | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |   FROM eall WHERE src <> dst),
+        |   FROM dedges WHERE src <> dst),
         | edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
         |   UNION ALL SELECT b AS src, a AS dst FROM und),
         | d0r AS (SELECT src AS v, count(*)::BIGINT AS c FROM edges GROUP BY 1),
@@ -3787,20 +3799,14 @@ object SparkEntry {
       "q_pagerank" -> pageRankOracleSql(8),
       "q_hits" -> hitsOracleSql(3),
       "q_labelprop" -> labelPropOracleSql(4),
-      "q_kcore" -> kCoreOracleSql(k = 5, rounds = 26),
+      "q_kcore" -> kCoreOracleSql(k = 5, rounds = 40),
       // HyperBall replica: same directed quad+ring edges, HLL register
       // init per vertex (md5 of the id string — the Hll layout), two
       // unrolled max-merge rounds, the q_hll integer summary arithmetic,
       // and the exact radius-2 ball via two set-union expansions.
       "q_hyperball" ->
-        s"""WITH nn AS (SELECT count(*)::BIGINT AS cnt FROM documents),
-           | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt
-           |   FROM documents, nn, unnest([1, 2, 3]) AS t(j)),
-           | eq AS (SELECT src,
-           |   CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst FROM e0),
-           | er AS (SELECT doc_id AS src, (doc_id + d) % 50 AS dst
-           |   FROM documents, unnest([1, 2, 3]) AS t(d) WHERE doc_id < 50),
-           | edges AS MATERIALIZED (SELECT src, dst FROM eq UNION ALL SELECT src, dst FROM er),
+        s"""WITH $quadRingCtesSql,
+           | edges AS MATERIALIZED (SELECT src, dst FROM dedges),
            | verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)),
            | h AS (SELECT v, ((('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT
            |                   & 9223372036854775807)::BIGINT) AS h63 FROM verts),

@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   *      boilerplate shingle in 10^6 docs would alone emit 10^12/2 pairs,
   *      the cap bounds per-shingle fanout at maxDf²/2. The cut is
   *      OBSERVABLE (dropped shingle keys + dropped occurrence rows ride an
-  *      `Observation`), never silent; recall is lost only for pairs whose
-  *      every shared shingle is corpus-hot;
+  *      `Observation`), never silent. Recall trade, stated precisely: the
+  *      denominator |S(A)| KEEPS cut shingles, so every corpus-hot shingle
+  *      a doc carries deflates its computed C — a true containment is
+  *      missed once more than (1−tau) of the contained doc's shingles are
+  *      hot, even if all its surviving shingles are shared. Size maxDf (or
+  *      lower tau) against the corpus's boilerplate profile;
   *   3. the self-join on the surviving shingle key + one (a,b) aggregate
   *      with map-side partials → exact intersection sizes;
   *   4. verdict: direction points at the SMALLER set (tie → larger id);

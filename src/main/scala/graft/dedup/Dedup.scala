@@ -331,20 +331,12 @@ object Components {
       val prev = labels
       labels = next
       iter += 1
-      dropCheckpoint(prev)
+      graft.Lineage.dropCheckpoint(prev)
     }
-    dropCheckpoint(edges)
+    graft.Lineage.dropCheckpoint(edges)
     labels
   }
 
-  /** Unpersist the materialized RDD blocks behind a localCheckpoint'd
-    * Dataset (safe only once nothing will read it again — its lineage is
-    * truncated, so the blocks cannot be recomputed). */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
 
   /** Exact small-set path: union-find with path compression over the
     * collected edges, then comp = min id per component. */

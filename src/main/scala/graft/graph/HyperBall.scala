@@ -52,7 +52,7 @@ object HyperBall {
       val next = r.unionByName(fromNbrs)
         .groupBy("key", "j").agg(max("m").as("m"))
         .localCheckpoint()
-      dropCheckpoint(r)
+      graft.Lineage.dropCheckpoint(r)
       r = next
       t += 1
     }
@@ -65,10 +65,4 @@ object HyperBall {
   def run(edges: DataFrame, radius: Int): DataFrame =
     Hll.summarize(registers(edges, radius)).withColumnRenamed("key", "v")
 
-  /** Unpersist a superseded localCheckpoint's blocks now. */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
 }

@@ -63,17 +63,10 @@ object KCore {
       e = next
       cnt = newCnt
       iter += 1
-      dropCheckpoint(prev)
+      graft.Lineage.dropCheckpoint(prev)
     }
     e.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("id"), col("core_deg"))
   }
 
-  /** Unpersist a superseded localCheckpoint's blocks now (no-op via
-    * Dataset.unpersist — checkpoints never enter the CacheManager). */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
 }
