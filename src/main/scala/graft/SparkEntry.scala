@@ -1184,6 +1184,18 @@ object SparkEntry {
     // assembly (prefix-truncating greedy packing; the LLM call itself stays
     // out of scope, SURVEY §2.8). tokens = max(1, len/4) — the billing
     // convention — and at budget 400 the BM25 top-10 truncates mid-list.
+    // --- balanced serpentine output sharding (the training-corpus write
+    // layout): 7 shards dealt boustrophedon by (char weight DESC, id) via
+    // the distributed two-pass rank — every assignment a pure integer
+    // function of global rank, no global window. Oracle replays the rank
+    // and the fold arithmetic (tie order on the STRING id, the operator's
+    // contract).
+    "q_shards" -> ((s, dir) => {
+      graft.text.Sharding.assign(
+          t(s, dir, "documents").select(col("doc_id"), length(col("text")).as("w")),
+          "doc_id", "w", nShards = 7)
+        .select(col("id").cast("long").as("doc_id"), col("w"), col("shard"))
+    }),
     // --- KWIC snippets over the BM25 top-10 (the passage-highlight step
     // between ranked ids and human eyes): densest width-12 query-term
     // window, tie to earliest — integer scoring, the snippet is the
@@ -3497,6 +3509,17 @@ object SparkEntry {
       // rank over the ROUNDED bm25 scores (ties -> smaller doc), prefix-
       // truncating token-budget selection: cum tokens monotone, so
       // cum <= budget IS "stop at the first overflow"
+      // Serpentine sharding: global rank by (w DESC, id-as-STRING) then
+      // the integer fold — r0 div 7 even -> forward position, odd ->
+      // reversed. The one window is over ranks only (the operator computes
+      // the same rank distributively).
+      "q_shards" ->
+        """WITH w AS (SELECT doc_id, len(text)::BIGINT AS w FROM documents),
+          | r AS (SELECT doc_id, w,
+          |    row_number() OVER (ORDER BY w DESC, doc_id::VARCHAR) - 1 AS r0 FROM w)
+          |SELECT doc_id, w,
+          |  CASE WHEN (r0 // 7) % 2 = 0 THEN r0 % 7 ELSE 6 - (r0 % 7) END AS shard
+          |FROM r""".stripMargin,
       // KWIC snippets: the q_context BM25 composition (same scored/ranked
       // CTEs, same rank <= 10 cut) feeding a per-doc window replay —
       // running hit sums over token positions (ROWS CURRENT..11 FOLLOWING
