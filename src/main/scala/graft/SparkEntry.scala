@@ -1184,6 +1184,16 @@ object SparkEntry {
     // assembly (prefix-truncating greedy packing; the LLM call itself stays
     // out of scope, SURVEY §2.8). tokens = max(1, len/4) — the billing
     // convention — and at budget 400 the BM25 top-10 truncates mid-list.
+    // --- pseudo-relevance feedback (Rocchio): top-10 feedback docs mine
+    // 5 all-integer-ranked expansion terms (q_prf_terms), then the corpus
+    // re-scores under original ∪ mined (q_prf — every matching doc, 4-dp
+    // rounded, no final top-k boundary).
+    "q_prf_terms" -> ((s, dir) =>
+      graft.index.Prf.expansionTerms(t(s, dir, "documents"), "doc_id", "text",
+        "spark filter join table", k = 10, m = 5)),
+    "q_prf" -> ((s, dir) =>
+      graft.index.Prf.search(t(s, dir, "documents"), "doc_id", "text",
+        "spark filter join table", k = 10, m = 5)),
     // --- balanced serpentine output sharding (the training-corpus write
     // layout): 7 shards dealt boustrophedon by (char weight DESC, id) via
     // the distributed two-pass rank — every assignment a pure integer
@@ -2268,6 +2278,25 @@ object SparkEntry {
     }
     sb.append(s"\nSELECT v AS doc_id, c AS core_deg FROM d$rounds WHERE c >= $k")
     sb.toString
+  }
+
+  /** Shared PRF mining CTEs (q_prf_terms / q_prf): ROUNDED-score BM25
+    * ranking → top-10 feedback set → masked feedback vocabulary →
+    * integer-ranked top-5 `mined` terms. */
+  private def prfMinedCtes: String = {
+    val stop = graft.index.Keywords.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""scored AS (${bm25OracleSql("")}),
+       | ranked AS (SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS rank FROM scored),
+       | fb AS (SELECT doc FROM ranked WHERE rank <= 10),
+       | ftoks AS (SELECT f.doc, t AS term
+       |   FROM fb f JOIN documents d ON d.doc_id = f.doc,
+       |     unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), x -> len(x) > 0)) AS u(t)
+       |   WHERE len(t) >= 4 AND t NOT IN ($stop)
+       |     AND t NOT IN ('spark', 'filter', 'join', 'table')),
+       | ftf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM ftoks GROUP BY 1, 2),
+       | mined AS (SELECT term, sum(tf)::BIGINT AS tf_sum, count(*)::BIGINT AS df_fb,
+       |    row_number() OVER (ORDER BY sum(tf) DESC, count(*) DESC, term) AS rank
+       |   FROM ftf GROUP BY term QUALIFY rank <= 5)""".stripMargin
   }
 
   private def bm25OracleSql(where: String, idExpr: String = "doc_id",
@@ -3509,6 +3538,29 @@ object SparkEntry {
       // rank over the ROUNDED bm25 scores (ties -> smaller doc), prefix-
       // truncating token-budget selection: cum tokens monotone, so
       // cum <= budget IS "stop at the first overflow"
+      // PRF: feedback ranking on the ROUNDED bm25 CTE, mining replayed
+      // with the Keywords mask + query-term exclusion, integer rank; the
+      // re-score is the bm25 body with q = original UNION mined (disjoint
+      // by construction — no double-counted term).
+      "q_prf_terms" ->
+        s"""WITH $prfMinedCtes
+           |SELECT rank, term, tf_sum, df_fb FROM mined""".stripMargin,
+      "q_prf" ->
+        s"""WITH $prfMinedCtes,
+           | q AS (SELECT term FROM mined
+           |   UNION ALL SELECT t AS term FROM unnest(['spark', 'filter', 'join', 'table']) AS u(t)),
+           | toks2 AS (SELECT doc_id AS doc,
+           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+           |   FROM documents),
+           | tf2 AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks2 GROUP BY 1, 2),
+           | dl2 AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks2 GROUP BY 1),
+           | stats2 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl2),
+           | df2 AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf2 JOIN q USING(term) GROUP BY 1)
+           |SELECT doc, round(sum(
+           |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+           |FROM tf2 JOIN q USING(term) JOIN df2 USING(term) JOIN dl2 USING(doc) CROSS JOIN stats2
+           |GROUP BY doc""".stripMargin,
       // Serpentine sharding: global rank by (w DESC, id-as-STRING) then
       // the integer fold — r0 div 7 even -> forward position, odd ->
       // reversed. The one window is over ranks only (the operator computes
