@@ -1555,6 +1555,20 @@ object SparkEntry {
           iters = 8)
         .select(col("id").as("doc_id"), col("rank"))
     }),
+    // --- TrustRank (seed-teleport PageRank, the published link-spam
+    // damper) over the quad+ring graph: trusted seeds doc_id % 17 == 3,
+    // 4 iterations — the ring mostly holds no seed, so its members score
+    // only what quad in-links carry in (reachability-from-trust visible
+    // in the gate rows). Integer end-to-end like q_pagerank.
+    "q_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      graft.graph.TrustRank.run(quadRingEdges(docs, n),
+          docs.select(col("doc_id").as("id")),
+          docs.where(col("doc_id") % 17 === 3).select(col("doc_id").as("id")),
+          iters = 4)
+        .select(col("id").as("doc_id"), col("rank"))
+    }),
     // --- HITS hubs/authorities over the same quadratic pseudo-graph:
     // UNNORMALIZED integer power rounds (normalization is a per-round
     // global scalar — rankings identical without it), bit-exact on any
@@ -2167,6 +2181,29 @@ object SparkEntry {
         | c$i AS (SELECT ed.dst AS id, sum((r.rank * 17) // (20 * ed.outdeg)) AS inflow
         |   FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY 1),
         | r$i AS (SELECT n.id, 150000000000 + coalesce(c.inflow, 0) AS rank
+        |   FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id AS doc_id, rank FROM r$iters")
+    sb.toString
+  }
+
+  /** DuckDB replica of [[graft.graph.TrustRank.run]] over the quad+ring
+    * harness: the pageRank unroll with the teleport top-up gated by the
+    * seed flag (doc_id % 17 == 3) — all BIGINT, hash-exact. */
+  private def trustRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $quadRingCtesSql,
+        | nodes AS (SELECT doc_id AS id,
+        |   CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS s FROM documents),
+        | deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM dedges GROUP BY 1),
+        | ed AS (SELECT e.src, e.dst, d.outdeg FROM dedges e JOIN deg d ON e.src = d.src),
+        | r0 AS (SELECT id, (s * 1000000000000)::BIGINT AS rank FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        | c$i AS (SELECT ed.dst AS id, sum((r.rank * 17) // (20 * ed.outdeg)) AS inflow
+        |   FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY 1),
+        | r$i AS (SELECT n.id, (n.s * 150000000000 + coalesce(c.inflow, 0))::BIGINT AS rank
         |   FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin)
     }
     sb.append(s"\nSELECT id AS doc_id, rank FROM r$iters")
@@ -3872,6 +3909,7 @@ object SparkEntry {
           |SELECT k.doc_id, k.title, p.id_b IS NOT NULL AS is_fuzzy_dup, p.dup_of
           |FROM k LEFT JOIN p ON p.id_b = k.doc_id""".stripMargin,
       "q_pagerank" -> pageRankOracleSql(8),
+      "q_trustrank" -> trustRankOracleSql(4),
       "q_hits" -> hitsOracleSql(3),
       "q_labelprop" -> labelPropOracleSql(4),
       "q_kcore" -> kCoreOracleSql(k = 5, rounds = 40),

@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+  * published web-spam countermeasure: PageRank whose TELEPORT is
+  * restricted to a hand-vetted seed set of trusted pages, so trust flows
+  * out along links and a page's score measures its link-distance-weighted
+  * reachability FROM trust. Spam farms that boost ordinary PageRank by
+  * dense self-linking get nothing unless a trusted page links in —
+  * exactly the ranking crawl pipelines use to damp link spam before
+  * quality weighting.
+  *
+  * Same determinism contract as [[PageRank]] (it is the biased-teleport
+  * member of that family): 64-bit integer mass units, floor-div edge
+  * shares, teleport (here: seed-only top-up) in exact integers — ranks
+  * are bit-reproducible on any engine and partitioning with NO float
+  * contract; dangling/floor mass dissipates (the documented scale trade).
+  * The published d/|S| seed normalization is a global scalar — dropping
+  * it (every seed gets the full teleport quantum) leaves all ratios and
+  * rankings untouched and keeps the arithmetic integral.
+  *
+  * Plan shape per iteration: identical to PageRank — one dst-keyed
+  * contribution aggregate + the src rank join, `localCheckpoint` lineage
+  * truncation; the seed flag rides the node relation as an integer
+  * column (0/1), so the top-up is a multiply, not a join. */
+object TrustRank {
+
+  /** (id, rank) after `iters` iterations; non-seed, unreached nodes hold
+    * rank 0. `seeds` is an (id) relation (duplicates tolerated). */
+  def run(edges: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: Int,
+          base: Long = 1000000000000L,
+          dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampDen > dampNum,
+      s"bad damping $dampNum/$dampDen or iters $iters")
+    val teleport = base / dampDen * (dampDen - dampNum)
+    val ed = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val tagged = nodes.select(col("id"))
+      .join(seeds.select(col("id")).distinct()
+        .withColumn("is_seed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("s"))
+      .localCheckpoint()
+    // the initial ranks are their OWN checkpoint so the per-round
+    // dropCheckpoint(prev) never reaches through to `tagged`'s blocks
+    // (tagged is re-read every round)
+    var r = tagged.select(col("id"), (col("s") * base).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst").as("id"),
+          expr(s"(rank * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      val prev = r
+      r = tagged
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("s") * teleport + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      graft.Lineage.dropCheckpoint(prev)
+    }
+    r
+  }
+}
