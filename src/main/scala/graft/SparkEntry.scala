@@ -1903,9 +1903,13 @@ object SparkEntry {
           val file =
             if (b % 2 == 1) graft.corpus.WarcGen.gzFile(bytes.toSeq)
             else graft.corpus.WarcGen.file(bytes.toSeq)
-          graft.warc.Warc.parseFile(name, file).iterator.map(r =>
-            (r.warc_file, r.rec_idx, r.offset, r.url, r.content_length,
-              new String(r.payload, "UTF-8")))
+          // the STREAMING parser (tiny chunks force window refills) — the
+          // gate pins the O(record)-memory path; parseFile parity is spec'd
+          graft.warc.Warc.parseStream(name,
+              new java.io.ByteArrayInputStream(file), chunkSize = 512)
+            .map(r =>
+              (r.warc_file, r.rec_idx, r.offset, r.url, r.content_length,
+                new String(r.payload, "UTF-8")))
         }
         .toDF("warc_file", "rec_idx", "offset", "url", "content_length", "body")
     }),

@@ -89,21 +89,25 @@ object Warc {
   }
 
   /** Parse one record starting exactly at a magic at `start`.
-    * Returns Right((row-sans-file, endPos)) or Left(resumePos) where
-    * resumePos is where the resync scan should continue (start + 1). */
+    * Returns Right((row-sans-file, endPos)) or Left((resumePos,
+    * needMoreBytes)) where resumePos is where the resync scan should
+    * continue (start + 1) and needMoreBytes distinguishes "ran off the end
+    * of the buffer" (a longer buffer could succeed — the streaming reader
+    * refills and retries) from structural malformation (no amount of
+    * further input changes the verdict). [[parseFile]] ignores the flag
+    * (it always holds the whole input). */
   private def parseRecord(b: Array[Byte], start: Int)
-      : Either[Int, (Long, String, String, String, Long, Array[Byte], Int)] = {
+      : Either[(Int, Boolean), (Long, String, String, String, Long, Array[Byte], Int)] = {
     var pos = start
     var url = ""
     var wtype = ""
     var date = ""
     var clen = -1L
     var headerEnd = -1
-    var bad = false
     // header lines until the blank CRLF line
-    while (headerEnd < 0 && !bad) {
+    while (headerEnd < 0) {
       val eol = nextCrlf(b, pos)
-      if (eol < 0) bad = true // truncated header
+      if (eol < 0) return Left((start + 1, true)) // ran off the buffer end
       else if (eol == pos) headerEnd = eol // blank line
       else {
         val line = new String(b, pos, eol - pos, "UTF-8")
@@ -123,14 +127,15 @@ object Warc {
         pos = eol + 2
       }
     }
-    if (bad || clen < 0) return Left(start + 1)
+    if (clen < 0) return Left((start + 1, false))
     val payloadStart = headerEnd + 2
-    if (clen > Int.MaxValue - 4 || payloadStart + clen + 4 > b.length)
-      return Left(start + 1) // truncated payload/trailer
+    if (clen > Int.MaxValue - 4) return Left((start + 1, false))
+    if (payloadStart + clen + 4 > b.length)
+      return Left((start + 1, true)) // payload/trailer past the buffer end
     val pEnd = payloadStart + clen.toInt
     if (!(b(pEnd) == '\r' && b(pEnd + 1) == '\n' &&
           b(pEnd + 2) == '\r' && b(pEnd + 3) == '\n'))
-      return Left(start + 1) // payload length disagrees with trailer
+      return Left((start + 1, false)) // payload length disagrees with trailer
     val payload = java.util.Arrays.copyOfRange(b, payloadStart, pEnd)
     Right((start.toLong, url, wtype, date, clen, payload, pEnd + 4))
   }
@@ -149,7 +154,7 @@ object Warc {
           out += WarcRow(name, idx, off, url, wtype, date, clen, payload)
           idx += 1
           pos = nextMagic(b, end)
-        case Left(resume) =>
+        case Left((resume, _)) =>
           pos = nextMagic(b, resume)
       }
     }
@@ -167,6 +172,129 @@ object Warc {
       .flatMap { case (p, content) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
         parseFile(name, content)
+      }
+      .toDF()
+  }
+
+  /** Incremental record iterator over a byte STREAM — identical rows to
+    * [[parseFile]] (same `parseRecord` on the same bytes, same start+1
+    * resync rule) but with **O(largest record) memory instead of
+    * O(file)**: `read` holds each whole (decompressed) archive as one
+    * array — ~1 GB gzip members inflate to several GB per task — while
+    * this reader keeps a sliding window that is compacted after every
+    * record and grown past a chunk only when a single record genuinely
+    * spans further (`needMoreBytes` from the parser, never a guess).
+    * Gzip (member or whole-stream) is detected from the first two bytes
+    * and inflated incrementally by the same transparently-concatenating
+    * GZIPInputStream. The caller owns closing `in0`. `chunkSize` is a test
+    * seam (small chunks force every refill/compaction boundary). */
+  def parseStream(name: String, in0: java.io.InputStream,
+                  chunkSize: Int = 256 << 10): Iterator[WarcRow] = {
+    val bin = new java.io.BufferedInputStream(in0, 64 << 10)
+    bin.mark(2)
+    val b0 = bin.read(); val b1 = bin.read()
+    bin.reset()
+    val in: java.io.InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(bin, 64 << 10)
+      else bin
+
+    new Iterator[WarcRow] {
+      private var buf = new Array[Byte](0) // live window
+      private var base = 0L                // global (decoded) offset of buf(0)
+      private var scanPos = 0              // next resync-scan index in buf
+      private var eof = false
+      private var idx = 0L
+      private var row: WarcRow = _
+      private var done = false
+
+      private def fill(): Boolean = {
+        if (eof) return false
+        val chunk = new Array[Byte](chunkSize)
+        val n = in.read(chunk)
+        if (n < 0) { eof = true; false }
+        else {
+          val nb = new Array[Byte](buf.length + n)
+          System.arraycopy(buf, 0, nb, 0, buf.length)
+          System.arraycopy(chunk, 0, nb, buf.length, n)
+          buf = nb
+          true
+        }
+      }
+      /** Drop buf[0, from) — every live index must be rebased by caller. */
+      private def compact(from: Int): Unit = if (from > 0) {
+        buf = java.util.Arrays.copyOfRange(buf, from, buf.length)
+        base += from
+      }
+      private def advance(): Unit = {
+        row = null
+        while (row == null) {
+          val m = nextMagic(buf, scanPos)
+          if (m < 0) {
+            // no magic in the window: keep only a magic-prefix tail
+            val keep = math.max(scanPos, buf.length - (Magic.length - 1))
+            compact(keep)
+            scanPos = 0
+            if (!fill()) { done = true; return }
+          } else {
+            parseRecord(buf, m) match {
+              case Right((off, url, wtype, date, clen, payload, end)) =>
+                row = WarcRow(name, idx, base + off, url, wtype, date, clen, payload)
+                idx += 1
+                compact(end)
+                scanPos = 0
+              case Left((resume, needMore)) =>
+                if (needMore && !eof) {
+                  // the record may simply span the window: anchor the
+                  // window at its start and read on (bounded by ONE record)
+                  compact(m)
+                  scanPos = 0
+                  fill()
+                } else {
+                  // structural malformation (or truncation at real EOF):
+                  // the parseFile resync rule, start + 1
+                  scanPos = resume
+                }
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (row == null && !done) advance()
+        row != null
+      }
+      override def next(): WarcRow = {
+        if (!hasNext) throw new NoSuchElementException("WARC stream exhausted")
+        val r = row
+        row = null
+        r
+      }
+    }
+  }
+
+  /** Distributed STREAMING reader: same rows and schema as [[read]], but
+    * each task streams its file through [[parseStream]] — memory per task
+    * is O(largest record), so multi-GB archives (decompressed) no longer
+    * need to fit in executor memory. File paths come from the binaryFile
+    * source with the content column pruned away (a metadata-only listing);
+    * one shuffle on the raw path spreads files across tasks; streams are
+    * closed on task completion. */
+  def readStreaming(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path")).as[String]
+    val hc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    files.repartition(col("path"))
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        val fs = hp.getFileSystem(hc.value.value)
+        val in = fs.open(hp)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        parseStream(p.substring(p.lastIndexOf('/') + 1), in)
       }
       .toDF()
   }

@@ -88,4 +88,65 @@ class WarcSpec extends SparkSuiteBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  private def key(r: Warc.WarcRow) =
+    (r.warc_file, r.rec_idx, r.offset, r.url, r.warc_type, r.warc_date,
+      r.content_length, new String(r.payload, "UTF-8"))
+
+  test("parseStream == parseFile byte-for-byte at every tiny chunk size") {
+    val recs = (0 until 6).map(i => rec(s"doc://$i", s"payload $i " * (i * 17 + 1)))
+    val junk1 = "NOT A RECORD\r\n\r\n".getBytes("UTF-8")
+    val junk2 = "WARC/1.0\r\nbroken header no blank line yet".getBytes("UTF-8")
+    val wrongLen = ("WARC/1.0\r\nWARC-Target-URI: doc://y\r\nContent-Length: 3\r\n\r\n" +
+      "payloadlongerthan3\r\n\r\n").getBytes("UTF-8")
+    val cases = Seq(
+      "plain" -> WarcGen.file(recs),
+      "gz" -> WarcGen.gzFile(recs),
+      "garbage" -> (junk1 ++ recs.head ++ junk2 ++ recs(1) ++ wrongLen ++ recs(2) ++ junk1),
+      "trunc" -> (recs.head ++ recs(1).dropRight(9)),
+      "empty" -> Array.emptyByteArray)
+    for ((label, bytes) <- cases; chunk <- Seq(7, 64, 8192)) {
+      val want = Warc.parseFile("s.warc", bytes).map(key)
+      val got = Warc.parseStream("s.warc",
+        new java.io.ByteArrayInputStream(bytes), chunkSize = chunk).toVector.map(key)
+      assert(got == want, s"case $label chunk $chunk")
+    }
+  }
+
+  test("parseStream replays the start+1 resync: embedded record inside a corrupt wrapper") {
+    val inner = rec("doc://inner", "inner body text")
+    val wrapper = (s"WARC/1.0\r\nWARC-Target-URI: doc://outer\r\nContent-Length: 7\r\n\r\n")
+      .getBytes("UTF-8") ++ inner ++ "\r\n\r\n".getBytes("UTF-8")
+    val want = Warc.parseFile("w.warc", wrapper)
+    assert(want.map(_.url) == Vector("doc://inner")) // the wrapper fails its trailer check
+    for (chunk <- Seq(5, 64, 1 << 20)) {
+      val got = Warc.parseStream("w.warc",
+        new java.io.ByteArrayInputStream(wrapper), chunkSize = chunk).toVector
+      assert(got.map(key) == want.map(key), s"chunk $chunk")
+    }
+  }
+
+  test("readStreaming: same rows as read over a dir, O(record) memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("warcstream")
+    try {
+      val a = WarcGen.file(Seq(rec("doc://1", "alpha"), rec("doc://2", "beta" * 2000)))
+      val b = WarcGen.gzFile((0 until 5).map(i => rec(s"doc://g$i", s"gz body $i " * 50)))
+      val junk = "junk ".getBytes("UTF-8") ++ WarcGen.file(Seq(rec("doc://j", "after junk")))
+      java.nio.file.Files.write(dir.resolve("a.warc"), a)
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"), b)
+      java.nio.file.Files.write(dir.resolve("c.warc"), junk)
+      def collect(df: org.apache.spark.sql.DataFrame) = df
+        .selectExpr("warc_file", "rec_idx", "offset", "url", "content_length",
+          "cast(payload as string) AS body")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getString(5))).toSet
+      val got = collect(Warc.readStreaming(spark, dir.toString))
+      val want = collect(Warc.read(spark, dir.toString))
+      assert(got == want && want.size == 8)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
