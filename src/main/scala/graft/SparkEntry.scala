@@ -37,6 +37,9 @@ object SparkEntry {
 
   /** sf dir → tombstone-upserted ANN index root for q_ann_upsert. */
   private val annUpsertRootFor = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** sf dir → positional index root for q_index_phrase. */
+  private val phraseIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
   private val annFacetRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
   /** sf dir → catalog-table name suffix for q_bucketed (the bucketed write
@@ -1765,6 +1768,39 @@ object SparkEntry {
         r
       }))
       graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
+    }),
+    // --- exact-phrase retrieval over the MATERIALIZED POSITIONAL index:
+    // q_phrase's planted-occurrence harness PLUS an upsert wave (every
+    // 10th doc tombstoned and re-appended with one extra occurrence),
+    // spread over 2 positional segments — phraseSearch must resolve the
+    // slot-fill entirely from committed (term, doc, pos) rows, honoring
+    // tombstones, and equal the corpus-scan arithmetic over the
+    // post-upsert corpus (the oracle). All integer.
+    "q_index_phrase" -> ((s, dir) => {
+      val root = phraseIndexRootFor.synchronized(phraseIndexRootFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-pidx-")
+        val id = col("doc_id")
+        val harness = t(s, dir, "documents").select(id.cast("string").as("id"),
+          concat(col("text"),
+            when(id % 9 === 4, lit(" machine learning pipeline scales well"))
+              .otherwise(lit("")),
+            when(id % 27 === 13,
+              lit(" machine learning pipeline again machine learning pipeline"))
+              .otherwise(lit(""))).as("text"),
+          lit(false).as("is_duplicate"))
+        graft.jobs.IndexJob.build(s,
+          harness.filter(col("id").cast("long") % 2 === 0), r, positions = true)
+        graft.jobs.IndexJob.build(s,
+          harness.filter(col("id").cast("long") % 2 === 1), r, positions = true)
+        val changed = harness.filter(col("id").cast("long") % 10 === 0)
+          .withColumn("text",
+            concat(col("text"), lit(" machine learning pipeline upsert")))
+        graft.jobs.IndexJob.tombstone(s, r, changed.select(col("id").as("doc")))
+        graft.jobs.IndexJob.build(s, changed, r, positions = true)
+        r
+      }))
+      graft.jobs.IndexJob.phraseSearch(s, root, "Machine, LEARNING pipeline!")
+        .select(col("doc").cast("long").as("doc_id"), col("n_matches"))
     }),
     // --- R1×R2 facet-filtered retrieval over the MATERIALIZED index (the
     // reference's where=-filtered collection query, question_rag.py:130-194):
@@ -4436,6 +4472,23 @@ object SparkEntry {
         """WITH h AS (SELECT doc_id, text ||
           |   CASE WHEN doc_id % 9 = 4 THEN ' machine learning pipeline scales well' ELSE '' END ||
           |   CASE WHEN doc_id % 27 = 13 THEN ' machine learning pipeline again machine learning pipeline' ELSE '' END AS text
+          |  FROM documents),
+          | toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
+          | tp0 AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM toks),
+          | tokpos AS (SELECT doc_id, pos, toks[pos+1] AS term FROM tp0),
+          | slots(term, slot) AS (VALUES ('machine', 0), ('learning', 1), ('pipeline', 2)),
+          | occ AS (SELECT t.doc_id, t.pos - s.slot AS anchor
+          |   FROM tokpos t JOIN slots s ON s.term = t.term
+          |   WHERE t.pos - s.slot >= 0
+          |   GROUP BY 1, 2 HAVING count(*) = 3)
+          |SELECT doc_id, count(*)::BIGINT AS n_matches FROM occ GROUP BY doc_id""".stripMargin,
+      // positional-index phrase gate: the q_phrase arithmetic over the
+      // POST-UPSERT corpus (extra CASE for the every-10th re-append)
+      "q_index_phrase" ->
+        """WITH h AS (SELECT doc_id, text ||
+          |   CASE WHEN doc_id % 9 = 4 THEN ' machine learning pipeline scales well' ELSE '' END ||
+          |   CASE WHEN doc_id % 27 = 13 THEN ' machine learning pipeline again machine learning pipeline' ELSE '' END ||
+          |   CASE WHEN doc_id % 10 = 0 THEN ' machine learning pipeline upsert' ELSE '' END AS text
           |  FROM documents),
           | toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM h),
           | tp0 AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM toks),

@@ -46,7 +46,7 @@ object IndexJob {
     * where= filters at :168-175). [[search]] filters against it without
     * touching the corpus. */
   def build(spark: SparkSession, chunks: DataFrame, indexRoot: String,
-            facetCols: Seq[String] = Nil): Int = {
+            facetCols: Seq[String] = Nil, positions: Boolean = false): Int = {
     // chunk ids are content-derived (sha1(dochash:idx:chunkhash)), so
     // byte-identical documents under different urls yield identical ids —
     // indexing the same content id twice double-counts tf/dl. Dedup by id
@@ -90,6 +90,16 @@ object IndexJob {
     if (facetCols.nonEmpty)
       docs.drop("text").withColumn("sv", lit(v))
         .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
+    // positional postings (opt-in: ~dl rows per doc vs ~distinct terms for
+    // tf postings): the flat (term, doc, pos) relation phrase queries
+    // resolve against without ever re-tokenizing the corpus. Same
+    // term-range layout as postings so the phrase slot-join prunes files.
+    if (positions)
+      docs.select(col("doc"),
+          posexplode(Bm25.tokensCol(col("text"))).as(Seq("pos", "term")))
+        .withColumn("sv", lit(v))
+        .repartition(col("term")).sortWithinPartitions("term", "doc", "pos")
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/positions")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"segment-v$v"), Nil,
       Map("n_docs" -> obs.get("n").asInstanceOf[Long].toDouble,
@@ -129,10 +139,11 @@ object IndexJob {
   }
 
   private val CompactKey = "compact-v(\\d+)".r
-  private val KindDir = ".*/data/v(\\d+)/(postings|doclen|facets|tombstones)/.*\\.parquet".r
+  private val KindDir = ".*/data/v(\\d+)/(postings|doclen|facets|tombstones|positions)/.*\\.parquet".r
 
   private final case class Segments(postings: DataFrame, doclen: DataFrame,
-                                    facets: Option[DataFrame], tombs: Option[DataFrame])
+                                    facets: Option[DataFrame], tombs: Option[DataFrame],
+                                    positions: Option[DataFrame])
 
   /** Resolve the live relations purely from manifest state — which versions
     * have facet/tombstone tables is a fact of the COMMIT RECORD, not of
@@ -160,7 +171,7 @@ object IndexJob {
         .values.map(g => spark.read.parquet(g: _*)).toSeq
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    Segments(postings, doclen, facets, read("tombstones"))
+    Segments(postings, doclen, facets, read("tombstones"), read("positions"))
   }
 
   /** Drop rows whose doc has a live tombstone NEWER than the row's segment
@@ -218,6 +229,13 @@ object IndexJob {
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
         .drop("sv").withColumn("sv", lit(v))
         .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/facets")
+    }
+    seg.positions.foreach { p =>
+      dropTombstoned(p, seg.tombs)
+        .dropDuplicates("term", "doc", "pos")
+        .drop("sv").withColumn("sv", lit(v))
+        .repartition(col("term")).sortWithinPartitions("term", "doc", "pos")
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/positions")
     }
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"compact-v$v"), Nil, Map.empty)
@@ -278,5 +296,31 @@ object IndexJob {
       .orderBy(desc("score"), asc("doc"))
       .limit(k)
       .select(col("doc"), round(col("score"), 4).as("score"))
+  }
+
+  /** Exact-phrase occurrence counts per live doc — [[Bm25.phraseMatches]]'
+    * slot-fill arithmetic resolved ENTIRELY from the committed positional
+    * postings (segments built with `positions = true`), so phrase queries
+    * never re-tokenize the corpus: the positions relation is pruned to the
+    * phrase's terms by the broadcast slot join (query-bounded, file-pruned
+    * by the term-range layout), tombstones honored, overlapping segments
+    * deduped on the (doc, pos, slot) claim identity — repeated phrase
+    * terms (two slots per term) keep their two claims. All integer. */
+  def phraseSearch(spark: SparkSession, indexRoot: String, phrase: String): DataFrame = {
+    import spark.implicits._
+    val terms = graft.dedup.MinHash.tokenize(phrase).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val k = terms.length
+    val seg = segments(spark, indexRoot)
+    val pos = seg.positions.getOrElse(sys.error(
+      s"no positional segments in $indexRoot (build with positions = true)"))
+    val slots = terms.zipWithIndex.toDF("term", "slot")
+    dropTombstoned(pos.join(broadcast(slots), "term"), seg.tombs)
+      .dropDuplicates("doc", "pos", "slot")
+      .select(col("doc"), (col("pos") - col("slot")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc", "anchor").agg(count(lit(1)).as("filled"))
+      .filter(col("filled") === k)
+      .groupBy("doc").agg(count(lit(1)).as("n_matches"))
   }
 }
