@@ -1142,6 +1142,21 @@ object SparkEntry {
           urlLeafCol($"url").as("leaf"),
           urlDepthCol($"url").as("depth"))
     }),
+    // --- politeness-scheduled crawl frontier (Mercator per-host queues)
+    // over the q_url_facets synthetic urls: priority (doc_id·7 mod 100)
+    // DESC then url within each of ~97 hosts, 500 ms spacing, horizon 4 —
+    // the cap visibly binds (hosts hold ~5 urls at sf0.01). All integer.
+    "q_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(
+        concat(lit("https://host"), ($"doc_id" % 97).cast("string"),
+          lit(".example/"), $"source", lit("/item"), $"doc_id").as("url"),
+        concat(lit("host"), ($"doc_id" % 97).cast("string"),
+          lit(".example")).as("host"),
+        (($"doc_id" * 7) % 100).as("priority"))
+      graft.web.Frontier.schedule(urls, "url", "host", "priority",
+        delayMs = 500, maxPerHost = 4)
+    }),
     // --- RefinedWeb-style URL pre-filter (the cheapest 100-TB gate: no
     // text touched): q_url_facets' synthetic urls + a deterministic
     // blocklist of every 11th host domain; penalty words planted in the
@@ -3763,6 +3778,19 @@ object SparkEntry {
       // RefinedWeb URL pre-filter: domain extraction chain replicated
       // operator-for-operator (anchored regexes — first-match == global);
       // blocklist re-derived from the same residue rule
+      // frontier schedule: per-host rank under (priority DESC, url),
+      // horizon 4, 500 ms spacing — integer replay via QUALIFY
+      "q_frontier" ->
+        """WITH u AS (SELECT
+          |   'https://host' || (doc_id % 97)::VARCHAR || '.example/' || source
+          |     || '/item' || doc_id::VARCHAR AS url,
+          |   'host' || (doc_id % 97)::VARCHAR || '.example' AS host,
+          |   ((doc_id * 7) % 100)::BIGINT AS priority FROM documents),
+          | r AS (SELECT url, host, priority,
+          |    row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn FROM u)
+          |SELECT url, host, priority, (rn - 1)::BIGINT AS slot,
+          |  ((rn - 1) * 500)::BIGINT AS fetch_at_ms
+          |FROM r WHERE rn <= 4""".stripMargin,
       "q_url_filter" ->
         """WITH u AS (SELECT doc_id,
           |    'https://www.host' || (doc_id % 97)::VARCHAR || '.example/' || source || '/item' || doc_id::VARCHAR
