@@ -62,6 +62,10 @@ object TrustRank {
         .localCheckpoint()
       graft.Lineage.dropCheckpoint(prev)
     }
+    // the loop's working relations are done; the returned ranks are their
+    // own materialized checkpoint (the Components precedent)
+    graft.Lineage.dropCheckpoint(ed)
+    graft.Lineage.dropCheckpoint(tagged)
     r
   }
 }

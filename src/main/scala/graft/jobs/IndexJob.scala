@@ -143,7 +143,8 @@ object IndexJob {
 
   private final case class Segments(postings: DataFrame, doclen: DataFrame,
                                     facets: Option[DataFrame], tombs: Option[DataFrame],
-                                    positions: Option[DataFrame])
+                                    positions: Option[DataFrame],
+                                    kindVersions: Map[String, Set[Int]])
 
   /** Resolve the live relations purely from manifest state — which versions
     * have facet/tombstone tables is a fact of the COMMIT RECORD, not of
@@ -171,7 +172,12 @@ object IndexJob {
         .values.map(g => spark.read.parquet(g: _*)).toSeq
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    Segments(postings, doclen, facets, read("tombstones"), read("positions"))
+    val kindVersions = lake.state.fileVersions
+      .map(_._1)
+      .collect { case KindDir(v, kind) if liveSet(v.toInt) => kind -> v.toInt }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    Segments(postings, doclen, facets, read("tombstones"), read("positions"),
+      kindVersions)
   }
 
   /** Drop rows whose doc has a live tombstone NEWER than the row's segment
@@ -314,6 +320,14 @@ object IndexJob {
     val seg = segments(spark, indexRoot)
     val pos = seg.positions.getOrElse(sys.error(
       s"no positional segments in $indexRoot (build with positions = true)"))
+    // refuse PARTIAL coverage loudly: a live postings segment without a
+    // positions table would silently vanish from every phrase count
+    val missing = seg.kindVersions.getOrElse("postings", Set.empty) --
+      seg.kindVersions.getOrElse("positions", Set.empty)
+    require(missing.isEmpty,
+      s"segments ${missing.toSeq.sorted.mkString(", ")} in $indexRoot lack " +
+        "positions tables (built without positions = true) — phrase counts " +
+        "would silently omit their docs")
     val slots = terms.zipWithIndex.toDF("term", "slot")
     dropTombstoned(pos.join(broadcast(slots), "term"), seg.tombs)
       .dropDuplicates("doc", "pos", "slot")

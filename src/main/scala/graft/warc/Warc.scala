@@ -190,6 +190,7 @@ object Warc {
     * seam (small chunks force every refill/compaction boundary). */
   def parseStream(name: String, in0: java.io.InputStream,
                   chunkSize: Int = 256 << 10): Iterator[WarcRow] = {
+    require(chunkSize > 0, s"chunkSize $chunkSize") // 0 would spin forever
     val bin = new java.io.BufferedInputStream(in0, 64 << 10)
     bin.mark(2)
     val b0 = bin.read(); val b1 = bin.read()
@@ -207,15 +208,23 @@ object Warc {
       private var row: WarcRow = _
       private var done = false
 
-      private def fill(): Boolean = {
+      /** Append up to `want` bytes. GEOMETRIC refills (callers pass
+        * max(chunkSize, buf.length) when a record spans the window) keep
+        * total copying O(record) amortized — fixed-size refills would
+        * recopy the accumulated window per chunk, O(record²/chunk). */
+      private def fill(want: Int): Boolean = {
         if (eof) return false
-        val chunk = new Array[Byte](chunkSize)
-        val n = in.read(chunk)
-        if (n < 0) { eof = true; false }
+        val chunk = new Array[Byte](want)
+        var got = 0
+        var r = 0
+        while (got < want && { r = in.read(chunk, got, want - got); r >= 0 })
+          got += r
+        if (r < 0) eof = true
+        if (got == 0) false
         else {
-          val nb = new Array[Byte](buf.length + n)
+          val nb = new Array[Byte](buf.length + got)
           System.arraycopy(buf, 0, nb, 0, buf.length)
-          System.arraycopy(chunk, 0, nb, buf.length, n)
+          System.arraycopy(chunk, 0, nb, buf.length, got)
           buf = nb
           true
         }
@@ -234,7 +243,7 @@ object Warc {
             val keep = math.max(scanPos, buf.length - (Magic.length - 1))
             compact(keep)
             scanPos = 0
-            if (!fill()) { done = true; return }
+            if (!fill(chunkSize)) { done = true; return }
           } else {
             parseRecord(buf, m) match {
               case Right((off, url, wtype, date, clen, payload, end)) =>
@@ -245,10 +254,11 @@ object Warc {
               case Left((resume, needMore)) =>
                 if (needMore && !eof) {
                   // the record may simply span the window: anchor the
-                  // window at its start and read on (bounded by ONE record)
+                  // window at its start and read on (bounded by ONE
+                  // record; geometric want keeps the copying linear)
                   compact(m)
                   scanPos = 0
-                  fill()
+                  fill(math.max(chunkSize, buf.length))
                 } else {
                   // structural malformation (or truncation at real EOF):
                   // the parseFile resync rule, start + 1
@@ -289,7 +299,9 @@ object Warc {
         spark.sparkContext.hadoopConfiguration))
     files.repartition(col("path"))
       .flatMap { p =>
-        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        // Path(String) accepts both the URI form binaryFile emits and raw
+        // paths (a bare new URI(p) throws on unencoded spaces)
+        val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(hc.value.value)
         val in = fs.open(hp)
         Option(org.apache.spark.TaskContext.get())

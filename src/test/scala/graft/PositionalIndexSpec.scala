@@ -60,4 +60,12 @@ class PositionalIndexSpec extends SparkSuiteBase {
     val e = intercept[RuntimeException](matches(root, "quick brown"))
     assert(e.getMessage.contains("positions"))
   }
+
+  test("PARTIAL positional coverage refuses loudly instead of silently omitting docs") {
+    val root = java.nio.file.Files.createTempDirectory("posidx4").toString
+    IndexJob.build(spark, chunkRows(corpus.take(2)), root, positions = true)
+    IndexJob.build(spark, chunkRows(corpus.drop(2)), root) // no positions
+    val e = intercept[IllegalArgumentException](matches(root, "quick brown"))
+    assert(e.getMessage.contains("lack"))
+  }
 }

@@ -113,6 +113,12 @@ class WarcSpec extends SparkSuiteBase {
     }
   }
 
+  test("parseStream rejects a zero chunk size instead of spinning") {
+    val e = intercept[IllegalArgumentException](
+      Warc.parseStream("z.warc", new java.io.ByteArrayInputStream(Array[Byte]()), 0))
+    assert(e.getMessage.contains("chunkSize"))
+  }
+
   test("parseStream replays the start+1 resync: embedded record inside a corrupt wrapper") {
     val inner = rec("doc://inner", "inner body text")
     val wrapper = (s"WARC/1.0\r\nWARC-Target-URI: doc://outer\r\nContent-Length: 7\r\n\r\n")
