@@ -1202,6 +1202,34 @@ object SparkEntry {
     // assembly (prefix-truncating greedy packing; the LLM call itself stays
     // out of scope, SURVEY §2.8). tokens = max(1, len/4) — the billing
     // convention — and at budget 400 the BM25 top-10 truncates mid-list.
+    // --- BM25F fielded ranking (Robertson–Zaragoza 2004): body text +
+    // aggregated in-link ANCHOR text (single-token anchors anch<k> over
+    // the quadratic pseudo-graph, sort-joined per target) as weighted
+    // fields — normalized field tfs sum into one pseudo-frequency before
+    // ONE saturation, the published web-search scoring shape. Query mixes
+    // body terms with an anchor class so both fields bind.
+    "q_bm25f" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
+      val body = docs.select(col("doc_id").cast("string").as("doc"),
+        lit("body").as("field"), col("text"))
+      val anchors = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+        .select(
+          when(col("d0") === col("src"), (col("d0") + 1) % n)
+            .otherwise(col("d0")).as("dst"),
+          concat(lit("anch"), ((col("src") + col("j")) % 13).cast("string")).as("a"))
+        .groupBy("dst")
+        .agg(array_join(sort_array(collect_list(col("a"))), " ").as("text"))
+        .select(col("dst").cast("string").as("doc"),
+          lit("anchor").as("field"), col("text"))
+      graft.index.Bm25F.scores(body.unionByName(anchors), "doc", "field", "text",
+          "spark filter join anch5",
+          Map("body" -> (1.0, 0.75), "anchor" -> (2.0, 0.5)))
+        .select(col("doc").cast("long").as("doc_id"), col("score"))
+    }),
     // --- pseudo-relevance feedback (Rocchio): top-10 feedback docs mine
     // 5 all-integer-ranked expansion terms (q_prf_terms), then the corpus
     // re-scores under original ∪ mined (q_prf — every matching doc, 4-dp
@@ -3630,6 +3658,40 @@ object SparkEntry {
       // rank over the ROUNDED bm25 scores (ties -> smaller doc), prefix-
       // truncating token-budget selection: cum tokens monotone, so
       // cum <= budget IS "stop at the first overflow"
+      // BM25F: the fielded arithmetic replayed — weighted normalized field
+      // tfs summed per (doc, term) before the single saturation; df/N on
+      // whole-doc presence; field params embedded as exact decimals
+      "q_bm25f" ->
+        """WITH nn AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+          | e0 AS (SELECT doc_id AS src, ((doc_id * doc_id + j) % cnt) AS d0, cnt, j
+          |   FROM documents, nn, unnest([1, 2, 3]) AS t(j)),
+          | eq AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % cnt ELSE d0 END AS dst,
+          |   'anch' || ((src + j) % 13)::VARCHAR AS a FROM e0),
+          | anch AS (SELECT dst::VARCHAR AS doc, 'anchor' AS field,
+          |   array_to_string(list_sort(list(a)), ' ') AS text FROM eq GROUP BY dst),
+          | fields AS (SELECT doc_id::VARCHAR AS doc, 'body' AS field, text FROM documents
+          |   UNION ALL SELECT doc, field, text FROM anch),
+          | toks AS (SELECT doc, field,
+          |   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM fields),
+          | tf AS (SELECT doc, field, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2, 3),
+          | flen AS (SELECT doc, field, count(*)::DOUBLE AS flen FROM toks GROUP BY 1, 2),
+          | avglen AS (SELECT field, avg(flen) AS avgflen FROM flen GROUP BY 1),
+          | nstat AS (SELECT count(DISTINCT doc)::DOUBLE AS n FROM flen),
+          | q(term) AS (SELECT unnest(['spark', 'filter', 'join', 'anch5'])),
+          | qtf AS (SELECT tf.doc, tf.field, tf.term, tf.tf FROM tf JOIN q USING(term)),
+          | dfq AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM qtf GROUP BY 1),
+          | p(field, w, b) AS (VALUES ('body', 1.0, 0.75), ('anchor', 2.0, 0.5)),
+          | tfn AS (SELECT qtf.doc, qtf.term,
+          |    sum(p.w * qtf.tf / (1.0 - p.b + p.b * f.flen / g.avgflen)) AS tfn
+          |   FROM qtf JOIN flen f ON f.doc = qtf.doc AND f.field = qtf.field
+          |   JOIN avglen g ON g.field = qtf.field
+          |   JOIN p ON p.field = qtf.field
+          |   GROUP BY 1, 2)
+          |SELECT doc::BIGINT AS doc_id, round(sum(
+          |  ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tfn / (1.2 + tfn)), 4) AS score
+          |FROM tfn JOIN dfq USING(term) CROSS JOIN nstat
+          |GROUP BY 1""".stripMargin,
       // PRF: feedback ranking on the ROUNDED bm25 CTE, mining replayed
       // with the Keywords mask + query-term exclusion, integer rank; the
       // re-score is the bm25 body with q = original UNION mined (disjoint
