@@ -349,6 +349,27 @@ object Plans {
          |leaf (Scan ExistingRDD) into a single partial-combined degree
          |aggregate; no 4^k lineage tree survives to the analyzer.""".stripMargin,
        graft.SparkEntry.queries("q_kcore")(spark, sfDir)),
+      ("BM25F fielded scoring (q_bm25f)",
+       """Check: the broadcast query-term join prunes the (doc, field, term)
+         |relation BEFORE flen/avglen/params joins (all BroadcastHashJoin on
+         |tiny sides); one (doc, term) partial-combined aggregate then one
+         |doc aggregate; the corpus tokenize is the only big scan.""".stripMargin,
+       graft.SparkEntry.queries("q_bm25f")(spark, sfDir)),
+      ("Crawl frontier schedule (q_frontier)",
+       """Check: ONE Exchange keyed on the raw host; the maxPerHost filter
+         |sits directly above its Window -> WindowGroupLimit (map-side
+         |truncation before the rank exchange).""".stripMargin,
+       graft.SparkEntry.queries("q_frontier")(spark, sfDir)),
+      ("Serpentine sharding (q_shards)",
+       """Check: NO global-order Window anywhere — the rank comes from the
+         |two-pass scan (range exchange + in-partition sort, a scalar counts
+         |collect, then a narrow MapPartitions); assignment is a projection.""".stripMargin,
+       graft.SparkEntry.queries("q_shards")(spark, sfDir)),
+      ("TrustRank, final round shape (q_trustrank)",
+       """Check: like q_kcore the loop is invisible — the final plan reads
+         |the last checkpoint leaf (Scan ExistingRDD); the seed top-up is a
+         |codegen'd multiply on the node relation, not a join.""".stripMargin,
+       graft.SparkEntry.queries("q_trustrank")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
