@@ -1056,6 +1056,15 @@ object SparkEntry {
         rates = Map("en" -> 50), defaultRate = 20)
         .select(col("doc_id"), col("lang"))
     }),
+    // --- EXACT-k per-stratum deterministic sample (the eval-set
+    // construction primitive): the 7 smallest-hash docs per source —
+    // WindowGroupLimit rank, replayed with QUALIFY over the same
+    // md5-top-64 order
+    "q_sample_k" -> ((s, dir) => {
+      graft.text.Sampling.sampleK(
+          t(s, dir, "documents"), col("doc_id"), col("source"), k = 7)
+        .select(col("doc_id"), col("source"))
+    }),
     // --- temperature-based domain rebalance (α = 0.5): flatten the lang
     // skew toward p_d ∝ √n_d; keep decision = md5 uniform vs sqrt(n_min/
     // n_d) — IEEE-exact in both engines, corpus never shuffles
@@ -4130,6 +4139,14 @@ object SparkEntry {
           |WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT::HUGEINT
           |        % 9223372036854775808) % 100)
           |      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END""".stripMargin,
+      // exact-k per-stratum: rank by the same masked md5 hash, key-string
+      // tiebreak, QUALIFY <= k
+      "q_sample_k" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          |    ORDER BY (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+          |              & 9223372036854775807), doc_id::VARCHAR) AS rk
+          |  FROM documents) WHERE rk <= 7""".stripMargin,
       // temperature rebalance: keep_p = sqrt(n_min/n_d) — sqrt and the
       // division are IEEE-correctly-rounded in both engines, and the
       // uniform's /2^63 scale is a pure exponent shift, so the comparison

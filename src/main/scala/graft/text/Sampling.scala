@@ -34,6 +34,27 @@ object Sampling {
     df.filter(hashMod < rateExpr)
   }
 
+  /** Deterministic EXACT-k per-stratum sample: the k rows with the
+    * smallest md5-top-64 key hash in each stratum — a uniform
+    * without-replacement sample (hash order is independent of every
+    * payload attribute) with the exact count [[stratified]]'s rate form
+    * cannot promise on small strata; the eval-set construction primitive.
+    * Growth-stable: a new row displaces at most the largest-hash member
+    * of its stratum, never reshuffling the rest. Ties (equal hashes)
+    * break on the key string — a total order. Plan: `row_number ≤ k`
+    * directly above its window → WindowGroupLimit, each stratum ships
+    * ≤ k rows per input partition out of the rank exchange. */
+  def sampleK(df: DataFrame, keyCol: Column, strataCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val h = graft.functions.GraftFunctions.md5Top64(keyCol.cast("string"))
+      .bitwiseAND(lit(Long.MaxValue))
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(strataCol).orderBy(h.asc, keyCol.cast("string").asc)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic train/val/test split: the row's md5-top-64 hash bucket
     * (mod 100) maps to a split by cumulative range — [0, trainPct) →
     * "train", [trainPct, trainPct+valPct) → "val", the rest → "test".

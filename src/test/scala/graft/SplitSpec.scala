@@ -34,4 +34,36 @@ class SplitSpec extends SparkSuiteBase {
       .filter(col("split") =!= "test").count() == 0)
     intercept[IllegalArgumentException](Sampling.split(df, col("id"), 95, 10))
   }
+
+  private def kSample(rows: Seq[(Long, String)], k: Int, parts: Int = 4) =
+    Sampling.sampleK(rows.toDF("id", "s").repartition(parts), col("id"), col("s"), k)
+      .as[(Long, String)].collect().toSet
+
+  test("sampleK: exactly k per stratum, the k smallest hashes, brute-parity") {
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}"))
+    val got = kSample(rows, 10)
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy { case (id, _) =>
+        (graft.Hashing.md5Long(id.toString) & Long.MaxValue, id.toString)
+      }.take(10)
+    }.toSet
+    assert(got == want)
+    assert(got.groupBy(_._2).values.forall(_.size == 10))
+  }
+
+  test("sampleK: growth-stable — new rows displace at most the largest-hash member") {
+    val base = (0L until 200L).map(i => (i, "s"))
+    val grown = base ++ (200L until 220L).map(i => (i, "s"))
+    val a = kSample(base, 15)
+    val b = kSample(grown, 15)
+    // survivors of the grown sample that existed before were already members
+    assert(b.filter(_._1 < 200).subsetOf(a))
+  }
+
+  test("sampleK: short strata keep everything; partitioning does not matter") {
+    val rows = Seq((1L, "tiny"), (2L, "tiny")) ++ (0L until 50L).map(i => (100 + i, "big"))
+    val got = kSample(rows, 5)
+    assert(got.count(_._2 == "tiny") == 2 && got.count(_._2 == "big") == 5)
+    assert(kSample(rows, 5, parts = 1) == kSample(rows, 5, parts = 9))
+  }
 }
