@@ -159,18 +159,23 @@ object SparkEntry {
       concat(col("text"), lit(" appended trailing marker")).as("text")))
   }
 
+  /** The DIRECTED quadratic pseudo-graph shared by the graph-family
+    * gates: (src, dst, j) with dst = (src² + j) mod n (j ∈ 1..3),
+    * self-loops shifted to the next id. */
+  private def quadEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .withColumn("d0", (col("src") * col("src") + col("j")) % n)
+      .select(col("src"),
+        when(col("d0") === col("src"), (col("d0") + 1) % n)
+          .otherwise(col("d0")).as("dst"), col("j"))
+
   /** Graph harness shared by q_kcore / q_hyperball: the DIRECTED quadratic
     * pseudo-graph (outdeg 3, self-loops shifted to the next id) PLUS a
     * planted 50-node hub ring (doc_id < 50 → (doc_id+d) mod 50, d ∈ 1..3).
     * SQL twin: [[quadRingCtesSql]]. */
   private def quadRingEdges(docs: DataFrame, n: Long): DataFrame = {
-    val quad = docs
-      .select(col("doc_id").as("src"),
-        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-      .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-      .select(col("src"),
-        when(col("d0") === col("src"), (col("d0") + 1) % n)
-          .otherwise(col("d0")).as("dst"))
+    val quad = quadEdges(docs, n).select("src", "dst")
     val ring = docs.where(col("doc_id") < 50)
       .select(col("doc_id").as("src"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
@@ -1222,13 +1227,8 @@ object SparkEntry {
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
       val body = docs.select(col("doc_id").cast("string").as("doc"),
         lit("body").as("field"), col("text"))
-      val anchors = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"),
+      val anchors = quadEdges(docs.select(col("doc_id")), n)
+        .select(col("dst"),
           concat(lit("anch"), ((col("src") + col("j")) % 13).cast("string")).as("a"))
         .groupBy("dst")
         .agg(array_join(sort_array(collect_list(col("a"))), " ").as("text"))
@@ -1599,13 +1599,7 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"))
+      val edges = quadEdges(docs, n).select("src", "dst")
       graft.graph.PageRank.run(edges, docs.select(col("doc_id").as("id")),
           iters = 8)
         .select(col("id").as("doc_id"), col("rank"))
@@ -1631,13 +1625,7 @@ object SparkEntry {
     "q_hits" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"))
+      val edges = quadEdges(docs, n).select("src", "dst")
       graft.graph.Hits.run(edges, docs.select(col("doc_id").as("id")),
           iters = 3)
         .select(col("id").as("doc_id"), col("auth"), col("hub"))
@@ -1649,13 +1637,7 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"))
+      val edges = quadEdges(docs, n).select("src", "dst")
       graft.graph.Triangles.perVertex(edges, "src", "dst")
         .select(col("v").as("doc_id"), col("n_triangles"))
     }),
@@ -1707,13 +1689,8 @@ object SparkEntry {
     "q_anchors" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"),
+      val edges = quadEdges(docs, n)
+        .select(col("src"), col("dst"),
           concat(lit("anchor-"),
             ((col("src") + col("j")) % 13).cast("string")).as("anchor"))
       graft.graph.AnchorText.aggregate(edges, cap = 3)
@@ -1727,13 +1704,7 @@ object SparkEntry {
     "q_labelprop" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val n = docs.count() // bounded driver scalar (the IVF-centroid pattern)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-        .withColumn("d0", (col("src") * col("src") + col("j")) % n)
-        .select(col("src"),
-          when(col("d0") === col("src"), (col("d0") + 1) % n)
-            .otherwise(col("d0")).as("dst"))
+      val edges = quadEdges(docs, n).select("src", "dst")
       graft.graph.LabelProp.run(edges, docs.select(col("doc_id").as("id")),
           iters = 4)
         .select(col("id").as("doc_id"), col("label"))

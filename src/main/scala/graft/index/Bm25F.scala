@@ -50,8 +50,11 @@ object Bm25F {
         col(fieldCol).cast("string").as("field"),
         explode(Bm25.tokensCol(col(textCol))).as("term"))
     val tf = toks.groupBy("doc", "field", "term").agg(count(lit(1)).as("tf"))
-    val flen = toks.groupBy("doc", "field")
-      .agg(count(lit(1)).cast("double").as("flen"))
+    // field length derived from tf (flen == Σ_term tf, definitionally — the
+    // Bm25.scoredAll discipline): the (doc, field, term) exchange is shared
+    // via ReuseExchange, ONE corpus tokenize instead of two
+    val flen = tf.groupBy("doc", "field")
+      .agg(sum("tf").cast("double").as("flen"))
     val avglen = flen.groupBy("field").agg(avg("flen").as("avgflen"))
     val stats = flen.select("doc").distinct()
       .agg(count(lit(1)).cast("double").as("n"))

@@ -49,10 +49,10 @@ object Sampling {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val h = graft.functions.GraftFunctions.md5Top64(keyCol.cast("string"))
       .bitwiseAND(lit(Long.MaxValue))
-    df.withColumn("__rk", row_number().over(
+    df.withColumn("__graft_rk", row_number().over(
         Window.partitionBy(strataCol).orderBy(h.asc, keyCol.cast("string").asc)))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+      .filter(col("__graft_rk") <= k)
+      .drop("__graft_rk")
   }
 
   /** Deterministic train/val/test split: the row's md5-top-64 hash bucket
