@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * gates green.
   *
   * Plan shape: the broadcast query-term semi-join prunes the (doc, field,
-  * term) relation BEFORE every other join; field params, per-field
-  * averages and df are tiny broadcasts; one (doc, term) aggregate + one
-  * doc aggregate — the corpus tokenize is the only big scan. */
+  * term) relation BEFORE every other join; field params and per-field
+  * averages are tiny broadcasts; df rides a window over the (doc, term)
+  * aggregate (no extra subtree); the field-length relation is
+  * materialized once (see the flen comment). Net: exactly TWO corpus
+  * tokenizes per call — the flen checkpoint job and the scoring job —
+  * independent of the number of stats consumers. */
 object Bm25F {
 
   /** (doc, score) for every doc matching ≥ 1 query term. `docs` is the
@@ -44,23 +47,36 @@ object Bm25F {
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
     val params = fieldParams.toSeq.map { case (f, (w, b)) => (f, w, b) }
       .toDF("field", "w", "b")
+    // explicit isnotnull on all three columns (semantic no-ops): the qtf
+    // branch's joins push these filters into ITS copy of the subtree, and
+    // without the same filters on the flen branch the two canonicalize
+    // differently and AQE's stage cache cannot reuse the tokenize exchange
+    // — the Bm25.scoredAll lesson
     val toks = docs
       .filter(col(fieldCol).isin(fieldParams.keys.toSeq: _*))
+      .filter(col(docCol).isNotNull && col(fieldCol).isNotNull)
       .select(col(docCol).cast("string").as("doc"),
         col(fieldCol).cast("string").as("field"),
         explode(Bm25.tokensCol(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
     val tf = toks.groupBy("doc", "field", "term").agg(count(lit(1)).as("tf"))
-    // field length derived from tf (flen == Σ_term tf, definitionally — the
-    // Bm25.scoredAll discipline): the (doc, field, term) exchange is shared
-    // via ReuseExchange, ONE corpus tokenize instead of two
+    // field lengths derive from tf (flen == Σ_term tf, definitionally) and
+    // are MATERIALIZED once (localCheckpoint): three consumers (avglen,
+    // N, the per-term normalization join) each prune this subtree
+    // differently, so AQE's stage cache sees three canonical variants and
+    // would re-run the corpus tokenize per consumer. The materialized
+    // relation is doclen-class — one row per (doc, field), the same table
+    // IndexJob commits to disk — so its blocks are corpus-doc-count-sized,
+    // spill-safe, not token-stream-sized. Net: TWO corpus tokenizes per
+    // call (the checkpoint job + the scoring job), independent of how many
+    // stats consumers exist.
     val flen = tf.groupBy("doc", "field")
       .agg(sum("tf").cast("double").as("flen"))
+      .localCheckpoint()
     val avglen = flen.groupBy("field").agg(avg("flen").as("avgflen"))
     val stats = flen.select("doc").distinct()
       .agg(count(lit(1)).cast("double").as("n"))
     val qtf = tf.join(broadcast(qTerms), "term")
-    val dfreq = qtf.select("doc", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val tfn = qtf
       .join(flen, Seq("doc", "field"))
       .join(broadcast(avglen), "field")
@@ -68,7 +84,12 @@ object Bm25F {
       .withColumn("tfn", col("w") * col("tf").cast("double") /
         (lit(1.0) - col("b") + col("b") * col("flen") / col("avgflen")))
       .groupBy("doc", "term").agg(sum("tfn").as("tfn"))
-    tfn.join(broadcast(dfreq), "term")
+    // df via a window over tfn — (doc, term) rows are unique post-
+    // aggregate, so count(*) over term == whole-doc document frequency;
+    // a separate distinct+aggregate subtree would re-derive qtf (the
+    // scoredAll df trick applied one level up)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    tfn.withColumn("df", count(lit(1)).over(wTerm).cast("double"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

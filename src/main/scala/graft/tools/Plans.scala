@@ -352,8 +352,11 @@ object Plans {
       ("BM25F fielded scoring (q_bm25f)",
        """Check: the broadcast query-term join prunes the (doc, field, term)
          |relation BEFORE flen/avglen/params joins (all BroadcastHashJoin on
-         |tiny sides); one (doc, term) partial-combined aggregate then one
-         |doc aggregate; the corpus tokenize is the only big scan.""".stripMargin,
+         |tiny sides); df is a Window over the (doc, term) aggregate, NOT a
+         |separate subtree; the field-length relation enters as a
+         |materialized Scan ExistingRDD — the scoring plan holds exactly
+         |TWO parquet scans (body + the harness's anchor aggregate), not
+         |one copy per stats consumer.""".stripMargin,
        graft.SparkEntry.queries("q_bm25f")(spark, sfDir)),
       ("Crawl frontier schedule (q_frontier)",
        """Check: ONE Exchange keyed on the raw host; the maxPerHost filter
