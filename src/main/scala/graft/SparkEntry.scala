@@ -1216,6 +1216,14 @@ object SparkEntry {
     // assembly (prefix-truncating greedy packing; the LLM call itself stays
     // out of scope, SURVEY §2.8). tokens = max(1, len/4) — the billing
     // convention — and at budget 400 the BM25 top-10 truncates mid-list.
+    // --- champion-list retrieval (IIR §7.1.3 index pruning): per query
+    // term only the top-25 docs by (tf DESC, doc) enter the candidate
+    // set — the cut visibly binds (hundreds of docs match each term) —
+    // then EXACT full-stats BM25 on the candidates. Integer selection +
+    // the established rounded-score discipline; no top-k boundary.
+    "q_champions" -> ((s, dir) =>
+      graft.index.Bm25.championSearch(t(s, dir, "documents"), "doc_id", "text",
+        "spark filter join table", r = 25)),
     // --- BM25F fielded ranking (Robertson–Zaragoza 2004): body text +
     // aggregated in-link ANCHOR text (single-token anchors anch<k> over
     // the quadratic pseudo-graph, sort-joined per target) as weighted
@@ -3638,6 +3646,27 @@ object SparkEntry {
       // rank over the ROUNDED bm25 scores (ties -> smaller doc), prefix-
       // truncating token-budget selection: cum tokens monotone, so
       // cum <= budget IS "stop at the first overflow"
+      // champion lists: integer top-25-by-tf per query term (rank window),
+      // candidate union, exact bm25 body semi-joined to it
+      "q_champions" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+          | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+          | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+          | df AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1),
+          | champ AS (SELECT DISTINCT doc FROM (
+          |    SELECT tf.doc, row_number() OVER (PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc) AS rn
+          |    FROM tf JOIN q USING(term)) WHERE rn <= 25)
+          |SELECT doc, round(sum(
+          |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
+          |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+          |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
+          |JOIN champ USING(doc)
+          |GROUP BY doc""".stripMargin,
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
       // whole-doc presence; field params embedded as exact decimals

@@ -105,6 +105,43 @@ object Bm25 {
       .limit(k)
       .select(col("doc"), round(col("score"), 4).as("score"))
 
+  /** Champion-list retrieval (the index-pruning scheme of Manning,
+    * Raghavan & Schütze, IIR §7.1.3): per query term keep only the `r`
+    * docs with the highest tf (ties to the smaller doc — an ALL-INTEGER
+    * selection), then score the candidate UNION exactly with full-corpus
+    * BM25 statistics. The approximation is the candidate CUT, not the
+    * scores: a doc outside every champion list cannot be returned — the
+    * published trade that bounds per-query work by |query|·r candidate
+    * rows instead of the full posting lists (at 100 TB a stop-word-ish
+    * query term's posting list is corpus-sized; its champions are r rows).
+    * Deterministic end-to-end: integer champion selection + the [[scores]]
+    * float discipline on the candidate set.
+    *
+    * Plan shape: ONE corpus tokenize (the scoredAll-shared tf subtree);
+    * champions are a `row_number ≤ r` window directly above the
+    * query-pruned tf — WindowGroupLimit map-side truncation per term; the
+    * candidate semi-join bounds every downstream row count. Returns ALL
+    * candidates with rounded scores (callers cut top-k; no boundary-
+    * sensitive limit inside). */
+  def championSearch(docs: DataFrame, idCol: String, textCol: String,
+                     query: String, r: Int): DataFrame = {
+    require(r >= 1, s"r $r")
+    val scored = scoredAll(docs, idCol, textCol, query)
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol)
+      .join(broadcast(qTerms.toDF("term")), "term")
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
+    val candidates = tf
+      .withColumn("__graft_champ_rn", row_number().over(wTerm))
+      .filter(col("__graft_champ_rn") <= r)
+      .select("doc").distinct()
+    scored.join(candidates, Seq("doc"), "left_semi")
+      .select(col("doc"), round(col("score"), 4).as("score"))
+  }
+
   /** Exact-phrase occurrence counts per doc (positional retrieval — the
     * query class BM25's bag-of-words scoring cannot express).
     *
