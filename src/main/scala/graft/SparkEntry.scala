@@ -1224,6 +1224,17 @@ object SparkEntry {
     "q_champions" -> ((s, dir) =>
       graft.index.Bm25.championSearch(t(s, dir, "documents"), "doc_id", "text",
         "spark filter join table", r = 25)),
+    // --- MaxScore-pruned EXACT top-k (Turtle–Flood 1995): θ seeded from
+    // exact champion scores, df-only saturation bound Σ idf·(k1+1) prunes
+    // docs that provably cannot reach the k-th rounded score (θ − 1e-4
+    // slack covers the 4-dp quantum), survivors exact-rescored. The oracle
+    // replays ONLY full scoring + the rounded top-10 cut — any pruning
+    // loss would hash-mismatch. Boundary audited: ranks 10/11 hold
+    // distinct 4-dp scores at sf0.001 (1.6024/1.6001) AND sf0.01
+    // (1.5221/1.5207), raw values ≥ 2.5e-5 from rounding half-boundaries.
+    "q_maxscore" -> ((s, dir) =>
+      graft.index.Bm25.maxScoreSearch(t(s, dir, "documents"), "doc_id", "text",
+        "spark filter join table", k = 10, seedR = 25)),
     // --- BM25F fielded ranking (Robertson–Zaragoza 2004): body text +
     // aggregated in-link ANCHOR text (single-token anchors anch<k> over
     // the quadratic pseudo-graph, sort-joined per target) as weighted
@@ -1900,6 +1911,42 @@ object SparkEntry {
             case Left(err) => (id, -1, -1, -1L)
           }
         }).toDF("doc_id", "w", "h", "luma_sum")
+    }),
+    // --- perceptual image near-dup gate: planted grayscale PPM images —
+    // doc families of 4: member 0 the base image (md5-derived independent
+    // 8×8 cell polarity at luma 200/40 ± modular noise — the established
+    // oracle-replicable hash, so cross-family Hamming ~ Binomial(64, ½)
+    // and only planted pairs land within 3), member 1 a NEAR-DUP (cell 0
+    // forced across the mean → exactly one aHash bit flips), members 2–3
+    // their own patterns (pf = 1000000 + id). Real Netpbm decode →
+    // integer aHash (cross-multiplied mean compare) → the SimHash
+    // pigeonhole tables (exact for dist ≤ 3). The oracle replays the
+    // pixel → cell-bit arithmetic and takes ALL pairs with Hamming ≤ 3 —
+    // banding is provably complete at dist ≤ 3 and md5-diverse buckets
+    // stay far below the cap, so band-vs-exhaustive cannot differ.
+    "q_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val fam = id / 4; val m = id % 4
+          val pf = if (m <= 1) fam else 1000000L + id
+          val w = 8 + (fam % 9).toInt; val h = 8 + (fam % 5).toInt
+          def high(c: Int): Boolean = (graft.Hashing.md5Long(s"$pf:$c") & 1L) == 1L
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val c = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+            val base =
+              if (m == 1 && c == 0) { if (high(0)) 60 else 180 }
+              else if (high(c)) 200 else 40
+            val v = (base + ((pf * 7 + p) % 21).toInt - 10).toByte
+            rgb(p * 3) = v; rgb(p * 3 + 1) = v; rgb(p * 3 + 2) = v
+            p += 1
+          }
+          graft.mm.Multimodal.MediaRow(id, "image",
+            graft.mm.Multimodal.ppm(w, h, rgb), w, h, "ppm")
+        })
+      graft.mm.ImageHash.imageNearDup(media, maxDist = 3)(s)
     }),
     // --- multimodal AUDIO gate: planted deterministic PCM-16 WAV bytes per
     // doc (odd ids carry a junk LIST chunk to exercise the RIFF chunk
@@ -3667,6 +3714,27 @@ object SparkEntry {
           |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
           |JOIN champ USING(doc)
           |GROUP BY doc""".stripMargin,
+      // MaxScore: pruning is provably lossless, so the oracle replays only
+      // the FULL scoring + the rounded top-10 cut (score DESC, doc) —
+      // row_number over a strict total order == Spark's orderBy+limit
+      "q_maxscore" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+          | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+          | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+          | df AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1),
+          | sc AS (SELECT doc, round(sum(
+          |   ln(1.0 + (n - df + 0.5) / (df + 0.5))
+          |   * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+          |  FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
+          |  GROUP BY doc)
+          |SELECT doc, score FROM (
+          |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM sc)
+          |WHERE rn <= 10""".stripMargin,
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
       // whole-doc presence; field params embedded as exact decimals
@@ -4270,6 +4338,43 @@ object SparkEntry {
           |  FROM px)
           |SELECT doc_id, w, h, sum(l)::BIGINT AS luma_sum
           |FROM luma GROUP BY 1, 2, 3""".stripMargin,
+      // aHash near-dup: pixel luma → 8×8 cell sums → bit per cell by
+      // cross-multiplied mean compare (all integer) → ALL pairs with
+      // Hamming ≤ 3 via a 64-row-per-image bit-relation self-join. The
+      // Spark side bands through the SimHash pigeonhole tables, which are
+      // provably complete at dist ≤ 3 and cap-free on the planted buckets,
+      // so exhaustive == banded. Ids compare as VARCHAR on both sides.
+      "q_phash" ->
+        """WITH d AS (SELECT doc_id AS id, doc_id // 4 AS fam, doc_id % 4 AS m FROM documents),
+          | par AS (SELECT id, m,
+          |    CASE WHEN m <= 1 THEN fam ELSE 1000000 + id END AS pf,
+          |    (8 + fam % 9)::INT AS w, (8 + fam % 5)::INT AS h FROM d),
+          | px0 AS (SELECT id, m, pf, w, h, unnest(range(0, w::BIGINT * h)) AS p FROM par),
+          | px AS (SELECT id, m, pf, p,
+          |    ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS c FROM px0),
+          | hi AS (SELECT pf, cc.c,
+          |    (('0x' || substr(md5(pf || ':' || cc.c), 1, 16))::UBIGINT & 1) = 1 AS high
+          |  FROM (SELECT DISTINCT pf FROM par) pp
+          |  CROSS JOIN (SELECT unnest(range(0, 64)) AS c) cc),
+          | lum AS (SELECT id, px.c,
+          |    (CASE WHEN m = 1 AND px.c = 0
+          |          THEN CASE WHEN h0.high THEN 60 ELSE 180 END
+          |          ELSE CASE WHEN hc.high THEN 200 ELSE 40 END END)
+          |      + (px.pf * 7 + p) % 21 - 10 AS v
+          |  FROM px
+          |  JOIN hi hc ON hc.pf = px.pf AND hc.c = px.c
+          |  JOIN hi h0 ON h0.pf = px.pf AND h0.c = 0),
+          | cells AS (SELECT id, c, sum(v)::BIGINT AS cs, count(*)::BIGINT AS cc
+          |  FROM lum GROUP BY 1, 2),
+          | tot AS (SELECT id, sum(cs)::BIGINT AS ts, sum(cc)::BIGINT AS tc
+          |  FROM cells GROUP BY 1),
+          | bits AS (SELECT id, c, CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS bit
+          |  FROM cells JOIN tot USING (id)),
+          | ham AS (SELECT a.id::VARCHAR AS id_a, b.id::VARCHAR AS id_b,
+          |    sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END)::INT AS hamming
+          |  FROM bits a JOIN bits b ON a.c = b.c AND a.id::VARCHAR < b.id::VARCHAR
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
       // WarcGen's record layout is frozen (header template + CRLFs = 107
       // bytes beyond url and payload), so each record's offset in its
       // container is a per-bucket running sum — the oracle rebuilds the

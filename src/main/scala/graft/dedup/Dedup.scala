@@ -441,7 +441,6 @@ object SimHash {
                    drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
     val banded = df
       .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
       .as[(String, String)]
@@ -450,6 +449,35 @@ object SimHash {
         (0 until NumTables).iterator.map(k => (id, s, k, blockKey(s, k)))
       })
       .toDF("id", "sim", "tbl", "key")
+    pairsFromBanded(banded, maxDist, maxBucket, drops)
+  }
+
+  /** [[nearDupPairs]] over PRECOMPUTED 64-bit fingerprints (id, sim) —
+    * the pigeonhole block-pair machinery is content-agnostic, so any
+    * 64-bit locality-sensitive fingerprint family rides the same tables
+    * (the image aHash path, [[graft.mm.ImageHash.imageNearDup]], is the
+    * first non-text client). Identical banding, caps, drop ledger and
+    * Hamming verification as the text form. */
+  def nearDupPairsFromFingerprints(fp: DataFrame, maxDist: Int = 3,
+                                   maxBucket: Int = 64,
+                                   drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val spark = fp.sparkSession
+    import spark.implicits._
+    val banded = fp
+      .select(col("id").cast("string").as("id"), col("sim").cast("long").as("sim"))
+      .as[(String, Long)]
+      .mapPartitions(_.flatMap { case (id, s) =>
+        (0 until NumTables).iterator.map(k => (id, s, k, blockKey(s, k)))
+      })
+      .toDF("id", "sim", "tbl", "key")
+    pairsFromBanded(banded, maxDist, maxBucket, drops)
+  }
+
+  private def pairsFromBanded(banded: DataFrame, maxDist: Int, maxBucket: Int,
+                              drops: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     // pre-cap per bucket via spillable window rank (see MinHash.nearDupPairs)
     val ranked = banded
       .withColumn("rn", row_number().over(

@@ -142,6 +142,91 @@ object Bm25 {
       .select(col("doc"), round(col("score"), 4).as("score"))
   }
 
+  /** MaxScore-pruned EXACT top-k retrieval (Turtle & Flood 1995; the
+    * upper-bound family behind Lucene's MaxScore/block-max WAND), adapted
+    * to the dataflow shape: unlike [[championSearch]] the cut here is
+    * provably LOSSLESS — the result is bit-identical to full-corpus
+    * [[search]], only the rescoring work shrinks.
+    *
+    * Three bounded phases over the query-pruned posting relation:
+    *  1. seed a threshold θ: exact-score the per-term champion docs
+    *     (top-`seedR` by integer (tf DESC, doc) — WindowGroupLimit) and
+    *     take the k-th best RAW score (θ = -∞ when fewer than k seeds:
+    *     a subset's k-th best is a valid lower bound of the corpus k-th
+    *     best only when the subset has k members);
+    *  2. prune: per matched doc an upper bound Σ_t idf(t)·(k1+1) — the
+    *     tf-saturation supremum, so ub ≥ score(doc) always — computed
+    *     WITHOUT the doc-length join (df-only arithmetic); docs with
+    *     ub < θ − 1e-4 cannot enter the top-k EVEN under the 4-dp
+    *     rounded-score contract (a doc tying the k-th rounded score is
+    *     within half a quantum of θ; the full-quantum slack covers that
+    *     plus representation error — the CLAUDE.md float discipline
+    *     applied to a pruning predicate);
+    *  3. exact-rescore survivors with full-corpus statistics and cut
+    *     top-k on (rounded score DESC, doc) — a total order, so
+    *     orderBy+limit (TakeOrderedAndProject) equals the oracle's
+    *     row_number cut.
+    *
+    * At 100 TB: every per-doc branch is bounded by the query-matched
+    * posting rows; the dl join and float scoring run only over seed ∪
+    * survivor docs — the published saving, with docs matching only
+    * low-idf (stop-word-ish) terms dropped before any length
+    * normalization is computed. */
+  def maxScoreSearch(docs: DataFrame, idCol: String, textCol: String,
+                     query: String, k: Int, seedR: Int = 25): DataFrame =
+    maxScoreParts(docs, idCol, textCol, query, k, seedR)._1
+
+  /** [[maxScoreSearch]] plus its diagnostics legs, for specs: returns
+    * (topk, survivors (doc), matched (doc)) — survivors ⊂ matched is the
+    * evidence the bound binds. */
+  private[graft] def maxScoreParts(docs: DataFrame, idCol: String, textCol: String,
+                                   query: String, k: Int, seedR: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 1, s"k $k")
+    require(seedR >= 1, s"seedR $seedR")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = scoredAll(docs, idCol, textCol, query)
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
+    // mirror scoredAll's subtrees exactly (same filter, same aggregates) so
+    // AQE's stage cache reuses the corpus tokenize across every leg
+    val tfAll = termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol)
+    val dl = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
+    // identical aggregate shape to scoredAll's stats (n AND avgdl) even
+    // though only n is read here — canonical-equal subtrees stage-cache
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val matchedTf = tfAll.join(broadcast(qTerms.toDF("term")), "term")
+      .withColumn("df", count(lit(1)).over(wTerm))
+    // phase 1 — θ from exact champion scores (raw doubles, pre-rounding)
+    val wChamp = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
+    val seeds = matchedTf
+      .withColumn("__graft_ms_rn", row_number().over(wChamp))
+      .filter(col("__graft_ms_rn") <= seedR)
+      .select("doc").distinct()
+    val theta = scored.join(seeds, Seq("doc"), "left_semi")
+      .orderBy(desc("score"), asc("doc")).limit(k)
+      .agg(count(lit(1)).as("c"), min("score").as("m"))
+      .select(when(col("c") < k, lit(Double.MinValue))
+        .otherwise(col("m")).as("theta"))
+    // phase 2 — df-only saturation bound, no dl join
+    val survivors = matchedTf.crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .groupBy("doc").agg(sum(col("idf") * lit(K1 + 1.0)).as("ub"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta") - lit(1e-4))
+      .select("doc")
+    // phase 3 — exact rescore of survivors only, rounded-order top-k
+    val topk = scored.join(survivors, Seq("doc"), "left_semi")
+      .select(col("doc"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+    (topk, survivors, matchedTf.select("doc").distinct())
+  }
+
   /** Exact-phrase occurrence counts per doc (positional retrieval — the
     * query class BM25's bag-of-words scoring cannot express).
     *
