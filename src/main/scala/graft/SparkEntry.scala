@@ -1235,6 +1235,30 @@ object SparkEntry {
     "q_maxscore" -> ((s, dir) =>
       graft.index.Bm25.maxScoreSearch(t(s, dir, "documents"), "doc_id", "text",
         "spark filter join table", k = 10, seedR = 25)),
+    // --- blocked delta+varint postings compression (Managing Gigabytes
+    // §3 / the Lucene 128-doc block layout) with block-max metadata: the
+    // REAL encoder's emitted bytes are summarized as (n_bytes, byte_sum)
+    // and gated against the oracle's closed-form LEB128 arithmetic —
+    // byte lengths by 7-bit range cases, byte sums as Σ 7-bit fields +
+    // 128 per continuation. All integer; one shuffle on term; blocks
+    // bound every aggregate at 128 members.
+    "q_varint" -> ((s, dir) =>
+      graft.index.PostingsCodec.blockedPostings(t(s, dir, "documents"),
+        "doc_id", "text", blockSize = 128)
+        .select("term", "block", "n_docs", "max_tf", "n_bytes", "byte_sum")),
+    // --- trainable multinomial Naive Bayes (the CCNet/RefinedWeb-style
+    // classifier stage, from scratch): train on EVEN doc_ids with lang as
+    // the label, score ODD docs — per-(doc, class) log-posteriors, all
+    // five classes per doc (no argmax boundary). Raw doubles end-to-end,
+    // quantized ONCE at 2dp (log-sums ~10^3 magnitude; margins audited).
+    "q_nb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (grid, priors) = graft.text.NaiveBayes.train(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang")
+      graft.text.NaiveBayes.score(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", grid, priors)
+        .select(col("doc").cast("long").as("doc_id"), col("class"), col("score"))
+    }),
     // --- BM25F fielded ranking (Robertson–Zaragoza 2004): body text +
     // aggregated in-link ANCHOR text (single-token anchors anch<k> over
     // the quadratic pseudo-graph, sort-joined per target) as weighted
@@ -3735,6 +3759,61 @@ object SparkEntry {
           |SELECT doc, score FROM (
           |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM sc)
           |WHERE rn <= 10""".stripMargin,
+      // blocked delta+varint postings: LEB128 byte lengths by 7-bit range
+      // cases; byte sums as Σ (d >> 7i & 127) + 128·(len−1) — shifts past
+      // the top byte contribute 0, so the payload sum needs no CASE
+      "q_varint" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+          | r AS (SELECT term, doc, tf,
+          |    row_number() OVER (PARTITION BY term ORDER BY doc) - 1 AS rn FROM tf),
+          | del AS (SELECT term, rn // 128 AS block, tf,
+          |    CASE WHEN rn % 128 = 0 THEN doc
+          |         ELSE doc - lag(doc) OVER (PARTITION BY term ORDER BY doc) END AS d
+          |   FROM r),
+          | vb AS (SELECT term, block, tf, d,
+          |    CASE WHEN d < 128 THEN 1 WHEN d < 16384 THEN 2 WHEN d < 2097152 THEN 3
+          |         WHEN d < 268435456 THEN 4 ELSE 5 END AS len,
+          |    (d & 127) + ((d >> 7) & 127) + ((d >> 14) & 127)
+          |      + ((d >> 21) & 127) + ((d >> 28) & 127) AS payload
+          |   FROM del)
+          |SELECT term, block, count(*)::BIGINT AS n_docs, max(tf) AS max_tf,
+          |  sum(len)::BIGINT AS n_bytes,
+          |  sum(payload + 128 * (len - 1))::BIGINT AS byte_sum
+          |FROM vb GROUP BY 1, 2""".stripMargin,
+      // Naive Bayes: counts replayed exactly; docs_c/N derive from the
+      // TOKEN relation on both sides (token-empty docs carry no class
+      // evidence); test terms inner-join the vocab grid (OOV ignored)
+      "q_nb" ->
+        """WITH trt AS (
+          |  SELECT doc_id AS doc, lang AS class,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents WHERE doc_id % 2 = 0),
+          | tf AS (SELECT doc, class, term, count(*)::BIGINT AS tf FROM trt GROUP BY 1, 2, 3),
+          | ct AS (SELECT class, term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1, 2),
+          | tot AS (SELECT class, sum(cnt)::BIGINT AS tokens_c FROM ct GROUP BY 1),
+          | dpc AS (SELECT class, count(DISTINCT doc)::DOUBLE AS docs_c FROM tf GROUP BY 1),
+          | ns AS (SELECT sum(docs_c) AS n, count(*)::DOUBLE AS c FROM dpc),
+          | vocab AS (SELECT DISTINCT term FROM ct),
+          | vs AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+          | grid AS (SELECT vocab.term, tot.class,
+          |    ln(coalesce(cnt, 0) + 1.0) - ln(tokens_c + v) AS ln_theta
+          |   FROM vocab CROSS JOIN tot
+          |   LEFT JOIN ct ON ct.term = vocab.term AND ct.class = tot.class
+          |   CROSS JOIN vs),
+          | pri AS (SELECT class, ln(docs_c + 1.0) - ln(n + c) AS ln_prior
+          |   FROM dpc CROSS JOIN ns),
+          | te AS (SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents WHERE doc_id % 2 = 1),
+          | ttf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM te GROUP BY 1, 2),
+          | sc AS (SELECT doc, grid.class AS class, sum(tf * ln_theta) AS ll
+          |   FROM ttf JOIN grid USING (term) GROUP BY 1, 2)
+          |SELECT doc AS doc_id, sc.class AS class, round(ll + ln_prior, 2) AS score
+          |FROM sc JOIN pri ON pri.class = sc.class""".stripMargin,
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
       // whole-doc presence; field params embedded as exact decimals
