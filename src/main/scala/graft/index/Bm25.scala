@@ -202,8 +202,8 @@ object Bm25 {
     // phase 1 — θ from exact champion scores (raw doubles, pre-rounding)
     val wChamp = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy(desc("tf"), asc("doc"))
-    val seeds = matchedTf
-      .withColumn("__graft_ms_rn", row_number().over(wChamp))
+    val ranked = matchedTf.withColumn("__graft_ms_rn", row_number().over(wChamp))
+    val seeds = ranked
       .filter(col("__graft_ms_rn") <= seedR)
       .select("doc").distinct()
     val theta = scored.join(seeds, Seq("doc"), "left_semi")
@@ -211,11 +211,19 @@ object Bm25 {
       .agg(count(lit(1)).as("c"), min("score").as("m"))
       .select(when(col("c") < k, lit(Double.MinValue))
         .otherwise(col("m")).as("theta"))
-    // phase 2 — df-only saturation bound, no dl join
-    val survivors = matchedTf.crossJoin(broadcast(stats))
+    // phase 2 — df-only saturation bound, no dl join. Built over the SAME
+    // ranked relation as the seeds, with no-op references to the rank and
+    // avgdl columns (0·x terms): without them Catalyst's per-branch column
+    // pruning forks this subtree into its own narrower aggregate chain and
+    // the corpus tokenize runs THREE times instead of once (plan-audited;
+    // the no-ops make every leg canonical-equal so AQE's stage cache
+    // reuses one tokenize+shuffle across seed/ub/rescore).
+    val survivors = ranked.crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
-        (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
-      .groupBy("doc").agg(sum(col("idf") * lit(K1 + 1.0)).as("ub"))
+        (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+        + lit(0.0) * col("avgdl"))
+      .groupBy("doc").agg(sum(col("idf") * lit(K1 + 1.0)
+        + lit(0.0) * col("__graft_ms_rn")).as("ub"))
       .crossJoin(broadcast(theta))
       .filter(col("ub") >= col("theta") - lit(1e-4))
       .select("doc")

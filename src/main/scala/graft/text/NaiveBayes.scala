@@ -32,10 +32,18 @@ object NaiveBayes {
     * vocab × class cross product, priors (class, ln_prior). */
   def train(docs: DataFrame, idCol: String, textCol: String, labelCol: String):
       (DataFrame, DataFrame) = {
+    // The (doc, class, term) count relation materializes ONCE
+    // (localCheckpoint, the Bm25F field-length precedent): its five
+    // consumers (class-term counts, class totals, docs-per-class, N/C,
+    // vocab) prune columns differently, so without a materialized leaf
+    // Catalyst forks the training tokenize into four separate corpus
+    // scans (plan-audited). Training is the one eager step of model
+    // fitting; scoring stays fully lazy.
     val tf = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"), col(labelCol).as("class"),
         explode(graft.index.Bm25.tokensCol(col(textCol))).as("term"))
       .groupBy("doc", "class", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val classTerm = tf.groupBy("class", "term").agg(sum("tf").as("cnt"))
     val classTotals = classTerm.groupBy("class").agg(sum("cnt").as("tokens_c"))
     val docsPerClass = tf.select("doc", "class").distinct()

@@ -373,6 +373,37 @@ object Plans {
          |the last checkpoint leaf (Scan ExistingRDD); the seed top-up is a
          |codegen'd multiply on the node relation, not a join.""".stripMargin,
        graft.SparkEntry.queries("q_trustrank")(spark, sfDir)),
+      ("MaxScore-pruned exact top-k (q_maxscore)",
+       """Check: the θ seed leg's `row_number ≤ seedR` rewrites to
+         |WindowGroupLimit (map-side champion truncation); the ub leg is a
+         |(doc) aggregate over the query-pruned tf WITHOUT the dl join —
+         |its subtree has no doclen aggregate; θ and stats arrive as
+         |1-row broadcasts; the final cut is TakeOrderedAndProject, not a
+         |global sort; the corpus tokenize materializes ONCE
+         |(ReusedExchange under AQE) across seed/ub/rescore legs.""".stripMargin,
+       graft.SparkEntry.queries("q_maxscore")(spark, sfDir)),
+      ("Perceptual image near-dup (q_phash)",
+       """Check: decode+aHash+banding is one narrow SerializeFromObject
+         |chain (pixels never shuffle — only (id, sim, tbl, key) rows);
+         |the bucket pre-cap `rn ≤ 64` rewrites to WindowGroupLimit; the
+         |Hamming verify is the codegen'd native expression after the
+         |pair distinct.""".stripMargin,
+       graft.SparkEntry.queries("q_phash")(spark, sfDir)),
+      ("Blocked varint postings (q_varint)",
+       """Check: ONE Exchange on term (the row_number window); the
+         |(term, block) aggregate's collect_list is bounded by the block
+         |size — WindowGroupLimit is correctly ABSENT (every posting row
+         |must survive into its block); encode is a narrow typed map after
+         |the aggregate.""".stripMargin,
+       graft.SparkEntry.queries("q_varint")(spark, sfDir)),
+      ("Naive Bayes train+score (q_nb)",
+       """Check: ONE parquet scan (the test tokenize) — the training tf
+         |relation is a localCheckpoint leaf (4× `Scan ExistingRDD`; its
+         |five consumers prune columns differently, so without the leaf
+         |the training tokenize forks into four scans); the vocab×class
+         |grid and priors enter scoring as BROADCAST joins; no UDF
+         |anywhere.""".stripMargin,
+       graft.SparkEntry.queries("q_nb")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
