@@ -1259,6 +1259,22 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", grid, priors)
         .select(col("doc").cast("long").as("doc_id"), col("class"), col("score"))
     }),
+    // --- TextRank extractive summarization (Mihalcea–Tarau 2004): top-2
+    // sentences per doc by integer PageRank over the shared-token
+    // sentence graph — similarity counts ARE multi-edges, so the proven
+    // integer PageRank is the weighted walk; zero float contract, the
+    // oracle replays 6 rounds CTE-for-CTE on packed doc·4096+idx ids.
+    // The corpus text is punctuation-free bag-of-words, so the harness
+    // plants sentence bounds ('.' after every 8th word) — replayed in
+    // the oracle via a word-ordinality string_agg rebuild.
+    "q_textrank" -> ((s, dir) => {
+      val harness = t(s, dir, "documents").select(col("doc_id"),
+        expr("array_join(transform(split(text, ' '), " +
+          "(w, i) -> IF((i % 8) = 7, concat(w, '.'), w)), ' ')").as("text"))
+      graft.text.TextRank.summarize(harness, "doc_id", "text",
+          iters = 6, topK = 2)
+        .select(col("doc").as("doc_id"), col("sent_idx"), col("rank"))
+    }),
     // --- BM25F fielded ranking (Robertson–Zaragoza 2004): body text +
     // aggregated in-link ANCHOR text (single-token anchors anch<k> over
     // the quadratic pseudo-graph, sort-joined per target) as weighted
@@ -2306,6 +2322,51 @@ object SparkEntry {
     * integer sums are order-independent, so the gate is hash-exact by
     * construction. `//` is DuckDB's integer division (floors; all
     * operands positive, so it equals Spark's `div`). */
+  /** DuckDB replica of [[graft.text.TextRank.summarize]]: frozen sentence
+    * split (slot indices preserved through empty segments), distinct
+    * sentence tokens, one multi-edge per shared term per ordered pair,
+    * then the pageRank unroll on packed doc·4096+idx ids — all BIGINT,
+    * hash-exact; the top-k window orders (rank DESC, id) == (rank DESC,
+    * idx) within a doc. */
+  private def textRankOracleSql(iters: Int, topK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH sp0 AS (SELECT doc_id AS doc, regexp_split_to_array(text, ' ') AS a0 FROM documents),
+        | words AS (SELECT doc, u.j - 1 AS q, a0[u.j] AS w
+        |   FROM sp0, lateral unnest(range(1, len(a0) + 1)) AS u(j)),
+        | harness AS (SELECT doc, string_agg(CASE WHEN q % 8 = 7 THEN w || '.' ELSE w END,
+        |     ' ' ORDER BY q) AS text FROM words GROUP BY doc),
+        | sp AS (SELECT doc, regexp_split_to_array(text, '[.!?]+') AS a FROM harness),
+        | sents AS (SELECT doc, u.j - 1 AS idx, a[u.j] AS sent
+        |   FROM sp, lateral unnest(range(1, len(a) + 1)) AS u(j)
+        |   WHERE u.j - 1 < 256),
+        | tok0 AS (SELECT doc, idx,
+        |    unnest(list_filter(regexp_split_to_array(lower(sent), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+        |   FROM sents),
+        | toks AS (SELECT DISTINCT doc, idx, term FROM tok0),
+        | nodes AS (SELECT DISTINCT doc * 4096 + idx AS id FROM toks),
+        | edges AS (SELECT a.doc * 4096 + a.idx AS src, b.doc * 4096 + b.idx AS dst
+        |   FROM toks a JOIN toks b
+        |     ON a.doc = b.doc AND a.term = b.term AND a.idx != b.idx),
+        | deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+        | ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src),
+        | r0 AS (SELECT id, 1000000000000::BIGINT AS rank FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        | c$i AS (SELECT ed.dst AS id, sum((r.rank * 17) // (20 * ed.outdeg)) AS inflow
+        |   FROM ed JOIN r${i - 1} r ON ed.src = r.id GROUP BY 1),
+        | r$i AS (SELECT n.id, 150000000000 + coalesce(c.inflow, 0) AS rank
+        |   FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT id // 4096 AS doc_id, id % 4096 AS sent_idx, rank FROM (
+      |  SELECT id, rank,
+      |    row_number() OVER (PARTITION BY id // 4096 ORDER BY rank DESC, id) AS rn
+      |  FROM r$iters)
+      |WHERE rn <= $topK""".stripMargin)
+    sb.toString
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -3814,6 +3875,7 @@ object SparkEntry {
           |   FROM ttf JOIN grid USING (term) GROUP BY 1, 2)
           |SELECT doc AS doc_id, sc.class AS class, round(ll + ln_prior, 2) AS score
           |FROM sc JOIN pri ON pri.class = sc.class""".stripMargin,
+      "q_textrank" -> textRankOracleSql(iters = 6, topK = 2),
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
       // whole-doc presence; field params embedded as exact decimals
