@@ -1829,6 +1829,26 @@ object SparkEntry {
       }))
       graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
     }),
+    // --- MaxScore pruning over the MATERIALIZED index (same memoized
+    // two-segment compacted root as q_index_search): θ seed + df-only
+    // bound + survivor rescore read nothing but committed posting rows;
+    // the oracle is corpus-side full BM25 + the rounded top-10 cut
+    // (VARCHAR doc order), so both the index content AND the pruning's
+    // losslessness are gated in one statement.
+    "q_index_maxscore" -> ((s, dir) => {
+      val root = indexRootFor.synchronized(indexRootFor.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"), col("text"),
+            lit(false).as("is_duplicate"))
+        val r = scratchDir("graft-index-")
+        graft.jobs.IndexJob.build(s,
+          docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
+        graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r)
+        graft.jobs.IndexJob.compact(s, r)
+        r
+      }))
+      graft.jobs.IndexJob.topkSearch(s, root, "spark filter join table", k = 10)
+    }),
     // --- doc-level TOMBSTONE upsert over the materialized index (the
     // reference's per-id upsert, chroma_store.py:33-61): segment 1 holds
     // the whole corpus; every 10th doc is then tombstoned and RE-APPENDED
@@ -4406,6 +4426,16 @@ object SparkEntry {
       // segment overlap dedups to the plain corpus relation, so the oracle
       // is corpus BM25 with string doc ids (the index keys docs by chunk id)
       "q_index_search" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR"),
+      // index-resident MaxScore: pruning lossless + index content-
+      // preserving ⇒ oracle = corpus-side BM25, rounded top-10 on
+      // (score DESC, doc VARCHAR); boundary audited (ranks 10/11
+      // distinct at both SFs: 1.6024/1.6001, 1.5221/1.5207)
+      "q_index_maxscore" ->
+        s"""WITH base AS (
+           |${bm25OracleSql("", idExpr = "doc_id::VARCHAR")})
+           |SELECT doc, score FROM (
+           |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM base)
+           |WHERE rn <= 10""".stripMargin,
       // tombstone upsert == BM25 over the POST-upsert corpus: every 10th
       // doc's text rewritten (same id), stale rows dead by tv>sv
       "q_index_upsert" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR",

@@ -304,6 +304,74 @@ object IndexJob {
       .select(col("doc"), round(col("score"), 4).as("score"))
   }
 
+  /** MaxScore-pruned EXACT top-k resolved ENTIRELY from committed
+    * segments — [[Bm25.maxScoreSearch]]'s three phases over the
+    * materialized index instead of the corpus: this is where the pruning
+    * earns its keep in a real engine, because the θ seed and the df-only
+    * saturation bound read NOTHING but the query terms' posting rows
+    * (file-pruned, tombstone-filtered), and the doclen join + float
+    * scoring run only over seed ∪ survivor docs. Result is bit-identical
+    * to [[search]]'s scoring under the rounded-(score, doc) order — the
+    * cut is provably lossless (θ from a k-subset underestimates the
+    * corpus k-th best; ub ≥ score; the θ − 1e-4 slack covers the 4-dp
+    * output quantum). */
+  def topkSearch(spark: SparkSession, indexRoot: String, query: String, k: Int,
+                 seedR: Int = 25): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k $k")
+    require(seedR >= 1, s"seedR $seedR")
+    val seg = segments(spark, indexRoot)
+    val doclen = dropTombstoned(seg.doclen, seg.tombs).dropDuplicates("doc")
+    val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val flat = dropTombstoned(
+      seg.postings
+        .join(broadcast(qTerms), "term")
+        .select(col("term"), col("sv"), explode(col("postings")).as("p"))
+        .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"), col("sv")),
+      seg.tombs)
+      .groupBy("term", "doc").agg(max("tf").as("tf"))
+      .withColumn("df", count(lit(1)).over(wTerm))
+    // exact scored relation, raw doubles — the same arithmetic as search()
+    val scored = flat
+      .join(doclen.select("doc", "dl"), "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * (lit(Bm25.K1) + 1.0)) /
+          (col("tf").cast("double") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("doc").agg(sum("score").as("score"))
+    // θ seed: champions by integer (tf DESC, doc) — WindowGroupLimit
+    val wChamp = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
+    val ranked = flat.withColumn("__graft_ms_rn", row_number().over(wChamp))
+    val seeds = ranked.filter(col("__graft_ms_rn") <= seedR)
+      .select("doc").distinct()
+    val theta = scored.join(seeds, Seq("doc"), "left_semi")
+      .orderBy(desc("score"), asc("doc")).limit(k)
+      .agg(count(lit(1)).as("c"), min("score").as("m"))
+      .select(when(col("c") < k, lit(Double.MinValue))
+        .otherwise(col("m")).as("theta"))
+    // df-only saturation bound; 0·x no-ops pin pruned columns so the
+    // posting subtree stage-caches across legs (the Bm25.maxScoreParts
+    // plan-audit lesson)
+    val survivors = ranked.crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+        + lit(0.0) * col("avgdl"))
+      .groupBy("doc").agg(sum(col("idf") * lit(Bm25.K1 + 1.0)
+        + lit(0.0) * col("__graft_ms_rn")).as("ub"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta") - lit(1e-4))
+      .select("doc")
+    scored.join(survivors, Seq("doc"), "left_semi")
+      .select(col("doc"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
+
   /** Exact-phrase occurrence counts per live doc — [[Bm25.phraseMatches]]'
     * slot-fill arithmetic resolved ENTIRELY from the committed positional
     * postings (segments built with `positions = true`), so phrase queries
