@@ -26,6 +26,23 @@ object SparkEntry {
     * query many — the production retrieval shape). */
   private val indexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
+  /** The q_index_search / q_index_maxscore shared index (memoized per sf
+    * dir — ONE builder so the two gates cannot drift): segment 1 = even
+    * ids plus ids < 10 (the overlap), segment 2 = odd ids, then compact.
+    * Deterministic: a pure function of the sf dir. */
+  private def sharedIndexRoot(s: SparkSession, dir: String): String =
+    indexRootFor.synchronized(indexRootFor.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"),
+          lit(false).as("is_duplicate"))
+      val r = scratchDir("graft-index-")
+      graft.jobs.IndexJob.build(s,
+        docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
+      graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r)
+      graft.jobs.IndexJob.compact(s, r)
+      r
+    }))
+
   /** sf dir → facet-index root for q_facet_index (same memoization). */
   private val facetIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
@@ -1813,21 +1830,10 @@ object SparkEntry {
     "q_index_search" -> ((s, dir) => {
       // build-once-then-search (memoized per sf dir): production queries
       // hit a MATERIALIZED index — rebuilding segments per query would
-      // time index construction, not retrieval. Deterministic: the build
-      // is a pure function of the sf dir.
-      val root = indexRootFor.synchronized(indexRootFor.getOrElseUpdate(dir, {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id").cast("string").as("id"), col("text"),
-            lit(false).as("is_duplicate"))
-        val r = scratchDir("graft-index-")
-        // segment 1: even ids plus ids < 10 (the overlap); segment 2: odd ids
-        graft.jobs.IndexJob.build(s,
-          docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
-        graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r)
-        graft.jobs.IndexJob.compact(s, r)
-        r
-      }))
-      graft.jobs.IndexJob.search(s, root, "spark filter join table", k = 1 << 20)
+      // time index construction, not retrieval. Builder shared with
+      // q_index_maxscore (sharedIndexRoot).
+      graft.jobs.IndexJob.search(s, sharedIndexRoot(s, dir),
+        "spark filter join table", k = 1 << 20)
     }),
     // --- MaxScore pruning over the MATERIALIZED index (same memoized
     // two-segment compacted root as q_index_search): θ seed + df-only
@@ -1835,20 +1841,9 @@ object SparkEntry {
     // the oracle is corpus-side full BM25 + the rounded top-10 cut
     // (VARCHAR doc order), so both the index content AND the pruning's
     // losslessness are gated in one statement.
-    "q_index_maxscore" -> ((s, dir) => {
-      val root = indexRootFor.synchronized(indexRootFor.getOrElseUpdate(dir, {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id").cast("string").as("id"), col("text"),
-            lit(false).as("is_duplicate"))
-        val r = scratchDir("graft-index-")
-        graft.jobs.IndexJob.build(s,
-          docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
-        graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r)
-        graft.jobs.IndexJob.compact(s, r)
-        r
-      }))
-      graft.jobs.IndexJob.topkSearch(s, root, "spark filter join table", k = 10)
-    }),
+    "q_index_maxscore" -> ((s, dir) =>
+      graft.jobs.IndexJob.topkSearch(s, sharedIndexRoot(s, dir),
+        "spark filter join table", k = 10)),
     // --- doc-level TOMBSTONE upsert over the materialized index (the
     // reference's per-id upsert, chroma_store.py:33-61): segment 1 holds
     // the whole corpus; every 10th doc is then tombstoned and RE-APPENDED
@@ -3841,8 +3836,10 @@ object SparkEntry {
           |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM sc)
           |WHERE rn <= 10""".stripMargin,
       // blocked delta+varint postings: LEB128 byte lengths by 7-bit range
-      // cases; byte sums as Σ (d >> 7i & 127) + 128·(len−1) — shifts past
-      // the top byte contribute 0, so the payload sum needs no CASE
+      // cases (FULL closed form to 9 bytes — ids are BIGINT, so the CASE
+      // must cover 2^63, not just this corpus's id range); byte sums as
+      // Σ (d >> 7i & 127) + 128·(len−1) — shifts past the top byte
+      // contribute 0, so the payload sum needs no CASE
       "q_varint" ->
         """WITH toks AS (
           |  SELECT doc_id AS doc,
@@ -3857,9 +3854,12 @@ object SparkEntry {
           |   FROM r),
           | vb AS (SELECT term, block, tf, d,
           |    CASE WHEN d < 128 THEN 1 WHEN d < 16384 THEN 2 WHEN d < 2097152 THEN 3
-          |         WHEN d < 268435456 THEN 4 ELSE 5 END AS len,
+          |         WHEN d < 268435456 THEN 4 WHEN d < 34359738368 THEN 5
+          |         WHEN d < 4398046511104 THEN 6 WHEN d < 562949953421312 THEN 7
+          |         WHEN d < 72057594037927936 THEN 8 ELSE 9 END AS len,
           |    (d & 127) + ((d >> 7) & 127) + ((d >> 14) & 127)
-          |      + ((d >> 21) & 127) + ((d >> 28) & 127) AS payload
+          |      + ((d >> 21) & 127) + ((d >> 28) & 127) + ((d >> 35) & 127)
+          |      + ((d >> 42) & 127) + ((d >> 49) & 127) + ((d >> 56) & 127) AS payload
           |   FROM del)
           |SELECT term, block, count(*)::BIGINT AS n_docs, max(tf) AS max_tf,
           |  sum(len)::BIGINT AS n_bytes,
@@ -4510,11 +4510,12 @@ object SparkEntry {
           |SELECT doc_id, w, h, sum(l)::BIGINT AS luma_sum
           |FROM luma GROUP BY 1, 2, 3""".stripMargin,
       // aHash near-dup: pixel luma → 8×8 cell sums → bit per cell by
-      // cross-multiplied mean compare (all integer) → ALL pairs with
-      // Hamming ≤ 3 via a 64-row-per-image bit-relation self-join. The
-      // Spark side bands through the SimHash pigeonhole tables, which are
-      // provably complete at dist ≤ 3 and cap-free on the planted buckets,
-      // so exhaustive == banded. Ids compare as VARCHAR on both sides.
+      // cross-multiplied mean compare (all integer) → bits packed to one
+      // UBIGINT per image (the simhashOracleSql HUGEINT-shift pattern) →
+      // ALL pairs with bit_count(xor) ≤ 3. The Spark side bands through
+      // the SimHash pigeonhole tables, which are provably complete at
+      // dist ≤ 3 and cap-free on the planted buckets, so exhaustive ==
+      // banded. Ids compare as VARCHAR on both sides.
       "q_phash" ->
         """WITH d AS (SELECT doc_id AS id, doc_id // 4 AS fam, doc_id % 4 AS m FROM documents),
           | par AS (SELECT id, m,
@@ -4541,10 +4542,12 @@ object SparkEntry {
           |  FROM cells GROUP BY 1),
           | bits AS (SELECT id, c, CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS bit
           |  FROM cells JOIN tot USING (id)),
+          | packed AS (SELECT id,
+          |    sum(CASE WHEN bit = 1 THEN (1::HUGEINT << c) ELSE 0 END)::UBIGINT AS sim
+          |  FROM bits GROUP BY 1),
           | ham AS (SELECT a.id::VARCHAR AS id_a, b.id::VARCHAR AS id_b,
-          |    sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END)::INT AS hamming
-          |  FROM bits a JOIN bits b ON a.c = b.c AND a.id::VARCHAR < b.id::VARCHAR
-          |  GROUP BY 1, 2)
+          |    bit_count(xor(a.sim, b.sim))::INT AS hamming
+          |  FROM packed a JOIN packed b ON a.id::VARCHAR < b.id::VARCHAR)
           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
       // WarcGen's record layout is frozen (header template + CRLFs = 107
       // bytes beyond url and payload), so each record's offset in its

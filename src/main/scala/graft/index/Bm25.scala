@@ -146,7 +146,10 @@ object Bm25 {
     * upper-bound family behind Lucene's MaxScore/block-max WAND), adapted
     * to the dataflow shape: unlike [[championSearch]] the cut here is
     * provably LOSSLESS — the result is bit-identical to full-corpus
-    * [[search]], only the rescoring work shrinks.
+    * scoring under the rounded-(score DESC, doc) total order (the order
+    * the oracle pins; [[search]]'s raw-score-order cut can differ from it
+    * exactly when ranks k and k+1 tie at 4 dp), only the rescoring work
+    * shrinks.
     *
     * Three bounded phases over the query-pruned posting relation:
     *  1. seed a threshold θ: exact-score the per-term champion docs

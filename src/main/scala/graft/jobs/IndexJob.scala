@@ -274,24 +274,45 @@ object IndexJob {
         s"facet filter '$w' but no facets table committed in $indexRoot"))
       dropTombstoned(f, seg.tombs).filter(expr(w)).select("doc").dropDuplicates("doc")
     }
-    val doclenAllDocs = dropTombstoned(seg.doclen, seg.tombs).dropDuplicates("doc")
+    val doclenAllDocs = liveDoclen(seg)
     val doclen = keep.fold(doclenAllDocs)(kd => doclenAllDocs.join(kd, Seq("doc"), "left_semi"))
-    // stats as a broadcast 1-row relation (no eager head() — the
-    // whole search is one job; at 100 TB doclen is a real table and the
-    // extra driver action was a full pass over it per query)
-    val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl").cast("double")).as("avgdl"))
+    val flat = queryFlat(spark, seg, query)
+    val withDf = keep.fold(flat)(kd => flat.join(kd, Seq("doc"), "left_semi"))
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    bm25Scores(withDf, doclen)
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+      .select(col("doc"), round(col("score"), 4).as("score"))
+  }
 
+  /** Tombstone-filtered, segment-deduped live doclen. */
+  private def liveDoclen(seg: Segments): DataFrame =
+    dropTombstoned(seg.doclen, seg.tombs).dropDuplicates("doc")
+
+  /** Query-term-pruned live (term, doc, tf) posting rows across segments
+    * (max-tf dedup of overlapping segments, tombstones honored). */
+  private def queryFlat(spark: SparkSession, seg: Segments, query: String): DataFrame = {
+    import spark.implicits._
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
-    val flat = dropTombstoned(
+    dropTombstoned(
       seg.postings
         .join(broadcast(qTerms), "term")
         .select(col("term"), col("sv"), explode(col("postings")).as("p"))
         .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"), col("sv")),
       seg.tombs)
       .groupBy("term", "doc").agg(max("tf").as("tf"))
-    keep.fold(flat)(kd => flat.join(kd, Seq("doc"), "left_semi"))
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+  }
+
+  /** Raw per-doc BM25 sums of a (term, doc, tf, df) relation against a
+    * doclen relation — the SINGLE scoring arithmetic [[search]] and
+    * [[topkSearch]] share (one definition, so the pruned path can never
+    * drift from the full path). Stats ride as a broadcast 1-row relation
+    * (no eager head() — the whole search is one job; at 100 TB doclen is
+    * a real table and an extra driver action was a full pass per query). */
+  private def bm25Scores(flatWithDf: DataFrame, doclen: DataFrame): DataFrame = {
+    val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    flatWithDf
       .join(doclen.select("doc", "dl"), "doc")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
@@ -299,9 +320,6 @@ object IndexJob {
         col("idf") * (col("tf").cast("double") * (lit(Bm25.K1) + 1.0)) /
           (col("tf").cast("double") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / col("avgdl"))))
       .groupBy("doc").agg(sum("score").as("score"))
-      .orderBy(desc("score"), asc("doc"))
-      .limit(k)
-      .select(col("doc"), round(col("score"), 4).as("score"))
   }
 
   /** MaxScore-pruned EXACT top-k resolved ENTIRELY from committed
@@ -321,28 +339,15 @@ object IndexJob {
     require(k >= 1, s"k $k")
     require(seedR >= 1, s"seedR $seedR")
     val seg = segments(spark, indexRoot)
-    val doclen = dropTombstoned(seg.doclen, seg.tombs).dropDuplicates("doc")
+    val doclen = liveDoclen(seg)
     val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl").cast("double")).as("avgdl"))
-    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
-    val flat = dropTombstoned(
-      seg.postings
-        .join(broadcast(qTerms), "term")
-        .select(col("term"), col("sv"), explode(col("postings")).as("p"))
-        .select(col("term"), col("p.doc").as("doc"), col("p.tf").as("tf"), col("sv")),
-      seg.tombs)
-      .groupBy("term", "doc").agg(max("tf").as("tf"))
+    val flat = queryFlat(spark, seg, query)
       .withColumn("df", count(lit(1)).over(wTerm))
-    // exact scored relation, raw doubles — the same arithmetic as search()
-    val scored = flat
-      .join(doclen.select("doc", "dl"), "doc")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
-      .withColumn("score",
-        col("idf") * (col("tf").cast("double") * (lit(Bm25.K1) + 1.0)) /
-          (col("tf").cast("double") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / col("avgdl"))))
-      .groupBy("doc").agg(sum("score").as("score"))
+    // exact scored relation, raw doubles — ONE shared arithmetic with
+    // search() (bm25Scores), so the pruned path cannot drift from it
+    val scored = bm25Scores(flat, doclen)
     // θ seed: champions by integer (tf DESC, doc) — WindowGroupLimit
     val wChamp = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy(desc("tf"), asc("doc"))

@@ -404,6 +404,13 @@ object Plans {
          |grid and priors enter scoring as BROADCAST joins; no UDF
          |anywhere.""".stripMargin,
        graft.SparkEntry.queries("q_nb")(spark, sfDir)),
+      ("Index-resident MaxScore (q_index_maxscore)",
+       """Check: every leaf is a COMMITTED segment read (postings/doclen
+         |parquet under the index root — never corpus text); the posting
+         |scan carries the broadcast query-term join; the θ seed window
+         |rewrites to WindowGroupLimit; tombstone anti-joins are
+         |query-bounded; the final cut is TakeOrderedAndProject.""".stripMargin,
+       graft.SparkEntry.queries("q_index_maxscore")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
