@@ -1252,6 +1252,18 @@ object SparkEntry {
     "q_maxscore" -> ((s, dir) =>
       graft.index.Bm25.maxScoreSearch(t(s, dir, "documents"), "doc_id", "text",
         "spark filter join table", k = 10, seedR = 25)),
+    // --- Block-Max WAND EXACT top-k (Ding & Suel SIGIR'11): q_maxscore's
+    // three phases with the pruning bound sharpened to per-BLOCK granularity
+    // — 128-doc blocks in PostingsCodec's layout, each bounded by
+    // idf·(k1+1)·bm/(bm + k1(1−b)) from its block-max tf. Same lossless
+    // contract: the oracle replays only full scoring + the rounded top-20
+    // cut. Boundary audited: ranks 20/21 hold distinct 4-dp scores at
+    // sf0.001 (1.5773/1.5748) AND sf0.01 (1.4751/1.4698); raw top-21
+    // values ≥ 1.4e-6 from rounding half-boundaries (~7 orders above ulp
+    // drift).
+    "q_bmw" -> ((s, dir) =>
+      graft.index.Bm25.blockMaxSearch(t(s, dir, "documents"), "doc_id", "text",
+        "spark filter join table", k = 20, seedR = 25, blockSize = 128)),
     // --- blocked delta+varint postings compression (Managing Gigabytes
     // §3 / the Lucene 128-doc block layout) with block-max metadata: the
     // REAL encoder's emitted bytes are summarized as (n_bytes, byte_sum)
@@ -3835,6 +3847,27 @@ object SparkEntry {
           |SELECT doc, score FROM (
           |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM sc)
           |WHERE rn <= 10""".stripMargin,
+      // Block-Max WAND: the per-block bound is equally lossless, so the
+      // oracle is the SAME full scoring with the rounded top-20 cut —
+      // any doc a block bound wrongly pruned would hash-mismatch here
+      "q_bmw" ->
+        """WITH toks AS (
+          |  SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+          | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+          | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+          | df AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1),
+          | sc AS (SELECT doc, round(sum(
+          |   ln(1.0 + (n - df + 0.5) / (df + 0.5))
+          |   * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+          |  FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
+          |  GROUP BY doc)
+          |SELECT doc, score FROM (
+          |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM sc)
+          |WHERE rn <= 20""".stripMargin,
       // blocked delta+varint postings: LEB128 byte lengths by 7-bit range
       // cases (FULL closed form to 9 bytes — ids are BIGINT, so the CASE
       // must cover 2^63, not just this corpus's id range); byte sums as

@@ -238,6 +238,111 @@ object Bm25 {
     (topk, survivors, matchedTf.select("doc").distinct())
   }
 
+  /** Block-Max WAND-pruned EXACT top-k (Ding & Suel, SIGIR'11 "Faster
+    * top-k document retrieval using block-max indexes"), adapted to the
+    * dataflow shape: [[maxScoreSearch]] with the pruning bound sharpened
+    * from the per-TERM tf-saturation supremum idf·(k1+1) to the per-BLOCK
+    * one — posting rows sort by doc within term and split into
+    * `blockSize`-row blocks (the same layout [[PostingsCodec]] compresses),
+    * each block contributes at most
+    *
+    *   idf·(k1+1)·bm/(bm + k1·(1−b))      bm = max tf in the block
+    *
+    * (tf/(tf+c) is increasing in tf and the dl term of the BM25
+    * denominator is ≥ 0, so the bound dominates every member's true
+    * contribution while reading NO document length). A doc's upper bound
+    * sums its blocks' bounds — strictly tighter than MaxScore's whenever
+    * any block's bm is finite, so the survivor set only shrinks: the
+    * block-granular metadata is what turns a stop-word-ish term from "every
+    * matched doc survives at idf·(k1+1)" into "only docs in high-tf blocks
+    * survive". Same θ seeding, same θ − 1e-4 rounding slack, same exact
+    * rescore — the cut stays provably LOSSLESS under the rounded-(score
+    * DESC, doc) order the oracle pins.
+    *
+    * At 100 TB the block assignment is one extra `row_number` ride on the
+    * already-required term exchange (block max is a window over (term,
+    * block) — clustering-satisfied by the term partitioning, no new
+    * shuffle), and the dl join + float scoring still run only over seed ∪
+    * survivor docs — the published BMW saving in dataflow form. */
+  def blockMaxSearch(docs: DataFrame, idCol: String, textCol: String,
+                     query: String, k: Int, seedR: Int = 25,
+                     blockSize: Int = 128): DataFrame =
+    blockMaxParts(docs, idCol, textCol, query, k, seedR, blockSize)._1
+
+  /** [[blockMaxSearch]] plus diagnostics legs: (topk, survivors (doc),
+    * matched (doc)) — with [[maxScoreParts]]' survivors on the same seeds,
+    * specs assert the block bound is a strict refinement. */
+  private[graft] def blockMaxParts(docs: DataFrame, idCol: String, textCol: String,
+                                   query: String, k: Int, seedR: Int, blockSize: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 1, s"k $k")
+    require(seedR >= 1, s"seedR $seedR")
+    require(blockSize >= 1, s"blockSize $blockSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = scoredAll(docs, idCol, textCol, query)
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
+    // subtrees mirror scoredAll exactly (same filter, same aggregates) so
+    // AQE's stage cache reuses the corpus tokenize across every leg — the
+    // maxScoreParts plan-audit discipline
+    val tfAll = termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol)
+    val dl = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val matchedTf = tfAll.join(broadcast(qTerms.toDF("term")), "term")
+      .withColumn("df", count(lit(1)).over(wTerm))
+    // phase 1 — θ from exact champion scores: its own single-window stack
+    // directly under the rank filter (the WindowGroupLimit adjacency
+    // maxScoreParts relies on — stacking the block windows on top would
+    // break the rewrite). Both this and the block stack below sit above
+    // the SAME df-window term exchange of `matchedTf`, so the corpus-side
+    // subtree shuffles once; only the tiny post-exchange window legs fork.
+    val wChamp = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
+    val seeds = matchedTf
+      .withColumn("__graft_ms_rn", row_number().over(wChamp))
+      .filter(col("__graft_ms_rn") <= seedR)
+      .select("doc").distinct()
+    val theta = scored.join(seeds, Seq("doc"), "left_semi")
+      .orderBy(desc("score"), asc("doc")).limit(k)
+      .agg(count(lit(1)).as("c"), min("score").as("m"))
+      .select(when(col("c") < k, lit(Double.MinValue))
+        .otherwise(col("m")).as("theta"))
+    // block layout ride: doc-order row number assigns PostingsCodec's
+    // blocks; the block max is a window clustered by (term, block) —
+    // satisfied by the term hash partitioning, no second shuffle
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc")
+    val blocked = matchedTf
+      .withColumn("__graft_bmw_rn0", row_number().over(wDoc) - 1)
+      .withColumn("__graft_bmw_block", expr(s"cast(__graft_bmw_rn0 div $blockSize as bigint)"))
+    val wBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy("term", "__graft_bmw_block")
+    // phase 2 — per-block saturation bound, no dl join. The 0·avgdl no-op
+    // keeps the broadcast stats subtree identical to scoredAll's (pruning
+    // it to n-only forks the dl aggregate into a second corpus tokenize —
+    // the maxScoreParts per-branch-pruning lesson).
+    val survivors = blocked
+      .withColumn("__graft_bmw_bm", max("tf").over(wBlock))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+        + lit(0.0) * col("avgdl"))
+      .groupBy("doc").agg(sum(
+        col("idf") * lit(K1 + 1.0) * col("__graft_bmw_bm").cast("double") /
+          (col("__graft_bmw_bm").cast("double") + lit(K1 * (1.0 - B)))).as("ub"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta") - lit(1e-4))
+      .select("doc")
+    // phase 3 — exact rescore of survivors only, rounded-order top-k
+    val topk = scored.join(survivors, Seq("doc"), "left_semi")
+      .select(col("doc"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+    (topk, survivors, matchedTf.select("doc").distinct())
+  }
+
   /** Exact-phrase occurrence counts per doc (positional retrieval — the
     * query class BM25's bag-of-words scoring cannot express).
     *
