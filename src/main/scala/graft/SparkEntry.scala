@@ -1288,6 +1288,21 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", grid, priors)
         .select(col("doc").cast("long").as("doc_id"), col("class"), col("score"))
     }),
+    // --- trainable bigram LM with add-one smoothing (the word-ORDER-aware
+    // CCNet/KenLM-style perplexity stage; q_lm_score's unigram LM cannot
+    // see transitions): counts trained on EVEN doc_ids, ODD docs scored by
+    // conditional log-likelihood Σ ln((c2+1)/(c1+V)) over pairs whose
+    // context is in-vocab. Raw doubles, quantized ONCE at 2dp (the q_nb
+    // large-magnitude-sum discipline; |ll| ≤ ~340, margins ≥ 3.3e-5 at
+    // both SFs — audited in COVERAGE.md).
+    "q_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (c2, c1) = graft.text.BigramLm.train(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.text.BigramLm.score(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", c2, c1)
+        .select(col("doc").cast("long").as("doc_id"), col("n_scored"), col("score"))
+    }),
     // --- TextRank extractive summarization (Mihalcea–Tarau 2004): top-2
     // sentences per doc by integer PageRank over the shared-token
     // sentence graph — similarity counts ARE multi-edges, so the proven
@@ -3928,6 +3943,27 @@ object SparkEntry {
           |   FROM ttf JOIN grid USING (term) GROUP BY 1, 2)
           |SELECT doc AS doc_id, sc.class AS class, round(ll + ln_prior, 2) AS score
           |FROM sc JOIN pri ON pri.class = sc.class""".stripMargin,
+      // bigram LM: counts replayed exactly (in-doc adjacent pairs via
+      // 1-based list indexing over range — pairs never cross docs); the
+      // vocab-context inner join skips OOV contexts on both engines; the
+      // add-one arithmetic is raw doubles rounded once at 2dp
+      "q_bigram_lm" ->
+        """WITH tr AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+          |  FROM documents WHERE doc_id % 2 = 0),
+          | big AS (SELECT t.ts[j] AS u, t.ts[j+1] AS w FROM tr t, unnest(range(1, len(t.ts))) AS r(j)),
+          | c2 AS (SELECT u, w, count(*)::BIGINT AS cnt_uw FROM big GROUP BY 1, 2),
+          | c1 AS (SELECT unnest(ts) AS u FROM tr),
+          | cu AS (SELECT u, count(*)::BIGINT AS cnt_u FROM c1 GROUP BY 1),
+          | vs AS (SELECT count(*)::DOUBLE AS v FROM cu),
+          | te AS (SELECT doc_id AS doc, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+          |  FROM documents WHERE doc_id % 2 = 1),
+          | tb AS (SELECT doc, t.ts[j] AS u, t.ts[j+1] AS w FROM te t, unnest(range(1, len(t.ts))) AS r(j)),
+          | sc AS (SELECT doc, count(*)::BIGINT AS n_scored,
+          |     sum(ln(coalesce(cnt_uw, 0) + 1.0) - ln(cnt_u + v)) AS ll
+          |   FROM tb JOIN cu USING(u) LEFT JOIN c2 ON c2.u = tb.u AND c2.w = tb.w CROSS JOIN vs
+          |   GROUP BY doc)
+          |SELECT doc AS doc_id, n_scored, round(ll, 2) AS score FROM sc""".stripMargin,
       "q_textrank" -> textRankOracleSql(iters = 6, topK = 2),
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on

@@ -19,10 +19,12 @@ object Audit {
     df.collect()
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     println(plan)
-    def n(p: String) = p.r.findAllIn(plan).size
-    println(s"AUDIT $name: scans=${n("Scan parquet")} " +
-      s"exchanges=${n("\\(\\d+\\) Exchange")} reused=${n("ReusedExchange")} " +
-      s"windowGroupLimits=${n("WindowGroupLimit")} " +
-      s"codegenSpans=${n("WholeStageCodegen")}")
+    // the formatted tree prints shared/adaptive subtrees repeatedly — count
+    // DISTINCT node ids, not line occurrences
+    def ids(p: String) = s"\\((\\d+)\\) $p".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+    println(s"AUDIT $name: scans=${ids("Scan parquet")} " +
+      s"exchanges=${ids("Exchange")} reused=${ids("ReusedExchange")} " +
+      s"windowGroupLimits=${ids("WindowGroupLimit")} " +
+      s"codegenSpans=${"WholeStageCodegen".r.findAllIn(plan).size}")
   }
 }
