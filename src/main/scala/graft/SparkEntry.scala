@@ -26,9 +26,11 @@ object SparkEntry {
     * query many — the production retrieval shape). */
   private val indexRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
-  /** The q_index_search / q_index_maxscore shared index (memoized per sf
-    * dir — ONE builder so the two gates cannot drift): segment 1 = even
-    * ids plus ids < 10 (the overlap), segment 2 = odd ids, then compact.
+  /** The q_index_search / q_index_maxscore / q_index_bmw shared index
+    * (memoized per sf dir — ONE builder so the gates cannot drift):
+    * segment 1 = even ids plus ids < 10 (the overlap), segment 2 = odd
+    * ids, then compact. Built with the compressed blocks channel, so
+    * compaction's blocks rebuild is on the gated path too.
     * Deterministic: a pure function of the sf dir. */
   private def sharedIndexRoot(s: SparkSession, dir: String): String =
     indexRootFor.synchronized(indexRootFor.getOrElseUpdate(dir, {
@@ -37,8 +39,10 @@ object SparkEntry {
           lit(false).as("is_duplicate"))
       val r = scratchDir("graft-index-")
       graft.jobs.IndexJob.build(s,
-        docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r)
-      graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r)
+        docs.filter(col("id").cast("long") % 2 === 0 || col("id").cast("long") < 10), r,
+        blocks = true)
+      graft.jobs.IndexJob.build(s, docs.filter(col("id").cast("long") % 2 === 1), r,
+        blocks = true)
       graft.jobs.IndexJob.compact(s, r)
       r
     }))
@@ -1871,6 +1875,18 @@ object SparkEntry {
     "q_index_maxscore" -> ((s, dir) =>
       graft.jobs.IndexJob.topkSearch(s, sharedIndexRoot(s, dir),
         "spark filter join table", k = 10)),
+    // --- Block-Max WAND over the MATERIALIZED COMPRESSED index (same
+    // memoized root): θ from the highest-max_tf blocks, metadata-only
+    // per-block bounds, tf bytes decoded ONLY for seed/survivor blocks —
+    // the q_varint storage layout and the q_bmw pruning meeting in the
+    // committed index. Oracle = corpus-side full BM25 + the rounded
+    // top-15 cut (VARCHAR doc order), so index content, codec round-trip
+    // AND pruning losslessness are gated in one statement. Boundary
+    // audited: ranks 15/16 distinct 4-dp at sf0.001 (1.5898/1.5848) and
+    // sf0.01 (1.4910/1.4887).
+    "q_index_bmw" -> ((s, dir) =>
+      graft.jobs.IndexJob.blockMaxTopk(s, sharedIndexRoot(s, dir),
+        "spark filter join table", k = 15)),
     // --- doc-level TOMBSTONE upsert over the materialized index (the
     // reference's per-id upsert, chroma_store.py:33-61): segment 1 holds
     // the whole corpus; every 10th doc is then tombstoned and RE-APPENDED
@@ -4505,6 +4521,14 @@ object SparkEntry {
            |SELECT doc, score FROM (
            |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM base)
            |WHERE rn <= 10""".stripMargin,
+      // index-resident block-max WAND: codec round-trip + pruning both
+      // lossless ⇒ the same corpus-side oracle, top-15 cut
+      "q_index_bmw" ->
+        s"""WITH base AS (
+           |${bm25OracleSql("", idExpr = "doc_id::VARCHAR")})
+           |SELECT doc, score FROM (
+           |  SELECT doc, score, row_number() OVER (ORDER BY score DESC, doc) AS rn FROM base)
+           |WHERE rn <= 15""".stripMargin,
       // tombstone upsert == BM25 over the POST-upsert corpus: every 10th
       // doc's text rewritten (same id), stale rows dead by tv>sv
       "q_index_upsert" -> bm25OracleSql("", idExpr = "doc_id::VARCHAR",

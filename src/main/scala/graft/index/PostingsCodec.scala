@@ -49,6 +49,37 @@ object PostingsCodec {
     out.toByteArray
   }
 
+  /** Plain (non-delta) varint encoding of an arbitrary non-negative value
+    * sequence — the per-posting payload channel (term frequencies travel
+    * beside the delta-coded id channel, index-aligned; tfs are small and
+    * unsorted, so gaps would not help them). */
+  def encodeValues(vals: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length + 8)
+    var i = 0
+    while (i < vals.length) { putVarint(vals(i), out); i += 1 }
+    out.toByteArray
+  }
+
+  /** Decode a plain varint value sequence. */
+  def decodeValues(bytes: Array[Byte]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        val b = bytes(i) & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+        i += 1
+      }
+      out += v
+    }
+    out.result()
+  }
+
   /** Decode a block back to absolute ascending ids. */
   def decodeBlock(bytes: Array[Byte]): Array[Long] = {
     val out = Array.newBuilder[Long]
@@ -76,6 +107,40 @@ object PostingsCodec {
   private final case class Block(term: String, block: Long, n_docs: Long,
                                  max_tf: Long, n_bytes: Long, byte_sum: Long,
                                  bytes: Array[Byte])
+
+  private final case class Block2(term: String, block: Long, n_docs: Long,
+                                  max_tf: Long, ids: Array[Byte], tfs: Array[Byte])
+
+  /** Compressed two-channel blocks of a flat (term, doc, tf) posting
+    * relation: one row per (term, block) — (term, block, n_docs, max_tf,
+    * ids, tfs). The id channel is delta+varint ([[encodeBlock]]), the
+    * index-aligned tf channel plain varint ([[encodeValues]]); `max_tf`
+    * is the block-max metadata BMW-style pruning reads INSTEAD of the
+    * bytes. Doc ids must cast to non-negative longs (gap compression is
+    * why — a non-castable id fails the job loudly on the non-nullable
+    * encoder). Same single-term-shuffle plan shape as [[blockedPostings]],
+    * every aggregate bounded by `blockSize` members. */
+  def blocksOf(flat: DataFrame, blockSize: Int = 128): DataFrame = {
+    require(blockSize >= 1, s"blockSize $blockSize")
+    val spark = flat.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc")
+    flat.select(col("term"), col("doc").cast("long").as("doc"),
+        col("tf").cast("long").as("tf"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("block", expr(s"cast(rn div $blockSize as bigint)"))
+      .groupBy("term", "block")
+      .agg(sort_array(collect_list(struct(col("doc"), col("tf")))).as("members"))
+      .select(col("term"), col("block"),
+        col("members.doc").as("ids"), col("members.tf").as("tfs"))
+      .as[(String, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (term, block, ids, tfs) =>
+        Block2(term, block, ids.length.toLong, tfs.max,
+          encodeBlock(ids), encodeValues(tfs))
+      })
+      .toDF()
+  }
 
   /** Compressed blocked postings of a corpus: one row per (term, block) —
     * (term, block, n_docs, max_tf, n_bytes, byte_sum, bytes). Ids must

@@ -46,7 +46,8 @@ object IndexJob {
     * where= filters at :168-175). [[search]] filters against it without
     * touching the corpus. */
   def build(spark: SparkSession, chunks: DataFrame, indexRoot: String,
-            facetCols: Seq[String] = Nil, positions: Boolean = false): Int = {
+            facetCols: Seq[String] = Nil, positions: Boolean = false,
+            blocks: Boolean = false): Int = {
     // chunk ids are content-derived (sha1(dochash:idx:chunkhash)), so
     // byte-identical documents under different urls yield identical ids —
     // indexing the same content id twice double-counts tf/dl. Dedup by id
@@ -100,6 +101,21 @@ object IndexJob {
         .withColumn("sv", lit(v))
         .repartition(col("term")).sortWithinPartitions("term", "doc", "pos")
         .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/positions")
+    // compressed two-channel posting blocks (opt-in): the storage form
+    // block-max retrieval ([[blockMaxTopk]]) prunes at block granularity —
+    // gap+varint ids, varint tfs, per-block max_tf metadata
+    // (PostingsCodec.blocksOf). The codec needs numeric gaps, so ids must
+    // be CANONICAL non-negative decimal longs (cast-to-long then back must
+    // be identity — enforced per row, loudly; sha1-keyed corpora keep the
+    // array postings path).
+    if (blocks)
+      graft.index.PostingsCodec.blocksOf(
+        idx.postings.select(col("term"), explode(col("postings")).as("p"))
+          .select(col("term"), checkedBlockDoc(col("p.doc")).as("doc"),
+            col("p.tf").as("tf")))
+        .withColumn("sv", lit(v))
+        .repartition(col("term")).sortWithinPartitions("term", "block")
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/blocks")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"segment-v$v"), Nil,
       Map("n_docs" -> obs.get("n").asInstanceOf[Long].toDouble,
@@ -139,11 +155,22 @@ object IndexJob {
   }
 
   private val CompactKey = "compact-v(\\d+)".r
-  private val KindDir = ".*/data/v(\\d+)/(postings|doclen|facets|tombstones|positions)/.*\\.parquet".r
+  private val KindDir = ".*/data/v(\\d+)/(postings|doclen|facets|tombstones|positions|blocks)/.*\\.parquet".r
+
+  /** The per-row id guard of the blocks channel: ids must round-trip
+    * string→long→string (canonical non-negative decimal) or the build
+    * fails loudly instead of silently corrupting gaps. */
+  private def checkedBlockDoc(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(d.cast("long").isNull || d.cast("long") < 0 ||
+        d.cast("long").cast("string") =!= d.cast("string"),
+      raise_error(concat(lit("blocks=true requires canonical non-negative " +
+        "decimal doc ids; got "), d.cast("string"))))
+      .otherwise(d.cast("long"))
 
   private final case class Segments(postings: DataFrame, doclen: DataFrame,
                                     facets: Option[DataFrame], tombs: Option[DataFrame],
                                     positions: Option[DataFrame],
+                                    blocks: Option[DataFrame],
                                     kindVersions: Map[String, Set[Int]])
 
   /** Resolve the live relations purely from manifest state — which versions
@@ -177,7 +204,7 @@ object IndexJob {
       .collect { case KindDir(v, kind) if liveSet(v.toInt) => kind -> v.toInt }
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
     Segments(postings, doclen, facets, read("tombstones"), read("positions"),
-      kindVersions)
+      read("blocks"), kindVersions)
   }
 
   /** Drop rows whose doc has a live tombstone NEWER than the row's segment
@@ -243,6 +270,19 @@ object IndexJob {
         .repartition(col("term")).sortWithinPartitions("term", "doc", "pos")
         .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/positions")
     }
+    // rebuild the compressed blocks channel from the SAME deduped,
+    // tombstone-purged flat relation the compacted postings came from —
+    // only when every live postings segment carried blocks (a partial
+    // channel would make blockMaxTopk silently lossy; dropping it keeps
+    // that path's coverage require() loud instead)
+    if (seg.blocks.isDefined &&
+        (seg.kindVersions.getOrElse("postings", Set.empty) --
+          seg.kindVersions.getOrElse("blocks", Set.empty)).isEmpty)
+      graft.index.PostingsCodec.blocksOf(
+        flat.select(col("term"), checkedBlockDoc(col("doc")).as("doc"), col("tf")))
+        .withColumn("sv", lit(v))
+        .repartition(col("term")).sortWithinPartitions("term", "block")
+        .write.mode("overwrite").parquet(s"$indexRoot/data/v$v/blocks")
     val files = lake.listParquet(s"$indexRoot/data/v$v")
     lake.commit(files, Seq(s"compact-v$v"), Nil, Map.empty)
     v
@@ -372,6 +412,128 @@ object IndexJob {
       .filter(col("ub") >= col("theta") - lit(1e-4))
       .select("doc")
     scored.join(survivors, Seq("doc"), "left_semi")
+      .select(col("doc"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
+
+  /** Block-Max WAND EXACT top-k resolved ENTIRELY from the committed
+    * COMPRESSED posting blocks (Ding & Suel SIGIR'11; segments built with
+    * `blocks = true`) — where the [[Bm25.blockMaxSearch]] pruning and the
+    * PostingsCodec storage layout earn their keep together in a real
+    * engine. Four bounded phases, all query-term-pruned (the term-range
+    * block layout file-prunes the scan):
+    *
+    *  0. decode the ID CHANNEL ONLY of the query terms' blocks — one
+    *     integer pass; tombstones drop by (doc, sv); exact per-term df is
+    *     the distinct-doc count of this relation (a tiny broadcast);
+    *  1. θ seed: per term take the `seedB` blocks with the highest
+    *     max_tf metadata (blocks are doc-ordered, so high-tf docs sit in
+    *     high-max_tf blocks), EXACT-score their docs (tf channel decoded
+    *     only for blocks containing a seed doc, dl join bounded to
+    *     seeds), θ = the k-th best raw score (−∞ when fewer than k);
+    *  2. prune on METADATA: per posting row the block bound
+    *     idf·(k1+1)·bm/(bm + k1(1−b)) — no tf decode, no dl join; docs
+    *     whose summed bound < θ − 1e-4 provably cannot reach the k-th
+    *     rounded score (duplicate rows from overlapping segments only
+    *     LOOSEN the bound — sound);
+    *  3. decode the tf channel of blocks containing a survivor,
+    *     max-tf-dedup overlapping segments, exact-rescore through the
+    *     SAME bm25Scores arithmetic [[search]] uses, cut top-k on the
+    *     rounded-(score DESC, doc) total order.
+    *
+    * Result is bit-identical to [[search]] over the same live corpus —
+    * the cut is lossless; only the decoded bytes and the float work
+    * shrink. At 100 TB the tf channel of a stop-word's corpus-sized
+    * posting list is exactly what this never reads. */
+  def blockMaxTopk(spark: SparkSession, indexRoot: String, query: String,
+                   k: Int, seedR: Int = 25, seedB: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k $k")
+    require(seedR >= 1, s"seedR $seedR")
+    require(seedB >= 1, s"seedB $seedB")
+    val seg = segments(spark, indexRoot)
+    val blocks = seg.blocks.getOrElse(sys.error(
+      s"no compressed posting blocks in $indexRoot (build with blocks = true)"))
+    val missing = seg.kindVersions.getOrElse("postings", Set.empty) --
+      seg.kindVersions.getOrElse("blocks", Set.empty)
+    require(missing.isEmpty,
+      s"segments ${missing.toSeq.sorted.mkString(", ")} in $indexRoot lack " +
+        "blocks tables (built without blocks = true) — block-max retrieval " +
+        "would silently omit their docs")
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq.toDF("term")
+    val blocksQ = blocks.join(broadcast(qTerms), "term")
+    // phase 0 — id channel only: (term, sv, block, max_tf, doc)
+    val flat0 = blocksQ
+      .select(col("term"), col("sv").cast("int").as("sv"),
+        col("block"), col("max_tf"), col("ids"))
+      .as[(String, Int, Long, Long, Array[Byte])]
+      .flatMap { case (term, sv, block, bm, ids) =>
+        graft.index.PostingsCodec.decodeBlock(ids)
+          .iterator.map(d => (term, sv, block, bm, d.toString)) }
+      .toDF("term", "sv", "block", "max_tf", "doc")
+    val live0 = dropTombstoned(flat0, seg.tombs)
+    val dfRel = live0.select("term", "doc").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df")) // |query terms| rows
+    val doclen = liveDoclen(seg)
+    val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    // exact raw scores of a candidate doc set: decode the tf channel ONLY
+    // for blocks holding a candidate, dedup overlap by max tf, score with
+    // the one shared arithmetic
+    def scoreDocs(cands: DataFrame): DataFrame = {
+      val hit = live0.join(cands, Seq("doc"), "left_semi")
+        .select("term", "sv", "block").distinct()
+      val rows = blocksQ.join(hit, Seq("term", "sv", "block"), "left_semi")
+        .select(col("term"), col("sv").cast("int").as("sv"),
+          col("ids"), col("tfs"))
+        .as[(String, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (term, sv, ids, tfs) =>
+          val d = graft.index.PostingsCodec.decodeBlock(ids)
+          val t = graft.index.PostingsCodec.decodeValues(tfs)
+          d.indices.iterator.map(i => (term, sv, d(i).toString, t(i))) }
+        .toDF("term", "sv", "doc", "tf")
+      val flat = dropTombstoned(rows, seg.tombs)
+        .join(cands, Seq("doc"), "left_semi")
+        .groupBy("term", "doc").agg(max("tf").as("tf"))
+        .join(broadcast(dfRel), "term")
+      bm25Scores(flat, doclen)
+    }
+    // phase 1 — θ from the highest-max_tf blocks' docs, exactly scored
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("max_tf"), asc("sv"), asc("block"))
+    val seedKeys = blocksQ
+      .select(col("term"), col("sv").cast("int").as("sv"), col("block"), col("max_tf"))
+      .withColumn("__graft_bmw_rn", row_number().over(wSeed))
+      .filter(col("__graft_bmw_rn") <= seedB)
+      .select("term", "sv", "block")
+    // rank seed docs by an integer signal available pre-decode (their
+    // summed block max — docs in several high-max blocks first), cut to
+    // seedR·|terms|: any subset yields a valid θ, this one a strong one
+    val seeds = live0.join(seedKeys, Seq("term", "sv", "block"), "left_semi")
+      .groupBy("doc").agg(sum("max_tf").as("__graft_bmw_w"))
+      .orderBy(desc("__graft_bmw_w"), asc("doc"))
+      .limit(seedR * math.max(1, graft.dedup.MinHash.tokenize(query).distinct.size))
+      .select("doc")
+    val theta = scoreDocs(seeds)
+      .orderBy(desc("score"), asc("doc")).limit(k)
+      .agg(count(lit(1)).as("c"), min("score").as("m"))
+      .select(when(col("c") < k, lit(Double.MinValue))
+        .otherwise(col("m")).as("theta"))
+    // phase 2 — metadata-only block bound, no tf decode, no dl join
+    val survivors = live0.join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+        + lit(0.0) * col("avgdl"))
+      .groupBy("doc").agg(sum(
+        col("idf") * lit(Bm25.K1 + 1.0) * col("max_tf").cast("double") /
+          (col("max_tf").cast("double") + lit(Bm25.K1 * (1.0 - Bm25.B)))).as("ub"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta") - lit(1e-4))
+      .select("doc")
+    // phase 3 — decode + exact-rescore survivors only
+    scoreDocs(survivors)
       .select(col("doc"), round(col("score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc"))
       .limit(k)
