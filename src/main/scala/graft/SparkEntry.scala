@@ -1307,6 +1307,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", c2, c1)
         .select(col("doc").cast("long").as("doc_id"), col("n_scored"), col("score"))
     }),
+    // --- SymSpell spelling suggestion over the corpus vocabulary (the
+    // "did you mean" retrieval stage): candidates via the symmetric-
+    // delete key join (vocab-bounded, never a vocab × query cross
+    // product), exact levenshtein ≤ 1 verify, (cnt DESC, term) rank cut
+    // at 3 per query term. All integer/string — the oracle replays the
+    // BRUTE-FORCE distance filter over the whole vocab, so the deletion-
+    // key candidate generation's completeness is itself what's gated.
+    "q_spell" -> ((s, dir) =>
+      graft.text.Spell.suggest(t(s, dir, "documents"), "text",
+        "sparc filtr joln scam colum fash", k = 3)),
     // --- TextRank extractive summarization (Mihalcea–Tarau 2004): top-2
     // sentences per doc by integer PageRank over the shared-token
     // sentence graph — similarity counts ARE multi-edges, so the proven
@@ -3980,6 +3990,21 @@ object SparkEntry {
           |   FROM tb JOIN cu USING(u) LEFT JOIN c2 ON c2.u = tb.u AND c2.w = tb.w CROSS JOIN vs
           |   GROUP BY doc)
           |SELECT doc AS doc_id, n_scored, round(ll, 2) AS score FROM sc""".stripMargin,
+      // SymSpell: the oracle brute-forces levenshtein <= 1 over the full
+      // vocab cross query terms — any candidate the deletion-key join
+      // missed (or invented) hash-mismatches
+      "q_spell" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | cu AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+          | q(qterm) AS (SELECT unnest(['sparc','filtr','joln','scam','colum','fash'])),
+          | cand AS (SELECT qterm, term, cnt FROM cu CROSS JOIN q
+          |   WHERE levenshtein(term, qterm) <= 1),
+          | r AS (SELECT qterm, term, cnt,
+          |    row_number() OVER (PARTITION BY qterm ORDER BY cnt DESC, term) AS rank
+          |   FROM cand)
+          |SELECT qterm, term, cnt, rank FROM r WHERE rank <= 3""".stripMargin,
       "q_textrank" -> textRankOracleSql(iters = 6, topK = 2),
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
