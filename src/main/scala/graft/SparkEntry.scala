@@ -1317,6 +1317,17 @@ object SparkEntry {
     "q_spell" -> ((s, dir) =>
       graft.text.Spell.suggest(t(s, dir, "documents"), "text",
         "sparc filtr joln scam colum fash", k = 3)),
+    // --- front-coded term dictionary (Managing Gigabytes §4 / the Lucene
+    // term-block layout — the index storage bill's OTHER half beside
+    // q_varint's postings): sorted vocab in 8-term blocks, block heads
+    // whole, later terms as varint(lcp)+varint(|suffix|)+suffix against
+    // the GLOBAL predecessor (two-pass distributed rank — never a global
+    // window; partition-count-invariant by spec). The real encoder's
+    // n_bytes/byte_sum are gated against the oracle's closed-form lcp
+    // counting + LEB128 arithmetic + ascii sums. All integer/string.
+    "q_frontcode" -> ((s, dir) =>
+      graft.index.TermDict.frontCoded(t(s, dir, "documents"), "text",
+        blockSize = 8)),
     // --- TextRank extractive summarization (Mihalcea–Tarau 2004): top-2
     // sentences per doc by integer PageRank over the shared-token
     // sentence graph — similarity counts ARE multi-edges, so the proven
@@ -4005,6 +4016,31 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY qterm ORDER BY cnt DESC, term) AS rank
           |   FROM cand)
           |SELECT qterm, term, cnt, rank FROM r WHERE rank <= 3""".stripMargin,
+      // front-coded dictionary: lcp by monotone prefix counting (count of
+      // equal-prefix lengths == lcp), varint lengths/sums by the q_varint
+      // 7-bit arithmetic — 2-byte CASE suffices because the encoder
+      // rejects terms ≥ 2^14 chars; suffix byte sums are ascii codepoint
+      // sums (the tokenizer emits [a-z0-9] only)
+      "q_frontcode" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |  FROM documents),
+          | v AS (SELECT DISTINCT term FROM toks),
+          | r AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS rank0,
+          |        lag(term) OVER (ORDER BY term) AS prev FROM v),
+          | f AS (SELECT term, rank0 // 8 AS block, rank0 % 8 AS pos,
+          |        CASE WHEN rank0 % 8 = 0 THEN 0
+          |             ELSE len(list_filter(range(1, least(len(term), len(prev)) + 1),
+          |                      i -> substr(term, 1, i) = substr(prev, 1, i))) END AS lcp
+          |       FROM r),
+          | e AS (SELECT term, block, pos, lcp, substr(term, lcp + 1) AS suffix FROM f)
+          |SELECT term, block, pos, lcp::BIGINT AS lcp, suffix,
+          |  ((CASE WHEN lcp < 128 THEN 1 ELSE 2 END)
+          |   + (CASE WHEN len(suffix) < 128 THEN 1 ELSE 2 END) + len(suffix))::BIGINT AS n_bytes,
+          |  (((lcp & 127) + ((lcp >> 7) & 127) + 128 * (CASE WHEN lcp < 128 THEN 0 ELSE 1 END))
+          |   + ((len(suffix) & 127) + ((len(suffix) >> 7) & 127) + 128 * (CASE WHEN len(suffix) < 128 THEN 0 ELSE 1 END))
+          |   + coalesce(list_aggregate(list_transform(string_split(suffix, ''), x -> unicode(x)), 'sum'), 0))::BIGINT AS byte_sum
+          |FROM e""".stripMargin,
       "q_textrank" -> textRankOracleSql(iters = 6, topK = 2),
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
