@@ -1328,6 +1328,36 @@ object SparkEntry {
     "q_frontcode" -> ((s, dir) =>
       graft.index.TermDict.frontCoded(t(s, dir, "documents"), "text",
         blockSize = 8)),
+    // --- sitemap-protocol parsing (web/Sitemap — the crawl-discovery
+    // channel beside q_robots/q_frontier): the harness BUILDS one
+    // deterministic urlset per host from the documents table (locs carry
+    // &amp; entities; every 3rd url omits lastmod, every 4th priority),
+    // round-trips it through the real from-scratch parser, and the
+    // oracle replays the construction arithmetic directly — any parser
+    // loss (entity decode, optional fields, entry boundaries) mismatches.
+    "q_sitemap" -> ((s, dir) => {
+      val rows = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 97).cast("string").as("h"))
+      val entry = concat(
+        lit("<url><loc>https://host"), col("h"), lit(".example/doc/"),
+        col("doc_id").cast("string"), lit("?a=1&amp;b="),
+        (col("doc_id") % 7).cast("string"), lit("</loc>"),
+        when(col("doc_id") % 3 =!= 0, concat(lit("<lastmod>2026-01-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))).otherwise(lit("")),
+        when(col("doc_id") % 4 =!= 0, concat(lit("<priority>0."),
+          (col("doc_id") % 10).cast("string"), lit("</priority>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val xml = rows.withColumn("e", entry)
+        .groupBy("h").agg(
+          concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+            array_join(expr("sort_array(collect_list(struct(doc_id, e))).e"), "\n"),
+            lit("\n</urlset>")).as("xml"))
+      graft.web.Sitemap.entries(
+        xml.select(concat(lit("host"), col("h"), lit(".example")).as("host"),
+          col("xml")), "host", "xml")
+    }),
     // --- TextRank extractive summarization (Mihalcea–Tarau 2004): top-2
     // sentences per doc by integer PageRank over the shared-token
     // sentence graph — similarity counts ARE multi-edges, so the proven
@@ -4041,6 +4071,18 @@ object SparkEntry {
           |   + ((len(suffix) & 127) + ((len(suffix) >> 7) & 127) + 128 * (CASE WHEN len(suffix) < 128 THEN 0 ELSE 1 END))
           |   + coalesce(list_aggregate(list_transform(string_split(suffix, ''), x -> unicode(x)), 'sum'), 0))::BIGINT AS byte_sum
           |FROM e""".stripMargin,
+      // sitemap round-trip: the oracle replays the harness's construction
+      // arithmetic (raw '&' — the parser must decode the &amp; the
+      // builder wrote); NULLs where the optional fields were omitted
+      "q_sitemap" ->
+        """SELECT 'host' || (doc_id % 97)::VARCHAR || '.example' AS host,
+          |  'url' AS kind,
+          |  'https://host' || (doc_id % 97)::VARCHAR || '.example/doc/' || doc_id::VARCHAR
+          |    || '?a=1&b=' || (doc_id % 7)::VARCHAR AS loc,
+          |  CASE WHEN doc_id % 3 <> 0
+          |       THEN '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') END AS lastmod,
+          |  CASE WHEN doc_id % 4 <> 0 THEN '0.' || (doc_id % 10)::VARCHAR END AS priority
+          |FROM documents""".stripMargin,
       "q_textrank" -> textRankOracleSql(iters = 6, topK = 2),
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
