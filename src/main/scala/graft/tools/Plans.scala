@@ -411,6 +411,46 @@ object Plans {
          |rewrites to WindowGroupLimit; tombstone anti-joins are
          |query-bounded; the final cut is TakeOrderedAndProject.""".stripMargin,
        graft.SparkEntry.queries("q_index_maxscore")(spark, sfDir)),
+      ("Block-Max WAND (q_bmw)",
+       """Check: same tallies as the accepted q_maxscore plan (the block
+         |assignment and block max ride the EXISTING term exchange — the
+         |(term, block) window is clustering-satisfied by the term hash
+         |partitioning, NO second shuffle); the θ seed leg keeps its
+         |WindowGroupLimit; the survivor bound subtree has no doclen
+         |aggregate; final cut TakeOrderedAndProject.""".stripMargin,
+       graft.SparkEntry.queries("q_bmw")(spark, sfDir)),
+      ("Index-resident Block-Max WAND (q_index_bmw)",
+       """Check: every leaf is a committed segment read; the blocks scan
+         |carries the broadcast query-term join (term-range file pruning);
+         |the id-channel decode is one narrow SerializeFromObject chain;
+         |the bound phase consumes ONLY (term, sv, block, max_tf, doc) —
+         |no tf decode, no doclen join in that subtree; tf-channel decodes
+         |appear solely under the seed/survivor semi-joins.""".stripMargin,
+       graft.SparkEntry.queries("q_index_bmw")(spark, sfDir)),
+      ("Bigram LM train+score (q_bigram_lm)",
+       """Check: in-doc pairs come from the array-zip transform (narrow
+         |explode — NO lag window, no doc-keyed shuffle); training is two
+         |count aggregates with map-side partials; scoring joins stay
+         |shuffle/broadcast per AQE sizing (a web-scale bigram table is
+         |unbounded by design).""".stripMargin,
+       graft.SparkEntry.queries("q_bigram_lm")(spark, sfDir)),
+      ("Front-coded term dictionary (q_frontcode)",
+       """Check: ONE range-partition exchange on term (the two-pass global
+         |rank — no one-task global window); encode is a narrow
+         |mapPartitions over the sorted partitions; the driver sees only
+         |numPartitions (count, boundary-term) rows.""".stripMargin,
+       graft.SparkEntry.queries("q_frontcode")(spark, sfDir)),
+      ("SymSpell suggestion (q_spell)",
+       """Check: the deletion-key explode is VOCAB-bounded above the one
+         |term aggregate; the query side enters as a BROADCAST join (never
+         |a vocab × query cross product); the rank cut rewrites to
+         |WindowGroupLimit; levenshtein is a codegen'd built-in.""".stripMargin,
+       graft.SparkEntry.queries("q_spell")(spark, sfDir)),
+      ("Sitemap round-trip (q_sitemap)",
+       """Check: ONE exchange (the per-host groupBy building the XML);
+         |the parse itself is a narrow SerializeFromObject chain after the
+         |aggregate — parsing never shuffles.""".stripMargin,
+       graft.SparkEntry.queries("q_sitemap")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
