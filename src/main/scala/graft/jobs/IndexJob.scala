@@ -425,18 +425,21 @@ object IndexJob {
     * block layout file-prunes the scan):
     *
     *  0. decode the ID CHANNEL ONLY of the query terms' blocks — one
-    *     integer pass; tombstones drop by (doc, sv); exact per-term df is
-    *     the distinct-doc count of this relation (a tiny broadcast);
-    *  1. θ seed: per term take the `seedB` blocks with the highest
-    *     max_tf metadata (blocks are doc-ordered, so high-tf docs sit in
-    *     high-max_tf blocks), EXACT-score their docs (tf channel decoded
-    *     only for blocks containing a seed doc, dl join bounded to
-    *     seeds), θ = the k-th best raw score (−∞ when fewer than k);
-    *  2. prune on METADATA: per posting row the block bound
+    *     integer pass; tombstones drop by (doc, sv); the per-(term, doc)
+    *     MAX block-max (`bm`, overlapping segments collapse here) and
+    *     the exact per-term df then ride ONE (term, doc) aggregate
+    *     exchange that every later phase consumes — AQE's stage cache
+    *     materializes the decode once (without the exchange each leg
+    *     re-scanned and re-decoded the blocks: plan-audited 3.3× wall);
+    *  1. θ seed: docs ranked by their summed per-term `bm` (an integer
+    *     metadata signal — members of high-max_tf blocks first), top
+    *     seedR·|terms| EXACT-scored (tf channel decoded only for blocks
+    *     holding a seed, dl join bounded to seeds), θ = the k-th best
+    *     raw score (−∞ when fewer than k);
+    *  2. prune on METADATA: per (term, doc) the block bound
     *     idf·(k1+1)·bm/(bm + k1(1−b)) — no tf decode, no dl join; docs
     *     whose summed bound < θ − 1e-4 provably cannot reach the k-th
-    *     rounded score (duplicate rows from overlapping segments only
-    *     LOOSEN the bound — sound);
+    *     rounded score;
     *  3. decode the tf channel of blocks containing a survivor,
     *     max-tf-dedup overlapping segments, exact-rescore through the
     *     SAME bm25Scores arithmetic [[search]] uses, cut top-k on the
@@ -447,11 +450,10 @@ object IndexJob {
     * shrink. At 100 TB the tf channel of a stop-word's corpus-sized
     * posting list is exactly what this never reads. */
   def blockMaxTopk(spark: SparkSession, indexRoot: String, query: String,
-                   k: Int, seedR: Int = 25, seedB: Int = 2): DataFrame = {
+                   k: Int, seedR: Int = 25): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k $k")
     require(seedR >= 1, s"seedR $seedR")
-    require(seedB >= 1, s"seedB $seedB")
     val seg = segments(spark, indexRoot)
     val blocks = seg.blocks.getOrElse(sys.error(
       s"no compressed posting blocks in $indexRoot (build with blocks = true)"))
@@ -472,9 +474,16 @@ object IndexJob {
         graft.index.PostingsCodec.decodeBlock(ids)
           .iterator.map(d => (term, sv, block, bm, d.toString)) }
       .toDF("term", "sv", "block", "max_tf", "doc")
-    val live0 = dropTombstoned(flat0, seg.tombs)
-    val dfRel = live0.select("term", "doc").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df")) // |query terms| rows
+    // pin the decode behind ONE term-keyed exchange: every leg (bound,
+    // seeds, both tf-decode hit joins) consumes this shuffle's output, so
+    // AQE's stage cache materializes the scan+decode exactly once —
+    // without it each leg re-decoded the blocks (no stage boundary under
+    // a broadcast join; plan-audited 3.3× wall)
+    val live0 = dropTombstoned(flat0.repartition(col("term")), seg.tombs)
+    val grouped = live0.groupBy("term", "doc").agg(max("max_tf").as("bm"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    val dfRel = grouped.select("term", "df").distinct() // |query terms| rows
     val doclen = liveDoclen(seg)
     val stats = doclen.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -499,19 +508,12 @@ object IndexJob {
         .join(broadcast(dfRel), "term")
       bm25Scores(flat, doclen)
     }
-    // phase 1 — θ from the highest-max_tf blocks' docs, exactly scored
-    val wSeed = org.apache.spark.sql.expressions.Window
-      .partitionBy("term").orderBy(desc("max_tf"), asc("sv"), asc("block"))
-    val seedKeys = blocksQ
-      .select(col("term"), col("sv").cast("int").as("sv"), col("block"), col("max_tf"))
-      .withColumn("__graft_bmw_rn", row_number().over(wSeed))
-      .filter(col("__graft_bmw_rn") <= seedB)
-      .select("term", "sv", "block")
-    // rank seed docs by an integer signal available pre-decode (their
-    // summed block max — docs in several high-max blocks first), cut to
-    // seedR·|terms|: any subset yields a valid θ, this one a strong one
-    val seeds = live0.join(seedKeys, Seq("term", "sv", "block"), "left_semi")
-      .groupBy("doc").agg(sum("max_tf").as("__graft_bmw_w"))
+    // phase 1 — seeds ranked by summed per-term block max (an integer
+    // metadata signal: members of high-max_tf blocks first, cut to
+    // seedR·|terms|; any subset yields a valid θ, this one a strong one),
+    // then exactly scored
+    val seeds = grouped
+      .groupBy("doc").agg(sum("bm").as("__graft_bmw_w"))
       .orderBy(desc("__graft_bmw_w"), asc("doc"))
       .limit(seedR * math.max(1, graft.dedup.MinHash.tokenize(query).distinct.size))
       .select("doc")
@@ -521,14 +523,14 @@ object IndexJob {
       .select(when(col("c") < k, lit(Double.MinValue))
         .otherwise(col("m")).as("theta"))
     // phase 2 — metadata-only block bound, no tf decode, no dl join
-    val survivors = live0.join(broadcast(dfRel), "term")
+    val survivors = grouped
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n") - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
         + lit(0.0) * col("avgdl"))
       .groupBy("doc").agg(sum(
-        col("idf") * lit(Bm25.K1 + 1.0) * col("max_tf").cast("double") /
-          (col("max_tf").cast("double") + lit(Bm25.K1 * (1.0 - Bm25.B)))).as("ub"))
+        col("idf") * lit(Bm25.K1 + 1.0) * col("bm").cast("double") /
+          (col("bm").cast("double") + lit(Bm25.K1 * (1.0 - Bm25.B)))).as("ub"))
       .crossJoin(broadcast(theta))
       .filter(col("ub") >= col("theta") - lit(1e-4))
       .select("doc")

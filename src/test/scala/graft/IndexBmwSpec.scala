@@ -32,7 +32,7 @@ class IndexBmwSpec extends SparkSuiteBase {
     IndexJob.build(spark, docsDf.filter($"id".cast("long") < 60), root, blocks = true)
     IndexJob.build(spark, docsDf.filter($"id".cast("long") >= 60), root, blocks = true)
     val pruned = IndexJob.blockMaxTopk(spark, root, "spark join", k = 10,
-      seedR = 4, seedB = 1).as[(String, Double)].collect().toSeq
+      seedR = 4).as[(String, Double)].collect().toSeq
     assert(pruned == fullTopK(root, "spark join", 10))
   }
 
