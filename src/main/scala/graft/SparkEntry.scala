@@ -204,6 +204,35 @@ object SparkEntry {
     quad.union(ring)
   }
 
+  /** The q_sitemap / q_sitemap_frontier shared harness: build one
+    * deterministic urlset per host from the documents table (locs carry
+    * &amp; entities; every 3rd url omits lastmod, every 4th priority)
+    * and round-trip it through the real [[graft.web.Sitemap]] parser.
+    * ONE builder so the two gates cannot drift. */
+  private def sitemapEntriesHarness(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 97).cast("string").as("h"))
+    val entry = concat(
+      lit("<url><loc>https://host"), col("h"), lit(".example/doc/"),
+      col("doc_id").cast("string"), lit("?a=1&amp;b="),
+      (col("doc_id") % 7).cast("string"), lit("</loc>"),
+      when(col("doc_id") % 3 =!= 0, concat(lit("<lastmod>2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod>"))).otherwise(lit("")),
+      when(col("doc_id") % 4 =!= 0, concat(lit("<priority>0."),
+        (col("doc_id") % 10).cast("string"), lit("</priority>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val xml = rows.withColumn("e", entry)
+      .groupBy("h").agg(
+        concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          array_join(expr("sort_array(collect_list(struct(doc_id, e))).e"), "\n"),
+          lit("\n</urlset>")).as("xml"))
+    graft.web.Sitemap.entries(
+      xml.select(concat(lit("host"), col("h"), lit(".example")).as("host"),
+        col("xml")), "host", "xml")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1335,28 +1364,18 @@ object SparkEntry {
     // round-trips it through the real from-scratch parser, and the
     // oracle replays the construction arithmetic directly — any parser
     // loss (entity decode, optional fields, entry boundaries) mismatches.
-    "q_sitemap" -> ((s, dir) => {
-      val rows = t(s, dir, "documents").select(col("doc_id"),
-        (col("doc_id") % 97).cast("string").as("h"))
-      val entry = concat(
-        lit("<url><loc>https://host"), col("h"), lit(".example/doc/"),
-        col("doc_id").cast("string"), lit("?a=1&amp;b="),
-        (col("doc_id") % 7).cast("string"), lit("</loc>"),
-        when(col("doc_id") % 3 =!= 0, concat(lit("<lastmod>2026-01-"),
-          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
-          lit("</lastmod>"))).otherwise(lit("")),
-        when(col("doc_id") % 4 =!= 0, concat(lit("<priority>0."),
-          (col("doc_id") % 10).cast("string"), lit("</priority>")))
-          .otherwise(lit("")),
-        lit("</url>"))
-      val xml = rows.withColumn("e", entry)
-        .groupBy("h").agg(
-          concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
-            array_join(expr("sort_array(collect_list(struct(doc_id, e))).e"), "\n"),
-            lit("\n</urlset>")).as("xml"))
-      graft.web.Sitemap.entries(
-        xml.select(concat(lit("host"), col("h"), lit(".example")).as("host"),
-          col("xml")), "host", "xml")
+    "q_sitemap" -> ((s, dir) => sitemapEntriesHarness(s, dir)),
+    // --- discovery → scheduling composition: the SAME parsed sitemap
+    // entries (one shared harness with q_sitemap — no drift) feed the
+    // politeness frontier, sitemap priorities (digit of "0.d", absent →
+    // 0) becoming the crawl priorities. One DuckDB statement spans
+    // XML construction arithmetic + the per-host rank × delay replay.
+    "q_sitemap_frontier" -> ((s, dir) => {
+      val urls = sitemapEntriesHarness(s, dir).select(
+        col("loc").as("url"), col("host"),
+        coalesce(substring(col("priority"), 3, 1).cast("long"), lit(0L)).as("priority"))
+      graft.web.Frontier.schedule(urls, "url", "host", "priority",
+        delayMs = 250, maxPerHost = 3)
     }),
     // --- TextRank extractive summarization (Mihalcea–Tarau 2004): top-2
     // sentences per doc by integer PageRank over the shared-token
@@ -4083,6 +4102,20 @@ object SparkEntry {
           |       THEN '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') END AS lastmod,
           |  CASE WHEN doc_id % 4 <> 0 THEN '0.' || (doc_id % 10)::VARCHAR END AS priority
           |FROM documents""".stripMargin,
+      // sitemap → frontier composition: construction arithmetic feeds the
+      // per-host (priority DESC, url) rank × delay replay in one statement
+      "q_sitemap_frontier" ->
+        """WITH u AS (SELECT
+          |   'https://host' || (doc_id % 97)::VARCHAR || '.example/doc/' || doc_id::VARCHAR
+          |     || '?a=1&b=' || (doc_id % 7)::VARCHAR AS url,
+          |   'host' || (doc_id % 97)::VARCHAR || '.example' AS host,
+          |   (CASE WHEN doc_id % 4 <> 0 THEN doc_id % 10 ELSE 0 END)::BIGINT AS priority
+          |  FROM documents),
+          | r AS (SELECT url, host, priority,
+          |    row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rn FROM u)
+          |SELECT url, host, priority, (rn - 1)::BIGINT AS slot,
+          |  ((rn - 1) * 250)::BIGINT AS fetch_at_ms
+          |FROM r WHERE rn <= 3""".stripMargin,
       "q_textrank" -> textRankOracleSql(iters = 6, topK = 2),
       // BM25F: the fielded arithmetic replayed — weighted normalized field
       // tfs summed per (doc, term) before the single saturation; df/N on
