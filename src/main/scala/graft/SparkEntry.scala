@@ -746,6 +746,17 @@ object SparkEntry {
       MinHash.nearDupPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.6)
         .select(col("id_a"), col("id_b"))
     }),
+    // --- EXACT Jaccard similarity self-join via prefix filtering (the
+    // SSJoin/PPJoin family, Chaudhuri ICDE'06 / Xiao WWW'08) over the
+    // SAME planted corpus and the SAME word-5-gram shingle sets the
+    // MinHash path estimates on — the approximate family's exact
+    // cross-check. Rational threshold 3/5, all-integer verify
+    // (5·common ≥ 3·(n_a+n_b−common)), no float contract. The oracle
+    // brute-forces ALL pairs by shingle-hash equality, so the prefix
+    // filter's COMPLETENESS is what's gated.
+    "q_ppjoin" -> ((s, dir) =>
+      graft.dedup.SimJoin.shingleJoin(docsWithNearDups(s, dir),
+        "doc_id", "text", tn = 3, td = 5)),
     // --- connected components over the verified near-dup pairs (the D3
     // clustering step: pointer-jumping min-label propagation; oracle is a
     // recursive CTE computing min-reachable-id over the same pair set)
@@ -4928,6 +4939,26 @@ object SparkEntry {
            |  round(i::DOUBLE / least(n_a, n_b), 6) AS containment
            |FROM sized WHERE i::DOUBLE / least(n_a, n_b) >= 0.9""".stripMargin,
       "q_minhash_neardup" -> minhashOracleSql(threshold = 0.6, maxBucket = 64),
+      // PPJoin: brute force by shingle-hash equality over ALL pairs — any
+      // pair the prefix filter misses (or invents) mismatches; ids are the
+      // harness's numeric (doc_id, doc_id+1000000) pairs
+      "q_ppjoin" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS id, text || ' appended trailing marker' FROM documents),
+           | toks AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks FROM docs),
+           | shing AS (SELECT id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+           |     WHEN len(toks) < ${graft.dedup.MinHash.ShingleWords} THEN [array_to_string(toks, ' ')]
+           |     ELSE list_transform(range(1, len(toks) - ${graft.dedup.MinHash.ShingleWords - 2}), i -> array_to_string(toks[i:i+${graft.dedup.MinHash.ShingleWords - 1}], ' ')) END) AS sh
+           |   FROM toks),
+           | shd AS (SELECT DISTINCT id, ('0x' || substr(md5(sh), 1, 16))::UBIGINT AS h FROM shing),
+           | ssz AS (SELECT id, count(*)::BIGINT AS n FROM shd GROUP BY id),
+           | inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common
+           |   FROM shd a JOIN shd b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b
+           |FROM inter JOIN ssz sa ON sa.id = inter.id_a JOIN ssz sb ON sb.id = inter.id_b
+           |WHERE 5 * common >= 3 * (sa.n + sb.n - common)""".stripMargin,
       // streaming near-dup: same band buckets, SIGNATURE-estimated jaccard
       // (the streaming state can't hold texts). The operator's closed form:
       // (u, v) with v earlier (= smaller url in the single batch), v within
