@@ -451,6 +451,19 @@ object Plans {
          |the parse itself is a narrow SerializeFromObject chain after the
          |aggregate — parsing never shuffles.""".stripMargin,
        graft.SparkEntry.queries("q_sitemap")(spark, sfDir)),
+      ("PPJoin exact Jaccard self-join (q_ppjoin)",
+       """Check: the candidate join runs on PREFIX keys only (the slice
+         |explode above it — never a full-set cross product); key
+         |frequencies come from one aggregate; the verify join is
+         |candidate-semi-bounded; the threshold predicate is integer
+         |arithmetic (no rounds anywhere).""".stripMargin,
+       graft.SparkEntry.queries("q_ppjoin")(spark, sfDir)),
+      ("Sitemap → frontier composition (q_sitemap_frontier)",
+       """Check: XML build (one per-host groupBy) → narrow parse →
+         |per-host (priority DESC, url) rank cut as WindowGroupLimit —
+         |discovery and politeness scheduling in one plan with two
+         |exchanges total.""".stripMargin,
+       graft.SparkEntry.queries("q_sitemap_frontier")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
