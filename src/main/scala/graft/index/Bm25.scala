@@ -238,6 +238,29 @@ object Bm25 {
     (topk, survivors, matchedTf.select("doc").distinct())
   }
 
+  /** The θ-seed convention shared by the pruned-top-k variants: per-term
+    * champions by integer (tf DESC, doc) — a WindowGroupLimit cut —
+    * exactly scored, θ = the k-th best RAW score, −∞ when fewer than k
+    * seeds (a subset's k-th best lower-bounds the corpus k-th best only
+    * at full k). [[maxScoreParts]] and IndexJob.topkSearch keep this
+    * FUSED into their own `ranked` relation on purpose — their survivor
+    * legs share that exact subtree (0·x-pinned) for stage-cache reuse —
+    * so any change to the convention here must be mirrored there. */
+  private def thetaSeed(matchedTf: DataFrame, scored: DataFrame,
+                        k: Int, seedR: Int): DataFrame = {
+    val wChamp = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
+    val seeds = matchedTf
+      .withColumn("__graft_ms_rn", row_number().over(wChamp))
+      .filter(col("__graft_ms_rn") <= seedR)
+      .select("doc").distinct()
+    scored.join(seeds, Seq("doc"), "left_semi")
+      .orderBy(desc("score"), asc("doc")).limit(k)
+      .agg(count(lit(1)).as("c"), min("score").as("m"))
+      .select(when(col("c") < k, lit(Double.MinValue))
+        .otherwise(col("m")).as("theta"))
+  }
+
   /** Block-Max WAND-pruned EXACT top-k (Ding & Suel, SIGIR'11 "Faster
     * top-k document retrieval using block-max indexes"), adapted to the
     * dataflow shape: [[maxScoreSearch]] with the pruning bound sharpened
@@ -292,23 +315,13 @@ object Bm25 {
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val matchedTf = tfAll.join(broadcast(qTerms.toDF("term")), "term")
       .withColumn("df", count(lit(1)).over(wTerm))
-    // phase 1 — θ from exact champion scores: its own single-window stack
-    // directly under the rank filter (the WindowGroupLimit adjacency
-    // maxScoreParts relies on — stacking the block windows on top would
-    // break the rewrite). Both this and the block stack below sit above
-    // the SAME df-window term exchange of `matchedTf`, so the corpus-side
-    // subtree shuffles once; only the tiny post-exchange window legs fork.
-    val wChamp = org.apache.spark.sql.expressions.Window
-      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
-    val seeds = matchedTf
-      .withColumn("__graft_ms_rn", row_number().over(wChamp))
-      .filter(col("__graft_ms_rn") <= seedR)
-      .select("doc").distinct()
-    val theta = scored.join(seeds, Seq("doc"), "left_semi")
-      .orderBy(desc("score"), asc("doc")).limit(k)
-      .agg(count(lit(1)).as("c"), min("score").as("m"))
-      .select(when(col("c") < k, lit(Double.MinValue))
-        .otherwise(col("m")).as("theta"))
+    // phase 1 — θ from exact champion scores (the shared [[thetaSeed]]:
+    // its single-window stack sits directly under the rank filter — the
+    // WindowGroupLimit adjacency — and both it and the block stack below
+    // hang off the SAME df-window term exchange of `matchedTf`, so the
+    // corpus-side subtree shuffles once; only the tiny post-exchange
+    // window legs fork)
+    val theta = thetaSeed(matchedTf, scored, k, seedR)
     // block layout ride: doc-order row number assigns PostingsCodec's
     // blocks; the block max is a window clustered by (term, block) —
     // satisfied by the term hash partitioning, no second shuffle

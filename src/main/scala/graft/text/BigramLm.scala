@@ -35,18 +35,24 @@ import org.apache.spark.sql.functions._
   */
 object BigramLm {
 
-  private def pairsOf(docs: DataFrame, textCol: String) =
-    docs.withColumn("ts", graft.index.Bm25.tokensCol(col(textCol)))
-      .filter(size(col("ts")) >= 2)
-      .select(col("*"), explode(expr(
-        "transform(sequence(0, size(ts)-2), i -> named_struct('u', ts[i], 'w', ts[i+1]))")).as("p"))
-      .select(col("*"), col("p.u").as("u"), col("p.w").as("w"))
+  /** In-doc adjacent pairs as (keep..., u, w) — scratch columns carry the
+    * __graft_ prefix and only `keep` survives, so caller columns named
+    * ts/p cannot collide or leak through. */
+  private def pairsOf(docs: DataFrame, textCol: String, keep: Seq[String]) =
+    docs.withColumn("__graft_blm_ts", graft.index.Bm25.tokensCol(col(textCol)))
+      .filter(size(col("__graft_blm_ts")) >= 2)
+      .select(keep.map(col) :+ explode(expr(
+        "transform(sequence(0, size(__graft_blm_ts)-2), " +
+          "i -> named_struct('u', __graft_blm_ts[i], 'w', __graft_blm_ts[i+1]))"))
+        .as("__graft_blm_p"): _*)
+      .select(keep.map(col) :+ col("__graft_blm_p.u").as("u") :+
+        col("__graft_blm_p.w").as("w"): _*)
 
   /** Model tables: bigrams (u, w, cnt), unigrams (u, cnt) — pure counting,
     * one narrow pass each over the training corpus. */
   def train(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val base = docs.filter(col(idCol).isNotNull)
-    val bigrams = pairsOf(base, textCol)
+    val bigrams = pairsOf(base, textCol, keep = Nil)
       .groupBy("u", "w").agg(count(lit(1)).as("cnt"))
     val unigrams = base
       .select(explode(graft.index.Bm25.tokensCol(col(textCol))).as("u"))
@@ -60,7 +66,7 @@ object BigramLm {
   def score(test: DataFrame, idCol: String, textCol: String,
             bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
     val vStats = unigrams.agg(count(lit(1)).cast("double").as("v"))
-    val pairs = pairsOf(test.filter(col(idCol).isNotNull), textCol)
+    val pairs = pairsOf(test.filter(col(idCol).isNotNull), textCol, keep = Seq(idCol))
       .select(col(idCol).as("doc"), col("u"), col("w"))
     pairs
       .join(unigrams.withColumnRenamed("cnt", "cnt_u"), "u")

@@ -25,6 +25,8 @@ object Audit {
     println(s"AUDIT $name: scans=${ids("Scan parquet")} " +
       s"exchanges=${ids("Exchange")} reused=${ids("ReusedExchange")} " +
       s"windowGroupLimits=${ids("WindowGroupLimit")} " +
-      s"codegenSpans=${"WholeStageCodegen".r.findAllIn(plan).size}")
+      // formatted explain marks codegen as "[codegen id : N]" annotations,
+      // never the literal node name — count distinct ids
+      s"codegenSpans=${"\\[codegen id : (\\d+)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSet.size}")
   }
 }

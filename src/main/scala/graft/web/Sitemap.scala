@@ -109,11 +109,19 @@ object Sitemap {
     def entries(tag: String, kind: String): Seq[Entry] = {
       val out = Seq.newBuilder[Entry]
       var from = 0
-      // tolerate attributes on the entry tag
+      // a real tag boundary after the name: '>', any whitespace (attrs or
+      // pretty-printing may follow), or '/' — the SAME set child() accepts
       def nextOpen(f: Int): Int = {
-        val a = s.indexOf("<" + tag + ">", f)
-        val b = s.indexOf("<" + tag + " ", f)
-        if (a < 0) b else if (b < 0) a else math.min(a, b)
+        var i = s.indexOf("<" + tag, f)
+        while (i >= 0) {
+          val after = i + 1 + tag.length
+          if (after >= s.length) return -1 // truncated at the name
+          val c = s.charAt(after)
+          if (c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '/')
+            return i
+          i = s.indexOf("<" + tag, i + 1)
+        }
+        -1
       }
       var open = nextOpen(0)
       while (open >= 0) {

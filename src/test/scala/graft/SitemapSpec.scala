@@ -25,6 +25,14 @@ class SitemapSpec extends SparkSuiteBase {
       Sitemap.Entry("url", "https://a.example/q", None, None))) // loc-less dropped
   }
 
+  test("entry tags followed by newline/tab/attributes still parse") {
+    val xml = "<urlset><url\n><loc>https://a.example/nl</loc></url>" +
+      "<url\tid=\"2\"><loc>https://a.example/tab</loc></url>" +
+      "<urlx><loc>https://fake.example/</loc></urlx></urlset>"
+    assert(Sitemap.parse(xml).map(_.loc) ==
+      Seq("https://a.example/nl", "https://a.example/tab")) // urlx ignored
+  }
+
   test("sitemapindex entries carry kind sitemap and no priority") {
     val xml = "<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>" +
       "<lastmod>2026-02-01</lastmod></sitemap>" +
