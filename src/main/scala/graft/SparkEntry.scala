@@ -61,6 +61,9 @@ object SparkEntry {
 
   /** sf dir → positional index root for q_index_phrase. */
   private val phraseIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** sf dir → plain positional root for q_index_proximity. */
+  private val proxIndexRootFor = scala.collection.mutable.HashMap.empty[String, String]
   private val annFacetRootFor = scala.collection.mutable.HashMap.empty[String, String]
 
   /** sf dir → catalog-table name suffix for q_bucketed (the bucketed write
@@ -757,6 +760,30 @@ object SparkEntry {
     "q_ppjoin" -> ((s, dir) =>
       graft.dedup.SimJoin.shingleJoin(docsWithNearDups(s, dir),
         "doc_id", "text", tn = 3, td = 5)),
+    // --- proximity co-occurrence windows (the Büttcher/Clarke positional
+    // feature class between bag-of-words and exact phrase): per doc, the
+    // count of width-6 anchors whose window holds ALL of the query's
+    // terms. Interval slot-fill — only query-term occurrences explode,
+    // one (doc, anchor) exchange, all integer.
+    "q_proximity" -> ((s, dir) =>
+      graft.index.Bm25.proximityWindows(t(s, dir, "documents"),
+        "doc_id", "text", "spark filter join", w = 6)),
+    // --- the same windows resolved ENTIRELY from the committed
+    // POSITIONAL postings (memoized single-segment positions=true root):
+    // oracle identical to q_proximity's corpus replay (string doc ids),
+    // so the positions channel's content is gated along with the
+    // arithmetic.
+    "q_index_proximity" -> ((s, dir) => {
+      val root = proxIndexRootFor.synchronized(proxIndexRootFor.getOrElseUpdate(dir, {
+        val r = scratchDir("graft-proxidx-")
+        graft.jobs.IndexJob.build(s,
+          t(s, dir, "documents").select(col("doc_id").cast("string").as("id"),
+            col("text"), lit(false).as("is_duplicate")),
+          r, positions = true)
+        r
+      }))
+      graft.jobs.IndexJob.proximitySearch(s, root, "spark filter join", w = 6)
+    }),
     // --- connected components over the verified near-dup pairs (the D3
     // clustering step: pointer-jumping min-label propagation; oracle is a
     // recursive CTE computing min-reachable-id over the same pair set)
@@ -3164,6 +3191,23 @@ object SparkEntry {
        |SELECT id FROM v WHERE id NOT IN (SELECT id FROM losers)""".stripMargin
 
   /** The planted-near-dup corpus (docsWithNearDups) in DuckDB form. */
+  /** Proximity-window oracle: brute interval cover over token positions
+    * (w = 6, query spark/filter/join), shared by the corpus and
+    * index-resident gates (id type is the only difference). */
+  private def proximityOracleSql(idExpr: String): String =
+    s"""WITH toks AS (
+       |  SELECT $idExpr AS doc,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+       |  FROM documents),
+       | pos AS (SELECT doc, t.ts[i] AS term, i - 1 AS p
+       |   FROM toks t, unnest(range(1, len(t.ts) + 1)) AS r(i)),
+       | q(term) AS (SELECT unnest(['spark','filter','join'])),
+       | cover AS (SELECT DISTINCT doc, term, a FROM (
+       |    SELECT doc, term, unnest(range(greatest(p - 5, 0), p + 1)) AS a
+       |    FROM pos JOIN q USING(term))),
+       | filled AS (SELECT doc, a FROM cover GROUP BY doc, a HAVING count(*) = 3)
+       |SELECT doc, count(*)::BIGINT AS n_windows FROM filled GROUP BY doc""".stripMargin
+
   private val DocsWithNearDupsSql =
     """docs AS (
       |  SELECT doc_id::VARCHAR AS id, text FROM documents
@@ -4959,6 +5003,11 @@ object SparkEntry {
            |SELECT id_a, id_b, common, sa.n AS n_a, sb.n AS n_b
            |FROM inter JOIN ssz sa ON sa.id = inter.id_a JOIN ssz sb ON sb.id = inter.id_b
            |WHERE 5 * common >= 3 * (sa.n + sb.n - common)""".stripMargin,
+      // proximity windows: 1-based list indexing rebuilds 0-based token
+      // positions; each occurrence covers anchors [p-5, p] (clamped at 0);
+      // an anchor covered by all 3 terms is a window
+      "q_proximity" -> proximityOracleSql(idExpr = "doc_id"),
+      "q_index_proximity" -> proximityOracleSql(idExpr = "doc_id::VARCHAR"),
       // streaming near-dup: same band buckets, SIGNATURE-estimated jaccard
       // (the streaming state can't hold texts). The operator's closed form:
       // (u, v) with v earlier (= smaller url in the single batch), v within

@@ -391,6 +391,45 @@ object Bm25 {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Proximity co-occurrence window counts — the positional feature
+    * class BETWEEN bag-of-words BM25 and exact phrases (the Büttcher/
+    * Clarke term-proximity family): per doc, the number of token
+    * positions `a` whose width-`w` window [a, a+w) contains ALL query
+    * terms, in any order. Docs where the terms cluster tightly score
+    * many windows; docs that merely mention them far apart score none.
+    *
+    * Interval slot-fill formulation (the [[phraseMatches]] shape with
+    * intervals instead of exact offsets): an occurrence of term t at
+    * position p covers anchors [p−w+1, p]; an anchor covered by every
+    * distinct query term is a counted window. Only query-term
+    * occurrences explode (×w, both query-bounded), the one exchange is
+    * the (doc, anchor) aggregate, everything is integer. */
+  def proximityWindows(docs: DataFrame, idCol: String, textCol: String,
+                       query: String, w: Int): DataFrame =
+    proximityOf(
+      docs.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("doc"),
+          posexplode(tokensCol(col(textCol))).as(Seq("pos", "term"))),
+      query, w)
+
+  /** [[proximityWindows]] over an arbitrary (doc, pos, term) positional
+    * relation — shared with the index-resident form
+    * (IndexJob.proximitySearch). */
+  private[graft] def proximityOf(pos: DataFrame, query: String, w: Int): DataFrame = {
+    require(w >= 1, s"window width $w")
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val terms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one token")
+    pos.join(broadcast(terms.toDF("term")), "term")
+      .select(col("doc"), col("term"),
+        explode(expr(s"sequence(greatest(pos - ${w - 1}, 0), pos)")).as("a"))
+      .distinct()
+      .groupBy("doc", "a").agg(count(lit(1)).as("filled"))
+      .filter(col("filled") === terms.length)
+      .groupBy("doc").agg(count(lit(1)).as("n_windows"))
+  }
+
   private[graft] def scoredAll(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -541,6 +541,30 @@ object IndexJob {
       .limit(k)
   }
 
+  /** Proximity co-occurrence window counts per live doc —
+    * [[Bm25.proximityWindows]]' interval slot-fill resolved ENTIRELY
+    * from the committed positional postings (same channel
+    * [[phraseSearch]] reads, same coverage guard): the positions
+    * relation is pruned to the query's terms by the broadcast join,
+    * tombstones honored, overlapping segments deduped on the
+    * (term, doc, pos) occurrence identity. All integer. */
+  def proximitySearch(spark: SparkSession, indexRoot: String, query: String,
+                      w: Int): DataFrame = {
+    val seg = segments(spark, indexRoot)
+    val pos = seg.positions.getOrElse(sys.error(
+      s"no positional segments in $indexRoot (build with positions = true)"))
+    val missing = seg.kindVersions.getOrElse("postings", Set.empty) --
+      seg.kindVersions.getOrElse("positions", Set.empty)
+    require(missing.isEmpty,
+      s"segments ${missing.toSeq.sorted.mkString(", ")} in $indexRoot lack " +
+        "positions tables (built without positions = true) — proximity counts " +
+        "would silently omit their docs")
+    Bm25.proximityOf(
+      dropTombstoned(pos, seg.tombs).dropDuplicates("term", "doc", "pos")
+        .select("doc", "pos", "term"),
+      query, w)
+  }
+
   /** Exact-phrase occurrence counts per live doc — [[Bm25.phraseMatches]]'
     * slot-fill arithmetic resolved ENTIRELY from the committed positional
     * postings (segments built with `positions = true`), so phrase queries
