@@ -104,12 +104,6 @@ object PostingsCodec {
     out.result()
   }
 
-  private final case class Block(term: String, block: Long, n_docs: Long,
-                                 max_tf: Long, n_bytes: Long, byte_sum: Long,
-                                 bytes: Array[Byte])
-
-  private final case class Block2(term: String, block: Long, n_docs: Long,
-                                  max_tf: Long, ids: Array[Byte], tfs: Array[Byte])
 
   /** Compressed two-channel blocks of a flat (term, doc, tf) posting
     * relation: one row per (term, block) — (term, block, n_docs, max_tf,
@@ -178,3 +172,16 @@ object PostingsCodec {
       .toDF()
   }
 }
+
+/** Encoder row of [[PostingsCodec.blockedPostings]]. Top-level (not nested
+  * in the object) so the generated encoder code compiles — Janino rejects
+  * accessor calls on `PostingsCodec$Block`-style nested classes and every
+  * blocked-postings stage silently falls back to interpreted serializers. */
+final case class Block(term: String, block: Long, n_docs: Long,
+                       max_tf: Long, n_bytes: Long, byte_sum: Long,
+                       bytes: Array[Byte])
+
+/** Encoder row of [[PostingsCodec.blocksOf]] — see [[Block]] for why
+  * top-level. */
+final case class Block2(term: String, block: Long, n_docs: Long,
+                        max_tf: Long, ids: Array[Byte], tfs: Array[Byte])
