@@ -183,6 +183,14 @@ object SparkEntry {
       concat(col("text"), lit(" appended trailing marker")).as("text")))
   }
 
+  /** The q_cori / q_cori_search harness: documents with a deterministic
+    * per-source topical marker token appended (the synthetic corpus shares
+    * one vocabulary across sources, so shard-skewed terms must be
+    * constructed — `zz<source>` appears in exactly one shard). */
+  private def coriDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" zz"), col("source")).as("text"))
+
   /** The DIRECTED quadratic pseudo-graph shared by the graph-family
     * gates: (src, dst, j) with dst = (src² + j) mod n (j ∈ 1..3),
     * self-loops shifted to the next id. */
@@ -784,6 +792,25 @@ object SparkEntry {
       }))
       graft.jobs.IndexJob.proximitySearch(s, root, "spark filter join", w = 6)
     }),
+    // --- CORI resource selection (Callan/Lu/Croft SIGIR'95): rank the 20
+    // source shards by per-shard collection stats ONLY — the selective-
+    // search step that bounds a 100-TB query to m shards. The synthetic
+    // corpus shares one vocabulary across sources, so the gate derives
+    // deterministic topical markers (text || ' zz'||source — the
+    // constructed-harness pattern of q_sitemap) and queries two of them
+    // plus two house terms: marker beliefs spread ~0.016 (audited ≥3
+    // orders above drift at 6 dp; tail gaps tie-break on shard).
+    "q_cori" -> ((s, dir) =>
+      graft.index.Cori.rankShards(coriDocs(s, dir), "doc_id", "text",
+        "source", "spark filter zzsrc7 zzsrc3")),
+    // --- selective search end-to-end: top-2 CORI shards (selection margin
+    // ~0.015 — structural, not boundary luck) then BM25 top-10 WITHIN the
+    // selected subset (its own collection stats, the selective-search
+    // contract). Gates the bounded shard-key collect + isin pruning path.
+    "q_cori_search" -> ((s, dir) =>
+      graft.index.Cori.search(coriDocs(s, dir), "doc_id", "text",
+        "source", "spark filter zzsrc7 zzsrc3", m = 2, k = 10)
+        .select(col("doc").cast("long").as("doc_id"), col("score"))),
     // --- connected components over the verified near-dup pairs (the D3
     // clustering step: pointer-jumping min-label propagation; oracle is a
     // recursive CTE computing min-reachable-id over the same pair set)
@@ -2706,7 +2733,8 @@ object SparkEntry {
   }
 
   private def bm25OracleSql(where: String, idExpr: String = "doc_id",
-                            src: String = "documents"): String =
+                            src: String = "documents",
+                            query: Seq[String] = Seq("spark", "filter", "join", "table")): String =
     s"""WITH toks AS (
        |  SELECT $idExpr AS doc,
        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
@@ -2714,13 +2742,43 @@ object SparkEntry {
        | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
        | dl AS (SELECT doc, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
        | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-       | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+       | q(term) AS (SELECT unnest([${query.map(t => s"'$t'").mkString(",")}])),
        | df AS (SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1)
        |SELECT doc, round(sum(
        |  ln(1.0 + (n - df + 0.5) / (df + 0.5))
        |  * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
        |FROM tf JOIN q USING(term) JOIN df USING(term) JOIN dl USING(doc) CROSS JOIN stats
        |GROUP BY doc""".stripMargin
+
+  /** DuckDB twin of the [[coriDocs]] harness + [[graft.index.Cori]]
+    * statistics: the marker-derived corpus (d2), per-shard token counts
+    * (ccw), shard count / mean (cstats), per-(shard, query-term) document
+    * frequencies (cdf), and shard frequencies (ccf). All-integer inputs;
+    * shared by q_cori and q_cori_search. */
+  private val coriCtesSql: String =
+    s"""d2 AS MATERIALIZED (SELECT doc_id, source, text || ' zz' || source AS text FROM documents),
+       | ctoks AS (SELECT source AS shard, doc_id AS doc,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+       |   FROM d2),
+       | ccw AS (SELECT shard, count(*)::BIGINT AS cw FROM ctoks GROUP BY 1),
+       | cstats AS (SELECT count(*)::DOUBLE AS s, avg(cw::DOUBLE) AS avgcw FROM ccw),
+       | cq(term) AS (SELECT unnest(['spark','filter','zzsrc7','zzsrc3'])),
+       | cdf AS (SELECT shard, term, count(DISTINCT doc)::BIGINT AS df
+       |   FROM ctoks JOIN cq USING(term) GROUP BY 1, 2),
+       | ccf AS (SELECT term, count(*)::DOUBLE AS cf FROM cdf GROUP BY 1),
+       | cgrid AS (SELECT c.shard, c.cw, cq.term FROM ccw c CROSS JOIN cq),
+       | cp AS (SELECT g.shard, g.cw,
+       |    0.4 + 0.6
+       |      * (coalesce(d.df, 0)::DOUBLE / (coalesce(d.df, 0)::DOUBLE + 50.0 + 150.0 * g.cw::DOUBLE / s.avgcw))
+       |      * (ln((s.s + 0.5) / greatest(coalesce(f.cf, 1.0), 1.0)) / ln(s.s + 1.0)) AS p
+       |  FROM cgrid g LEFT JOIN cdf d ON d.shard = g.shard AND d.term = g.term
+       |  LEFT JOIN ccf f ON f.term = g.term CROSS JOIN cstats s)""".stripMargin
+
+  /** The CORI shard-score projection over [[coriCtesSql]] — the T·I mean
+    * belief, quantized once at 6 dp (margin audited at both SFs). */
+  private val coriSelectSql: String =
+    """SELECT shard, any_value(cw) AS cw, round(sum(p) / 4.0, 6) AS score
+      |FROM cp GROUP BY shard""".stripMargin
 
   /** DuckDB replica of [[graft.sim.Mmr.rerank]] — the greedy MMR loop
     * unrolled into k materialized-CTE rounds (MATERIALIZED is load-bearing:
@@ -5008,6 +5066,24 @@ object SparkEntry {
       // an anchor covered by all 3 terms is a window
       "q_proximity" -> proximityOracleSql(idExpr = "doc_id"),
       "q_index_proximity" -> proximityOracleSql(idExpr = "doc_id::VARCHAR"),
+      // CORI shard ranking: integer df/cw/cf stats over the marker-derived
+      // corpus, T·I belief with the published 50/150/0.4 constants, mean
+      // over the 4 query terms, quantized ONCE at 6 dp
+      "q_cori" -> s"WITH ${coriCtesSql}\n${coriSelectSql}",
+      // selective search: the same CORI CTEs pick the top-2 shards on the
+      // ROUNDED score (ties to shard), then the house BM25 oracle runs over
+      // the subset AS ITS OWN COLLECTION (subset N/avgdl/df), rank <= 10 on
+      // (rounded score DESC, doc)
+      "q_cori_search" ->
+        s"""WITH ${coriCtesSql},
+           | cori AS ($coriSelectSql),
+           | sel AS (SELECT shard FROM cori ORDER BY score DESC, shard LIMIT 2),
+           | docs3 AS MATERIALIZED (SELECT d2.doc_id, d2.text FROM d2 JOIN sel ON d2.source = sel.shard),
+           | scored AS (${bm25OracleSql("", src = "docs3",
+                          query = Seq("spark", "filter", "zzsrc7", "zzsrc3"))}),
+           | ranked AS (SELECT doc, score,
+           |    row_number() OVER (ORDER BY score DESC, doc) AS rk FROM scored)
+           |SELECT doc AS doc_id, score FROM ranked WHERE rk <= 10""".stripMargin,
       // streaming near-dup: same band buckets, SIGNATURE-estimated jaccard
       // (the streaming state can't hold texts). The operator's closed form:
       // (u, v) with v earlier (= smaller url in the single batch), v within
