@@ -811,6 +811,16 @@ object SparkEntry {
       graft.index.Cori.search(coriDocs(s, dir), "doc_id", "text",
         "source", "spark filter zzsrc7 zzsrc3", m = 2, k = 10)
         .select(col("doc").cast("long").as("doc_id"), col("score"))),
+    // --- federated CORI merge: each selected shard scored as its OWN
+    // collection (per-shard N/avgdl/df — the federated contract), doc
+    // scores normalized by shard belief D' = D·(1 + 0.4·(R−R̄)/R̄) so
+    // cross-shard ranks compare. Beliefs enter at their 6-dp quantization
+    // (identical doubles both engines; ·/÷ are IEEE-exact), merged score
+    // quantized once at 4 dp, rank-10 cut on rounded.
+    "q_cori_merge" -> ((s, dir) =>
+      graft.index.Cori.mergedSearch(coriDocs(s, dir), "doc_id", "text",
+        "source", "spark filter zzsrc7 zzsrc3", m = 2, k = 10)
+        .select(col("doc").cast("long").as("doc_id"), col("shard"), col("score"))),
     // --- connected components over the verified near-dup pairs (the D3
     // clustering step: pointer-jumping min-label propagation; oracle is a
     // recursive CTE computing min-reachable-id over the same pair set)
@@ -5084,6 +5094,38 @@ object SparkEntry {
            | ranked AS (SELECT doc, score,
            |    row_number() OVER (ORDER BY score DESC, doc) AS rk FROM scored)
            |SELECT doc AS doc_id, score FROM ranked WHERE rk <= 10""".stripMargin,
+      // federated merge: per-SHARD BM25 stats (each selected shard its own
+      // collection), then the Callan merge weight from the 6-dp beliefs;
+      // the BM25 expression text matches bm25OracleSql verbatim
+      "q_cori_merge" ->
+        s"""WITH ${coriCtesSql},
+           | cori AS ($coriSelectSql),
+           | sel AS (SELECT shard, score AS r FROM cori ORDER BY score DESC, shard LIMIT 2),
+           | selstats AS (SELECT avg(r) AS rbar FROM sel),
+           | docs3 AS MATERIALIZED (SELECT d2.doc_id, d2.source AS shard, d2.text
+           |   FROM d2 JOIN sel ON d2.source = sel.shard),
+           | mtoks AS (SELECT shard, doc_id AS doc,
+           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+           |   FROM docs3),
+           | mtf AS (SELECT shard, doc, term, count(*)::DOUBLE AS tf FROM mtoks GROUP BY 1, 2, 3),
+           | mdl AS (SELECT shard, doc, count(*)::DOUBLE AS dl FROM mtoks GROUP BY 1, 2),
+           | mstats AS (SELECT shard, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM mdl GROUP BY 1),
+           | mq(term) AS (SELECT unnest(['spark','filter','zzsrc7','zzsrc3'])),
+           | mdf AS (SELECT shard, term, count(DISTINCT doc)::DOUBLE AS df
+           |   FROM mtf JOIN mq USING(term) GROUP BY 1, 2),
+           | raw AS (SELECT t.shard, t.doc, sum(
+           |    ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           |    * (t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))) AS dsc
+           |   FROM mtf t JOIN mq USING(term) JOIN mdf d ON d.shard = t.shard AND d.term = t.term
+           |   JOIN mdl l ON l.shard = t.shard AND l.doc = t.doc
+           |   JOIN mstats st ON st.shard = t.shard
+           |   GROUP BY 1, 2),
+           | merged AS (SELECT raw.doc, raw.shard,
+           |    round(raw.dsc * (1.0 + 0.4 * (s.r - ss.rbar) / ss.rbar), 4) AS score
+           |   FROM raw JOIN sel s ON s.shard = raw.shard CROSS JOIN selstats ss),
+           | mr AS (SELECT doc, shard, score,
+           |    row_number() OVER (ORDER BY score DESC, doc) AS rk FROM merged)
+           |SELECT doc AS doc_id, shard, score FROM mr WHERE rk <= 10""".stripMargin,
       // streaming near-dup: same band buckets, SIGNATURE-estimated jaccard
       // (the streaming state can't hold texts). The operator's closed form:
       // (u, v) with v earlier (= smaller url in the single batch), v within

@@ -109,4 +109,43 @@ object Cori {
       .orderBy(desc("score"), asc("doc"))
       .limit(k)
   }
+
+  /** Federated selective search with CORI result merging (Callan's
+    * distributed-IR survey, Kluwer 2000, §4: the heuristic that made
+    * per-collection scores comparable): each selected shard is scored as
+    * ITS OWN collection — its own N/avgdl/df, exactly how a federated
+    * system's per-shard indexes behave — and each doc score D from shard
+    * s is normalized by the shard's belief R_s against the mean belief
+    * R̄ of the selected shards:
+    *
+    *   D' = D · (1 + 0.4 · (R_s − R̄) / R̄)
+    *
+    * so docs from better-matching shards outrank equal raw scores from
+    * weaker ones. The per-shard runs are m independent plan branches
+    * unioned (m is small by contract — that is the point of selective
+    * search); each branch's `isin` filter partition-prunes. Beliefs
+    * enter at their 6-dp quantization (both engines agree exactly);
+    * the merged score quantizes once at 4 dp. Returns top-k
+    * (doc, shard, score). */
+  def mergedSearch(docs: DataFrame, idCol: String, textCol: String,
+                   shardCol: String, query: String, m: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, s"m=$m k=$k")
+    val sel = rankShards(docs, idCol, textCol, shardCol, query)
+      .orderBy(desc("score"), asc("shard"))
+      .limit(m)
+      .select("shard", "score").collect()
+      .map(r => (r.get(0), r.getDouble(1))).toSeq
+    val rbar = sel.map(_._2).sum / sel.size
+    val perShard = sel.map { case (shard, r) =>
+      val weight = 1.0 + 0.4 * (r - rbar) / rbar
+      Bm25.scoredAll(docs.filter(col(shardCol) === lit(shard)),
+          idCol, textCol, query)
+        .select(col("doc"), lit(shard).as("shard"),
+          (col("score") * lit(weight)).as("score"))
+    }
+    perShard.reduce(_.unionByName(_))
+      .select(col("doc"), col("shard"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
 }

@@ -61,6 +61,32 @@ class CoriSpec extends SparkSuiteBase {
     assert(base.toSeq == repart.toSeq)
   }
 
+  test("merged search, m=1: weight degenerates to 1 — equals the shard's own BM25") {
+    val got = Cori.mergedSearch(docs, "id", "text", "shard", "gravity energy", m = 1, k = 5)
+      .select("doc", "score").as[(String, Double)].collect().toSeq
+    val expected = Bm25.scores(docs.filter(col("shard") === "s1"), "id", "text", "gravity energy")
+      .orderBy(desc("score"), asc("doc")).limit(5)
+      .as[(String, Double)].collect().toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("merged search applies the belief weight per shard") {
+    val ranks = Cori.rankShards(docs, "id", "text", "shard", "gravity energy")
+      .select("shard", "score").as[(String, Double)].collect().toMap
+    val sel = ranks.keys.toSeq.sortBy(s => (-ranks(s), s)).take(2)
+    val rbar = sel.map(ranks).sum / 2.0
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = sel.flatMap { sh =>
+      val w = 1.0 + 0.4 * (ranks(sh) - rbar) / rbar
+      Bm25.scoredAll(docs.filter(col("shard") === sh), "id", "text", "gravity energy")
+        .collect().map(r => (r.getString(0), sh, r4(r.getDouble(1) * w)))
+    }.sortBy { case (d, _, s) => (-s, d) }.take(5)
+    val got = Cori.mergedSearch(docs, "id", "text", "shard", "gravity energy", m = 2, k = 5)
+      .as[(String, String, Double)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("selective search == BM25 over the manually-selected subset") {
     val got = Cori.search(docs, "id", "text", "shard", "gravity energy", m = 1, k = 5)
       .as[(String, Double)].collect().toSeq
