@@ -821,6 +821,15 @@ object SparkEntry {
       graft.index.Cori.mergedSearch(coriDocs(s, dir), "doc_id", "text",
         "source", "spark filter zzsrc7 zzsrc3", m = 2, k = 10)
         .select(col("doc").cast("long").as("doc_id"), col("shard"), col("score"))),
+    // --- Dirichlet query-likelihood (Ponte/Croft '98, Zhai/Lafferty '01 —
+    // the third classic scorer beside BM25/TF-IDF) in the DAAT
+    // decomposition: only matching postings flow, smoothing enters as two
+    // broadcast scalars + a per-doc dl term. All candidates, no top-k
+    // (the oracle-comparable form), one tokenize, 4-dp quantized.
+    "q_ql" -> ((s, dir) =>
+      graft.index.QueryLikelihood.scores(t(s, dir, "documents"),
+        "doc_id", "text", "spark filter join table")
+        .select(col("doc").cast("long").as("doc_id"), col("score"))),
     // --- connected components over the verified near-dup pairs (the D3
     // clustering step: pointer-jumping min-label propagation; oracle is a
     // recursive CTE computing min-reachable-id over the same pair set)
@@ -5094,6 +5103,27 @@ object SparkEntry {
            | ranked AS (SELECT doc, score,
            |    row_number() OVER (ORDER BY score DESC, doc) AS rk FROM scored)
            |SELECT doc AS doc_id, score FROM ranked WHERE rk <= 10""".stripMargin,
+      // Dirichlet QL, replaying the operator's DAAT decomposition exactly:
+      // Σ_match ln(1 + tf/(μ·cf/|C|)) + Σ_t ln(μ·cf/|C|) − |q|·ln(dl+μ),
+      // candidates = docs with ≥1 query term, μ = 2000, integers
+      // everywhere but the ln chain
+      "q_ql" ->
+        """WITH toks AS (SELECT doc_id AS doc,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+          |   FROM documents),
+          | tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+          | dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+          | stats AS (SELECT sum(dl)::DOUBLE AS ctot FROM dl),
+          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+          | qtf AS (SELECT tf.doc, tf.term, tf.tf FROM tf JOIN q USING(term)),
+          | cfk AS (SELECT term, sum(tf)::DOUBLE AS cf FROM qtf GROUP BY 1),
+          | krow AS (SELECT sum(ln(2000.0 * cf / s.ctot)) AS kconst, count(*)::DOUBLE AS nq
+          |   FROM cfk CROSS JOIN stats s),
+          | wsum AS (SELECT t.doc, sum(ln(1.0 + t.tf::DOUBLE / (2000.0 * c.cf / s.ctot))) AS wsum
+          |   FROM qtf t JOIN cfk c USING(term) CROSS JOIN stats s GROUP BY 1)
+          |SELECT w.doc AS doc_id,
+          |  round(w.wsum + k.kconst - k.nq * ln(l.dl::DOUBLE + 2000.0), 4) AS score
+          |FROM wsum w JOIN dl l ON l.doc = w.doc CROSS JOIN krow k""".stripMargin,
       // federated merge: per-SHARD BM25 stats (each selected shard its own
       // collection), then the Callan merge weight from the 6-dp beliefs;
       // the BM25 expression text matches bm25OracleSql verbatim

@@ -19,14 +19,25 @@ object Audit {
     df.collect()
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     println(plan)
-    // the formatted tree prints shared/adaptive subtrees repeatedly — count
-    // DISTINCT node ids, not line occurrences
-    def ids(p: String) = s"\\((\\d+)\\) $p".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+    // Tally the FINAL adaptive tree only: the formatted output also prints
+    // the "== Initial Plan ==" tree, whose forked scans AQE dedups at
+    // runtime — counting across both sections over-reports (q_ql read 5
+    // scans where the executed plan has 1 + 4 ReusedExchange). Tree lines
+    // put the id AFTER the node name (`+- Scan parquet (1)`); the per-node
+    // detail blocks put it before (`(1) Scan parquet`) and cover BOTH
+    // trees, so only name-then-id matches in the final segment count.
+    val fin = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    // \b keeps bare "Exchange" from matching inside Reused/BroadcastExchange
+    def ids(p: String) = s"\\b$p\\s*\\((\\d+)\\)".r.findAllMatchIn(fin).map(_.group(1)).toSet.size
     println(s"AUDIT $name: scans=${ids("Scan parquet")} " +
       s"exchanges=${ids("Exchange")} reused=${ids("ReusedExchange")} " +
       s"windowGroupLimits=${ids("WindowGroupLimit")} " +
       // formatted explain marks codegen as "[codegen id : N]" annotations,
-      // never the literal node name — count distinct ids
+      // never the literal node name — count distinct ids (whole output:
+      // codegen ids are global and the detail section names them uniquely)
       s"codegenSpans=${"\\[codegen id : (\\d+)\\]".r.findAllMatchIn(plan).map(_.group(1)).toSet.size}")
   }
 }
