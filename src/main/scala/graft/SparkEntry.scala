@@ -830,6 +830,17 @@ object SparkEntry {
       graft.index.QueryLikelihood.scores(t(s, dir, "documents"),
         "doc_id", "text", "spark filter join table")
         .select(col("doc").cast("long").as("doc_id"), col("score"))),
+    // --- learning-to-rank feature matrix (the LETOR/MSLR training-file
+    // shape): one row per candidate doc carrying all three scoring
+    // families (each with its own proven rounding), proximity windows,
+    // doc length, and matched-term count — pure composition, no new
+    // float surface; the oracle joins the component replays.
+    "q_ltr" -> ((s, dir) =>
+      graft.index.Ltr.features(t(s, dir, "documents"),
+        "doc_id", "text", "spark filter join table", w = 6)
+        .select(col("doc").cast("long").as("doc_id"), col("f_bm25"),
+          col("f_tfidf"), col("f_ql"), col("f_prox"), col("f_dl"),
+          col("f_matched"))),
     // --- connected components over the verified near-dup pairs (the D3
     // clustering step: pointer-jumping min-label propagation; oracle is a
     // recursive CTE computing min-reachable-id over the same pair set)
@@ -3271,19 +3282,55 @@ object SparkEntry {
   /** Proximity-window oracle: brute interval cover over token positions
     * (w = 6, query spark/filter/join), shared by the corpus and
     * index-resident gates (id type is the only difference). */
-  private def proximityOracleSql(idExpr: String): String =
+  private def proximityOracleSql(idExpr: String,
+                                 terms: Seq[String] = Seq("spark", "filter", "join")): String =
     s"""WITH toks AS (
        |  SELECT $idExpr AS doc,
        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
        |  FROM documents),
        | pos AS (SELECT doc, t.ts[i] AS term, i - 1 AS p
        |   FROM toks t, unnest(range(1, len(t.ts) + 1)) AS r(i)),
-       | q(term) AS (SELECT unnest(['spark','filter','join'])),
+       | q(term) AS (SELECT unnest([${terms.map(t => s"'$t'").mkString(",")}])),
        | cover AS (SELECT DISTINCT doc, term, a FROM (
        |    SELECT doc, term, unnest(range(greatest(p - 5, 0), p + 1)) AS a
        |    FROM pos JOIN q USING(term))),
-       | filled AS (SELECT doc, a FROM cover GROUP BY doc, a HAVING count(*) = 3)
+       | filled AS (SELECT doc, a FROM cover GROUP BY doc, a HAVING count(*) = ${terms.length})
        |SELECT doc, count(*)::BIGINT AS n_windows FROM filled GROUP BY doc""".stripMargin
+
+  /** DuckDB replica of [[graft.index.QueryLikelihood.scores]] — the same
+    * DAAT decomposition term-for-term (μ = 2000, OOV terms drop from both
+    * query-side sums). Shared by q_ql and the q_ltr feature join. */
+  private def qlOracleSql(idExpr: String): String =
+    s"""WITH toks AS (SELECT $idExpr AS doc,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+       |   FROM documents),
+       | tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+       | dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       | stats AS (SELECT sum(dl)::DOUBLE AS ctot FROM dl),
+       | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+       | qtf AS (SELECT tf.doc, tf.term, tf.tf FROM tf JOIN q USING(term)),
+       | cfk AS (SELECT term, sum(tf)::DOUBLE AS cf FROM qtf GROUP BY 1),
+       | krow AS (SELECT sum(ln(2000.0 * cf / s.ctot)) AS kconst, count(*)::DOUBLE AS nq
+       |   FROM cfk CROSS JOIN stats s),
+       | wsum AS (SELECT t.doc, sum(ln(1.0 + t.tf::DOUBLE / (2000.0 * c.cf / s.ctot))) AS wsum
+       |   FROM qtf t JOIN cfk c USING(term) CROSS JOIN stats s GROUP BY 1)
+       |SELECT w.doc AS doc_id,
+       |  round(w.wsum + k.kconst - k.nq * ln(l.dl::DOUBLE + 2000.0), 4) AS score
+       |FROM wsum w JOIN dl l ON l.doc = w.doc CROSS JOIN krow k""".stripMargin
+
+  /** DuckDB replica of [[Bm25.tfidfScores]] (shared by q_tfidf / q_ltr). */
+  private val tfidfOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS doc,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
+      | n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+      | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
+      | df AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1)
+      |SELECT doc, round(sum(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score
+      |FROM tf JOIN q USING(term) JOIN df USING(term) CROSS JOIN n
+      |GROUP BY doc""".stripMargin
 
   private val DocsWithNearDupsSql =
     """docs AS (
@@ -4814,18 +4861,7 @@ object SparkEntry {
           | greatest(1, length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) // 4)::BIGINT / 1000000.0 * 0.012 AS cost
           |FROM documents
           |WHERE regexp_matches(text, '\S') AND NOT regexp_matches(text, '\n\s*\n')""".stripMargin,
-      "q_tfidf" ->
-        """WITH toks AS (
-          |  SELECT doc_id AS doc,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
-          |  FROM documents),
-          | tf AS (SELECT doc, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1,2),
-          | n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
-          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
-          | df AS (SELECT term, count(*)::DOUBLE AS df FROM tf JOIN q USING(term) GROUP BY 1)
-          |SELECT doc, round(sum(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score
-          |FROM tf JOIN q USING(term) JOIN df USING(term) CROSS JOIN n
-          |GROUP BY doc""".stripMargin,
+      "q_tfidf" -> tfidfOracleSql,
       // q_pipeline generates its own 400 pages from PageGen(seed=42)
       // regardless of the sf dir, so its per-(kind,method) counts are
       // seed-pinned constants of the frozen generator + extractor — the
@@ -5107,23 +5143,33 @@ object SparkEntry {
       // Σ_match ln(1 + tf/(μ·cf/|C|)) + Σ_t ln(μ·cf/|C|) − |q|·ln(dl+μ),
       // candidates = docs with ≥1 query term, μ = 2000, integers
       // everywhere but the ln chain
-      "q_ql" ->
-        """WITH toks AS (SELECT doc_id AS doc,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
-          |   FROM documents),
-          | tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-          | dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
-          | stats AS (SELECT sum(dl)::DOUBLE AS ctot FROM dl),
-          | q(term) AS (SELECT unnest(['spark','filter','join','table'])),
-          | qtf AS (SELECT tf.doc, tf.term, tf.tf FROM tf JOIN q USING(term)),
-          | cfk AS (SELECT term, sum(tf)::DOUBLE AS cf FROM qtf GROUP BY 1),
-          | krow AS (SELECT sum(ln(2000.0 * cf / s.ctot)) AS kconst, count(*)::DOUBLE AS nq
-          |   FROM cfk CROSS JOIN stats s),
-          | wsum AS (SELECT t.doc, sum(ln(1.0 + t.tf::DOUBLE / (2000.0 * c.cf / s.ctot))) AS wsum
-          |   FROM qtf t JOIN cfk c USING(term) CROSS JOIN stats s GROUP BY 1)
-          |SELECT w.doc AS doc_id,
-          |  round(w.wsum + k.kconst - k.nq * ln(l.dl::DOUBLE + 2000.0), 4) AS score
-          |FROM wsum w JOIN dl l ON l.doc = w.doc CROSS JOIN krow k""".stripMargin,
+      "q_ql" -> qlOracleSql("doc_id"),
+      // LTR matrix: the component oracles join on doc — candidates are the
+      // shared >=1-matching-term set (bm/tfidf/ql identical by definition),
+      // proximity left-joins with 0, dl is a narrow token count, matched
+      // counts distinct query terms
+      "q_ltr" ->
+        s"""WITH bm AS (${bm25OracleSql("")}),
+           | tfx AS ($tfidfOracleSql),
+           | qlx AS (${qlOracleSql("doc_id")}),
+           | prox AS (${proximityOracleSql("doc_id",
+                         Seq("spark", "filter", "join", "table"))}),
+           | ltoks AS (SELECT doc_id AS doc,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+           |   FROM documents),
+           | dlen AS (SELECT doc, len(ts)::BIGINT AS f_dl FROM ltoks),
+           | lq(term) AS (SELECT unnest(['spark','filter','join','table'])),
+           | lmatch AS (SELECT l.doc, count(*)::BIGINT AS f_matched FROM (
+           |     SELECT DISTINCT doc, unnest(ts) AS term FROM ltoks) l
+           |   JOIN lq USING(term) GROUP BY 1)
+           |SELECT bm.doc AS doc_id, bm.score AS f_bm25, tfx.score AS f_tfidf,
+           |  qlx.score AS f_ql, coalesce(prox.n_windows, 0)::BIGINT AS f_prox,
+           |  dlen.f_dl, lmatch.f_matched
+           |FROM bm JOIN tfx ON tfx.doc = bm.doc
+           |JOIN qlx ON qlx.doc_id = bm.doc
+           |LEFT JOIN prox ON prox.doc = bm.doc
+           |JOIN dlen ON dlen.doc = bm.doc
+           |JOIN lmatch ON lmatch.doc = bm.doc""".stripMargin,
       // federated merge: per-SHARD BM25 stats (each selected shard its own
       // collection), then the Callan merge weight from the 6-dp beliefs;
       // the BM25 expression text matches bm25OracleSql verbatim
