@@ -135,6 +135,12 @@ object Cori {
       .limit(m)
       .select("shard", "score").collect()
       .map(r => (r.get(0), r.getDouble(1))).toSeq
+    // token-empty corpus -> no shards: degrade to an empty typed result
+    // like `search` does (reduce on zero branches would throw; rbar = NaN)
+    if (sel.isEmpty)
+      return docs.filter(lit(false))
+        .select(col(idCol).as("doc"), col(shardCol).as("shard"),
+          lit(0.0).as("score"))
     val rbar = sel.map(_._2).sum / sel.size
     val perShard = sel.map { case (shard, r) =>
       val weight = 1.0 + 0.4 * (r - rbar) / rbar

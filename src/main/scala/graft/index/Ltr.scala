@@ -43,9 +43,12 @@ object Ltr {
       .withColumnRenamed("score", "f_ql")
     val prox = Bm25.proximityWindows(live, idCol, textCol, query, w)
       .withColumnRenamed("n_windows", "f_prox")
-    val dl = Bm25.docLen(live, idCol, textCol)
-      .withColumnRenamed("dl", "f_dl")
-    val matched = Bm25.termFreq(live, idCol, textCol)
+    // dl from tf (dl == Σ_term tf — the scoredAll discipline): rides the
+    // one materialized tokenize exchange instead of a second corpus
+    // scan+tokenize; every candidate has ≥ 1 token so coverage is equal.
+    val tf = Bm25.termFreq(live, idCol, textCol)
+    val dl = tf.groupBy("doc").agg(sum("tf").as("f_dl"))
+    val matched = tf
       .join(broadcast(qTerms), "term")
       .groupBy("doc").agg(count(lit(1)).as("f_matched"))
     bm25

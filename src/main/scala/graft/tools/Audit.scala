@@ -26,10 +26,12 @@ object Audit {
     // put the id AFTER the node name (`+- Scan parquet (1)`); the per-node
     // detail blocks put it before (`(1) Scan parquet`) and cover BOTH
     // trees, so only name-then-id matches in the final segment count.
-    val fin = plan.indexOf("== Initial Plan ==") match {
-      case -1 => plan
-      case i  => plan.substring(0, i)
-    }
+    // Remove each Initial-Plan TREE (it runs until the next detail block
+    // `(N) Node`, a `===== Subqueries =====` header, or EOF) rather than
+    // truncating at the first marker — truncation would also drop
+    // subquery plans printed after it, under-counting their scans.
+    val fin = "(?s)== Initial Plan ==.*?(?=\\n=====|\\n\\(\\d+\\)|\\z)".r
+      .replaceAllIn(plan, "")
     // \b keeps bare "Exchange" from matching inside Reused/BroadcastExchange
     def ids(p: String) = s"\\b$p\\s*\\((\\d+)\\)".r.findAllMatchIn(fin).map(_.group(1)).toSet.size
     println(s"AUDIT $name: scans=${ids("Scan parquet")} " +

@@ -87,6 +87,12 @@ class CoriSpec extends SparkSuiteBase {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("token-empty corpus: mergedSearch degrades to empty like search") {
+    val empty = docs.filter(col("id") === "nope")
+    assert(Cori.mergedSearch(empty, "id", "text", "shard", "gravity", 2, 5).count() == 0L)
+    assert(Cori.search(empty, "id", "text", "shard", "gravity", 2, 5).count() == 0L)
+  }
+
   test("selective search == BM25 over the manually-selected subset") {
     val got = Cori.search(docs, "id", "text", "shard", "gravity energy", m = 1, k = 5)
       .as[(String, Double)].collect().toSeq
