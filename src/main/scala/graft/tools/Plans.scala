@@ -464,6 +464,31 @@ object Plans {
          |discovery and politeness scheduling in one plan with two
          |exchanges total.""".stripMargin,
        graft.SparkEntry.queries("q_sitemap_frontier")(spark, sfDir)),
+      ("CORI shard ranking (q_cori)",
+       """Check: the final tree reads ONLY the localCheckpointed
+         |shards×(|q|+1) stats leaf (the one corpus scan rides the
+         |checkpoint job); everything downstream is broadcast-sized —
+         |the shard×term grid, cf, and the 1-row stats cross-join.""".stripMargin,
+       graft.SparkEntry.queries("q_cori")(spark, sfDir)),
+      ("Federated CORI merge (q_cori_merge)",
+       """Check: exactly m=2 scans — one per selected-shard branch, each
+         |behind a pushed shard-equality filter (partition-prunable);
+         |per-branch BM25 keeps the one-tokenize shape; the merge weight
+         |is a literal; final cut TakeOrderedAndProject.""".stripMargin,
+       graft.SparkEntry.queries("q_cori_merge")(spark, sfDir)),
+      ("Dirichlet query likelihood (q_ql)",
+       """Check: ONE corpus scan in the final tree with the tokenize+term
+         |exchange reused across the scoring leg and the K/nq scalar leg
+         |(ReusedExchange ×5); only matching postings flow (broadcast
+         |query-term join above the scan); smoothing scalars are 1-row
+         |broadcast relations.""".stripMargin,
+       graft.SparkEntry.queries("q_ql")(spark, sfDir)),
+      ("LTR feature matrix (q_ltr)",
+       """Check: 3 scans in the final tree — the tf-family (BM25, TF-IDF,
+         |QL, dl, matched) shares ONE tokenize subtree via ReusedExchange;
+         |the positional explode (proximity) is the one genuinely
+         |different read; assembly is equi-joins on doc.""".stripMargin,
+       graft.SparkEntry.queries("q_ltr")(spark, sfDir)),
       ("Relational aggregate (q1_agg)",
        """Check: partial_ aggregates before the Exchange (map-side combine),
          |ReadSchema pruned to the 4 referenced columns.""".stripMargin,
