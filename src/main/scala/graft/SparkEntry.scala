@@ -830,6 +830,17 @@ object SparkEntry {
       graft.index.QueryLikelihood.scores(t(s, dir, "documents"),
         "doc_id", "text", "spark filter join table")
         .select(col("doc").cast("long").as("doc_id"), col("score"))),
+    // --- freshness-driven recrawl scheduling (Cho & Garcia-Molina
+    // TOIT'03 bias-corrected change-rate MLE) over the events stream as
+    // visit history (page=user_id, fingerprint=event_type): integer
+    // n/x/Δ inputs (epoch MICROS cross-engine-exact), one ln, 6-dp
+    // quantized. Complements q_frontier (politeness orders WITHIN a
+    // host; λ̂ orders WHAT is due).
+    "q_recrawl" -> ((s, dir) =>
+      graft.web.Recrawl.changeRates(t(s, dir, "events"),
+        "user_id", "ts", "event_type")
+        .select(col("page").cast("long").as("user_id"), col("n"), col("x"),
+          col("lambda"))),
     // --- learning-to-rank feature matrix (the LETOR/MSLR training-file
     // shape): one row per candidate doc carrying all three scoring
     // families (each with its own proven rounding), proximity windows,
@@ -5144,6 +5155,21 @@ object SparkEntry {
       // candidates = docs with ≥1 query term, μ = 2000, integers
       // everywhere but the ln chain
       "q_ql" -> qlOracleSql("doc_id"),
+      // recrawl MLE: the same lag window over epoch-micros integers; the
+      // only floats are the final ln + divisions (6-dp margins audited)
+      "q_recrawl" ->
+        """WITH v AS (SELECT user_id AS page, epoch_us(ts) AS us, event_type AS fp,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_fp
+          |  FROM events),
+          | agg AS (SELECT page, count(*)::BIGINT AS n,
+          |    sum(CASE WHEN fp <> prev_fp THEN 1 ELSE 0 END)::BIGINT AS x,
+          |    sum(us - prev_us)::BIGINT AS dt_us
+          |  FROM v WHERE prev_us IS NOT NULL GROUP BY 1)
+          |SELECT page AS user_id, n, x,
+          |  round(-ln((n::DOUBLE - x::DOUBLE + 0.5) / (n::DOUBLE + 0.5))
+          |    / ((dt_us::DOUBLE / 1000000.0) / n::DOUBLE), 6) AS lambda
+          |FROM agg""".stripMargin,
       // LTR matrix: the component oracles join on doc — candidates are the
       // shared >=1-matching-term set (bm/tfidf/ql identical by definition),
       // proximity left-joins with 0, dl is a narrow token count, matched
