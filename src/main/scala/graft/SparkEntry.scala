@@ -402,6 +402,28 @@ object SparkEntry {
         .select(col("qid"), col("doc_id").as("doc"))
       graft.index.Eval.metrics(run, qrels, k = 10)
     }),
+    // --- NDCG@10 with graded relevance (Järvelin/Kekäläinen TOIS'02,
+    // exponential gains) over the q_eval harness: grades = min(occ, 3)
+    // for occ >= 1, run = the same n_chars-DESC top-50. Gains 2^g−1 are
+    // exact small integers; log2 = ln/ln2 in both engines; 6-dp output.
+    "q_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), lower(col("text")).as("lt"))
+      val occ = docs
+        .crossJoin(broadcast(Seq("join", "vector", "customer").toDF("qid")))
+        .withColumn("occ", expr("size(filter(split(lt, '\\\\s+'), x -> x = qid))"))
+        .select("qid", "doc_id", "n_chars", "occ")
+      val w = Window.partitionBy("qid").orderBy(desc("n_chars"), asc("doc_id"))
+      val run = occ.filter(col("occ") >= 1)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("qid"), col("doc_id").as("doc"), col("rnk"))
+      val qrels = occ.filter(col("occ") >= 1)
+        .select(col("qid"), col("doc_id").as("doc"),
+          least(col("occ"), lit(3)).cast("long").as("grade"))
+      graft.index.Eval.ndcg(run, qrels, k = 10)
+    }),
     // --- snapshot CDC (lake/Cdc): crawl-N vs crawl-N+1 diff. The new
     // snapshot drops every 13th doc, revises the text of every 7th
     // survivor, and appends fresh ids for every 5th — the diff must
@@ -3682,6 +3704,32 @@ object SparkEntry {
           |  CASE WHEN first_rank0 IS NULL THEN 0.0::DOUBLE
           |       ELSE round(1.0::DOUBLE / first_rank0, 6) END AS rr
           |FROM perq p FULL OUTER JOIN nr ON p.qid = nr.qid""".stripMargin,
+      // ndcg: the q_eval run harness with graded qrels (min(occ,3)); the
+      // same exponential-gain / ln-ratio chain as the operator
+      "q_ndcg" ->
+        """WITH t(qid) AS (VALUES ('join'), ('vector'), ('customer')),
+          | occ AS (SELECT qid, doc_id, n_chars,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = qid)) AS occ
+          |  FROM documents CROSS JOIN t),
+          | run AS (SELECT qid, doc_id AS doc, row_number() OVER
+          |     (PARTITION BY qid ORDER BY n_chars DESC, doc_id) AS rnk
+          |   FROM occ WHERE occ >= 1 QUALIFY rnk <= 50),
+          | qrels AS (SELECT qid, doc_id AS doc, least(occ, 3)::BIGINT AS grade
+          |   FROM occ WHERE occ >= 1),
+          | dcg AS (SELECT r.qid,
+          |    sum((pow(2.0, coalesce(q.grade, 0)) - 1.0) / (ln(r.rnk + 1.0) / ln(2.0))) AS dcg
+          |  FROM run r LEFT JOIN qrels q ON q.qid = r.qid AND q.doc = r.doc
+          |  WHERE r.rnk <= 10 GROUP BY 1),
+          | ideal AS (SELECT qid, grade, row_number() OVER
+          |     (PARTITION BY qid ORDER BY grade DESC, doc) AS irnk
+          |   FROM qrels QUALIFY irnk <= 10),
+          | idcg AS (SELECT qid,
+          |    sum((pow(2.0, grade) - 1.0) / (ln(irnk + 1.0) / ln(2.0))) AS idcg
+          |  FROM ideal GROUP BY 1)
+          |SELECT coalesce(d.qid, i.qid) AS qid,
+          |  CASE WHEN i.idcg IS NULL OR i.idcg <= 0.0 THEN 0.0::DOUBLE
+          |       ELSE round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg
+          |FROM dcg d FULL OUTER JOIN idcg i ON d.qid = i.qid""".stripMargin,
       // cdc: the same snapshot mutation, diffed by a FULL OUTER JOIN
       "q_cdc" ->
         """WITH prev AS (SELECT doc_id, text, lang FROM documents),

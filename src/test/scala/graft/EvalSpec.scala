@@ -32,4 +32,26 @@ class EvalSpec extends SparkSuiteBase {
     assert(got("q9") == ((1L, 0.0)))
     assert(got("q1") == ((1L, 1.0)))
   }
+  test("ndcg@k: hand-computed graded gains; perfect ranking scores 1; ungraded query 0") {
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1 run: a(rnk1,g=1), b(rnk2,unjudged), c(rnk3,g=3); judged-but-missed z(g=2)
+    // DCG@3 = 1/log2(2) + 0 + 7/log2(4); IDCG@3 from grades (3,2,1)
+    val run = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "p", 1L), ("q2", "q", 2L),
+      ("q3", "m", 1L)).toDF("qid", "doc", "rnk")
+    val qrels = Seq(
+      ("q1", "a", 1L), ("q1", "c", 3L), ("q1", "z", 2L),
+      ("q2", "p", 2L), ("q2", "q", 1L)).toDF("qid", "doc", "grade")
+    val got = Eval.ndcg(run, qrels, k = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dcg1 = 1.0 / l2(2.0) + 7.0 / l2(4.0)
+    val idcg1 = 7.0 / l2(2.0) + 3.0 / l2(3.0) + 1.0 / l2(4.0)
+    assert(got("q1") == r6(dcg1 / idcg1), s"got ${got("q1")}")
+    // q2 is ranked exactly in ideal order -> 1.0
+    assert(got("q2") == 1.0)
+    // q3 has no graded docs -> 0.0, never NULL
+    assert(got("q3") == 0.0)
+  }
 }
