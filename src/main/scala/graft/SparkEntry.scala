@@ -424,6 +424,27 @@ object SparkEntry {
           least(col("occ"), lit(3)).cast("long").as("grade"))
       graft.index.Eval.ndcg(run, qrels, k = 10)
     }),
+    // --- average precision @10 (trec_eval map_cut: denominator = TOTAL
+    // relevant, so never-retrieved relevants penalize) over the q_eval
+    // harness — completes the TREC quartet (recall/RR/NDCG/AP). Integer
+    // prefix counts, one rational sum, 6-dp output.
+    "q_map" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), lower(col("text")).as("lt"))
+      val occ = docs
+        .crossJoin(broadcast(Seq("join", "vector", "customer").toDF("qid")))
+        .withColumn("occ", expr("size(filter(split(lt, '\\\\s+'), x -> x = qid))"))
+        .select("qid", "doc_id", "n_chars", "occ")
+      val w = Window.partitionBy("qid").orderBy(desc("n_chars"), asc("doc_id"))
+      val run = occ.filter(col("occ") >= 1)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("qid"), col("doc_id").as("doc"), col("rnk"))
+      val qrels = occ.filter(col("occ") >= 4)
+        .select(col("qid"), col("doc_id").as("doc"))
+      graft.index.Eval.avgPrecision(run, qrels, k = 10)
+    }),
     // --- snapshot CDC (lake/Cdc): crawl-N vs crawl-N+1 diff. The new
     // snapshot drops every 13th doc, revises the text of every 7th
     // survivor, and appends fresh ids for every 5th — the diff must
@@ -3730,6 +3751,33 @@ object SparkEntry {
           |  CASE WHEN i.idcg IS NULL OR i.idcg <= 0.0 THEN 0.0::DOUBLE
           |       ELSE round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg
           |FROM dcg d FULL OUTER JOIN idcg i ON d.qid = i.qid""".stripMargin,
+      // map_cut@10: prefix hit counts over the rank-ordered run window,
+      // divided by TOTAL n_rel; run∪qrels qids all emit a row
+      "q_map" ->
+        """WITH t(qid) AS (VALUES ('join'), ('vector'), ('customer')),
+          | occ AS (SELECT qid, doc_id, n_chars,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = qid)) AS occ
+          |  FROM documents CROSS JOIN t),
+          | run AS (SELECT qid, doc_id AS doc, row_number() OVER
+          |     (PARTITION BY qid ORDER BY n_chars DESC, doc_id) AS rnk
+          |   FROM occ WHERE occ >= 1 QUALIFY rnk <= 50),
+          | qrels AS (SELECT qid, doc_id AS doc FROM occ WHERE occ >= 4),
+          | hits AS (SELECT r.qid, r.rnk,
+          |    CASE WHEN q.doc IS NOT NULL THEN 1 ELSE 0 END AS hit,
+          |    sum(CASE WHEN q.doc IS NOT NULL THEN 1 ELSE 0 END) OVER
+          |      (PARTITION BY r.qid ORDER BY r.rnk
+          |       ROWS UNBOUNDED PRECEDING) AS hits_upto
+          |  FROM run r LEFT JOIN qrels q ON q.qid = r.qid AND q.doc = r.doc
+          |  WHERE r.rnk <= 10),
+          | apsums AS (SELECT qid, sum(hits_upto::DOUBLE / rnk::DOUBLE) AS apsum
+          |   FROM hits WHERE hit = 1 GROUP BY 1),
+          | nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY 1),
+          | qids AS (SELECT DISTINCT qid FROM run UNION SELECT DISTINCT qid FROM qrels)
+          |SELECT q.qid,
+          |  CASE WHEN nr.n_rel IS NULL OR nr.n_rel = 0 THEN 0.0::DOUBLE
+          |       ELSE round(coalesce(a.apsum, 0.0) / nr.n_rel, 6) END AS ap
+          |FROM qids q LEFT JOIN nr ON nr.qid = q.qid
+          |LEFT JOIN apsums a ON a.qid = q.qid""".stripMargin,
       // cdc: the same snapshot mutation, diffed by a FULL OUTER JOIN
       "q_cdc" ->
         """WITH prev AS (SELECT doc_id, text, lang FROM documents),

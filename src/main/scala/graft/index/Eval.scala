@@ -88,4 +88,42 @@ object Eval {
           .otherwise(round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6))
           .as("ndcg"))
   }
+
+  /** Average precision at cutoff k (trec_eval's `map_cut` convention —
+    * the denominator is the query's TOTAL relevant count, so docs the
+    * run never retrieved still penalize):
+    *
+    *   AP@k = Σ_{rnk ≤ k, doc relevant} (hits-up-to-rnk / rnk) / n_rel
+    *
+    * `run` is (qid, doc, rnk — 1-based unique); `qrels` is (qid, doc).
+    * All inputs are integer counts; the sum of ≤ k exact rationals is
+    * the only float, quantized once at 6 dp. Queries with no relevant
+    * docs score 0 (never NULL).
+    *
+    * Plan: one (qid, doc) equi-join, one per-qid rank-ordered window
+    * prefix count (bounded by the retrieval k), one aggregate. */
+  def avgPrecision(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rel = qrels.select(col("qid"), col("doc"), lit(true).as("rel"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rnk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ap = run.filter(col("rnk") <= k)
+      .join(rel, Seq("qid", "doc"), "left")
+      .withColumn("hit", when(col("rel"), 1L).otherwise(0L))
+      .withColumn("hits_upto", sum("hit").over(wRun))
+      .filter(col("hit") === 1L)
+      .groupBy("qid")
+      .agg(sum(col("hits_upto").cast("double") / col("rnk").cast("double")).as("apsum"))
+    val nRel = qrels.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    // every qid either side knows emits a row (a run query with no
+    // relevant docs scores 0; a qrels query the run skipped scores 0)
+    run.select("qid").union(qrels.select("qid")).distinct()
+      .join(nRel, Seq("qid"), "left")
+      .join(ap, Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("n_rel").isNull || col("n_rel") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("apsum"), lit(0.0)) / col("n_rel"), 6))
+          .as("ap"))
+  }
 }

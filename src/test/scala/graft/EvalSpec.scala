@@ -54,4 +54,22 @@ class EvalSpec extends SparkSuiteBase {
     // q3 has no graded docs -> 0.0, never NULL
     assert(got("q3") == 0.0)
   }
+  test("ap@k: hand-computed; full-relevant-prefix run scores 1; missed relevants penalize") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: rel at rnk 1 and 3, plus missed z -> n_rel=3:
+    //     AP = (1/1 + 2/3) / 3
+    // q2: both retrieved docs relevant, in order -> AP = (1 + 1) / 2 = 1
+    // q3: no relevant docs -> 0
+    val run = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "p", 1L), ("q2", "q", 2L),
+      ("q3", "m", 1L)).toDF("qid", "doc", "rnk")
+    val qrels = Seq(("q1", "a"), ("q1", "c"), ("q1", "z"),
+      ("q2", "p"), ("q2", "q")).toDF("qid", "doc")
+    val got = Eval.avgPrecision(run, qrels, k = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("q1") == r6((1.0 + 2.0 / 3.0) / 3.0), s"got ${got("q1")}")
+    assert(got("q2") == 1.0)
+    assert(got("q3") == 0.0)
+  }
 }
