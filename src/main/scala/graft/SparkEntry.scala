@@ -1848,6 +1848,12 @@ object SparkEntry {
       graft.text.Vocab.top(t(s, dir, "documents"), "text", 200)
         .select(col("rank"), col("term"), col("cnt"))
     }),
+    // --- prefix query completion (the autocomplete surface): top-5
+    // vocab terms per 2-char prefix by (corpus freq DESC, term) — all
+    // integer, the per-prefix cut is the WindowGroupLimit shape
+    "q_complete" -> ((s, dir) =>
+      graft.text.Vocab.complete(t(s, dir, "documents"), "text",
+        Seq("sp", "fi", "jo", "ta"), k = 5)),
     // --- per-doc top-5 keyword extraction: all-integer rank key
     // (tf DESC, df ASC, term) after the stopword/length mask — the
     // exact-ordering sibling of the float-scored TF-IDF family
@@ -4678,6 +4684,18 @@ object SparkEntry {
       // exactly (delta emission is monotone per register), so the stream
       // gate shares the batch oracle verbatim
       "q_stream_hll" -> hllOracleSql,
+      // prefix completion: same term aggregate, LIKE-prefix join, QUALIFY cut
+      "q_complete" ->
+        """WITH toks AS (SELECT
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          |      x -> len(x) > 0)) AS term FROM documents),
+          | cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+          | p(prefix) AS (SELECT unnest(['sp','fi','jo','ta']))
+          |SELECT prefix, rank, term, cnt FROM (
+          |  SELECT p.prefix, c.term, c.cnt, row_number() OVER
+          |     (PARTITION BY p.prefix ORDER BY c.cnt DESC, c.term) AS rank
+          |  FROM cnt c JOIN p ON c.term LIKE p.prefix || '%')
+          |WHERE rank <= 5""".stripMargin,
       "q_vocab" ->
         """WITH toks AS (SELECT
           |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

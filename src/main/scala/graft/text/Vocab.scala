@@ -50,4 +50,29 @@ object Vocab {
         round(sum(col("tf").cast("double") * -log(col("cnt").cast("double") / col("total"))) /
           sum(col("tf").cast("double")), 4).as("nll"))
   }
+
+  /** Prefix query completion — the autocomplete surface over the corpus
+    * vocabulary: for each prefix, the top-`k` terms by corpus frequency
+    * (ties to the lexicographically smaller term), rank 1-based.
+    *
+    * All-integer ordering (freq, term) — no float contract. Plan: ONE
+    * tokenize + term aggregate (map-side partials); prefixes enter as a
+    * broadcast table joined by `startswith` (vocab × |prefixes| bounded —
+    * a real deployment materializes the term aggregate once and serves
+    * every prefix from it); the per-prefix `rn ≤ k` cut is the
+    * WindowGroupLimit rewrite, truncating map-side before the shuffle. */
+  def complete(docs: DataFrame, textCol: String, prefixes: Seq[String],
+               k: Int): DataFrame = {
+    require(prefixes.nonEmpty && k >= 1, s"prefixes=$prefixes k=$k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byPrefix = Window.partitionBy("prefix").orderBy(desc("cnt"), asc("term"))
+    docs.select(explode(graft.index.Bm25.tokensCol(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(prefixes.toDF("prefix")),
+        col("term").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(byPrefix).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("term"), col("cnt"))
+  }
 }

@@ -84,4 +84,14 @@ class ContextVocabSpec extends SparkSuiteBase {
     assert(math.abs(lm(5L)._2 - BigDecimal(-math.log(6.0 / 20.0))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+  test("prefix completion: per-prefix frequency order, k cut, absent prefix empty") {
+    val got = Vocab.complete(docs, "text", Seq("jo", "s", "zz"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // "jo" -> join(6); "s" -> spark(3) then whatever s-term is next by (cnt, term)
+    assert(got.count(_._1 == "zz") == 0)
+    assert(got.filter(_._1 == "jo").toSeq == Seq(("jo", 1L, "join", 6L)))
+    val sTop = got.filter(_._1 == "s")
+    assert(sTop.head == (("s", 1L, "spark", 3L)) && sTop.size <= 2)
+  }
 }
