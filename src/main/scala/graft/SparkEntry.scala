@@ -424,6 +424,27 @@ object SparkEntry {
           least(col("occ"), lit(3)).cast("long").as("grade"))
       graft.index.Eval.ndcg(run, qrels, k = 10)
     }),
+    // --- expected reciprocal rank @10 (Chapelle CIKM'09 cascade metric)
+    // over the graded q_ndcg harness; survival products via exp(Σ ln) —
+    // the SAME op chain in the oracle, 6-dp output
+    "q_err" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), lower(col("text")).as("lt"))
+      val occ = docs
+        .crossJoin(broadcast(Seq("join", "vector", "customer").toDF("qid")))
+        .withColumn("occ", expr("size(filter(split(lt, '\\\\s+'), x -> x = qid))"))
+        .select("qid", "doc_id", "n_chars", "occ")
+      val w = Window.partitionBy("qid").orderBy(desc("n_chars"), asc("doc_id"))
+      val run = occ.filter(col("occ") >= 1)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 50)
+        .select(col("qid"), col("doc_id").as("doc"), col("rnk"))
+      val qrels = occ.filter(col("occ") >= 1)
+        .select(col("qid"), col("doc_id").as("doc"),
+          least(col("occ"), lit(3)).cast("long").as("grade"))
+      graft.index.Eval.err(run, qrels, k = 10)
+    }),
     // --- average precision @10 (trec_eval map_cut: denominator = TOTAL
     // relevant, so never-retrieved relevants penalize) over the q_eval
     // harness — completes the TREC quartet (recall/RR/NDCG/AP). Integer
@@ -3757,6 +3778,32 @@ object SparkEntry {
           |  CASE WHEN i.idcg IS NULL OR i.idcg <= 0.0 THEN 0.0::DOUBLE
           |       ELSE round(coalesce(d.dcg, 0.0) / i.idcg, 6) END AS ndcg
           |FROM dcg d FULL OUTER JOIN idcg i ON d.qid = i.qid""".stripMargin,
+      // err@10: the graded harness; survival = exp(sum(ln(1−R)) OVER the
+      // preceding-rows window) — op-for-op the operator's chain
+      "q_err" ->
+        """WITH t(qid) AS (VALUES ('join'), ('vector'), ('customer')),
+          | occ AS (SELECT qid, doc_id, n_chars,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = qid)) AS occ
+          |  FROM documents CROSS JOIN t),
+          | run AS (SELECT qid, doc_id AS doc, row_number() OVER
+          |     (PARTITION BY qid ORDER BY n_chars DESC, doc_id) AS rnk
+          |   FROM occ WHERE occ >= 1 QUALIFY rnk <= 50),
+          | qrels AS (SELECT qid, doc_id AS doc, least(occ, 3)::BIGINT AS grade
+          |   FROM occ WHERE occ >= 1),
+          | rr AS (SELECT r.qid, r.rnk,
+          |    (pow(2.0, coalesce(q.grade, 0)) - 1.0) / 8.0 AS rp
+          |  FROM run r LEFT JOIN qrels q ON q.qid = r.qid AND q.doc = r.doc
+          |  WHERE r.rnk <= 10),
+          | sv AS (SELECT qid, rnk, rp,
+          |    coalesce(exp(sum(ln(1.0 - rp)) OVER
+          |      (PARTITION BY qid ORDER BY rnk
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS survive
+          |  FROM rr),
+          | scored AS (SELECT qid, round(sum(rp / rnk::DOUBLE * survive), 6) AS err
+          |   FROM sv GROUP BY 1)
+          |SELECT q.qid, coalesce(s.err, 0.0) AS err
+          |FROM (SELECT DISTINCT qid FROM run) q
+          |LEFT JOIN scored s ON s.qid = q.qid""".stripMargin,
       // map_cut@10: prefix hit counts over the rank-ordered run window,
       // divided by TOTAL n_rel; run∪qrels qids all emit a row
       "q_map" ->

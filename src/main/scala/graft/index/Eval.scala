@@ -89,6 +89,43 @@ object Eval {
           .as("ndcg"))
   }
 
+  /** Expected reciprocal rank @k (Chapelle et al., CIKM'09 — the cascade
+    * metric: a user scans down and stops at a satisfying doc):
+    *
+    *   R_r   = (2^grade_r − 1) / 2^gmax        (stop probability at rank r)
+    *   ERR@k = Σ_{r ≤ k} (R_r / r) · Π_{i<r} (1 − R_i)
+    *
+    * `run` is (qid, doc, rnk — 1-based unique); `qrels` is
+    * (qid, doc, grade in [0, gmax]); unjudged retrieved docs take
+    * R = 0 (they never satisfy, the cascade continues). The prefix
+    * survival product is computed as exp(Σ ln(1−R)) over the ordered
+    * window with the SAME op chain in the oracle — (1−R) ≥ 2^−gmax > 0
+    * always. Output quantized once at 6 dp. Queries with no judged
+    * positive doc in the run score 0.
+    *
+    * Plan: one (qid, doc) join, one rank-ordered window (bounded by k),
+    * one aggregate — run-proportional like the other metrics. */
+  def err(run: DataFrame, qrels: DataFrame, k: Int, gmax: Int = 3): DataFrame = {
+    require(k > 0 && gmax >= 1, s"k=$k gmax=$gmax")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rnk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val denom = math.pow(2.0, gmax)
+    val scored = run.filter(col("rnk") <= k)
+      .join(qrels, Seq("qid", "doc"), "left")
+      .withColumn("r",
+        (pow(lit(2.0), coalesce(col("grade"), lit(0L)).cast("double")) - 1.0) /
+          lit(denom))
+      .withColumn("survive",
+        coalesce(exp(sum(log(lit(1.0) - col("r"))).over(wPrev)), lit(1.0)))
+      .groupBy("qid")
+      .agg(round(sum(col("r") / col("rnk").cast("double") * col("survive")), 6)
+        .as("err"))
+    run.select("qid").distinct()
+      .join(scored, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("err"), lit(0.0)).as("err"))
+  }
+
   /** Average precision at cutoff k (trec_eval's `map_cut` convention —
     * the denominator is the query's TOTAL relevant count, so docs the
     * run never retrieved still penalize):

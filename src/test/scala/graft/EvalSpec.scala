@@ -72,4 +72,25 @@ class EvalSpec extends SparkSuiteBase {
     assert(got("q2") == 1.0)
     assert(got("q3") == 0.0)
   }
+  test("err@k: hand-computed cascade; early high grade dominates; unjudged run scores 0") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val run = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "p", 1L), ("q2", "q", 2L),
+      ("q3", "m", 1L)).toDF("qid", "doc", "rnk")
+    val qrels = Seq(("q1", "a", 1L), ("q1", "c", 3L), ("q2", "q", 3L))
+      .toDF("qid", "doc", "grade")
+    val got = Eval.err(run, qrels, k = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // q1: R1=1/8 (g=1), R2=0, R3=7/8 (g=3)
+    //     ERR = 1/8 + 0 + (7/8)/3 * (1-1/8)*(1-0)
+    val e1 = 1.0 / 8.0 + (7.0 / 8.0) / 3.0 * (7.0 / 8.0)
+    assert(math.abs(got("q1") - e1) < 2e-6, s"got ${got("q1")} want $e1")
+    // q2: rank-1 unjudged, rank-2 g=3: ERR = (7/8)/2
+    assert(math.abs(got("q2") - 7.0 / 16.0) < 2e-6)
+    // q3: nothing judged -> 0, never NULL or missing
+    assert(got("q3") == 0.0)
+    // cascade: q2's satisfying doc one rank later scores below a rank-1 g=3
+    assert(got("q2") < 7.0 / 8.0)
+  }
 }
