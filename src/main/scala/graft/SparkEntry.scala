@@ -1709,8 +1709,15 @@ object SparkEntry {
           "transform(sequence(0, size(w) - 3), " +
             "j -> concat_ws(' ', w[j], w[j+1], w[j+2]))")).as("term"))
       toks.repartition(8).write.parquet(s"$root/terms")
+      // 4-batch drain (2 files/trigger over the 8 written files): the
+      // delta sink is max-idempotent — groupBy(key, j).max(m) over the
+      // emitted rows equals the batch registers under ANY batching — so
+      // trigger sizing is free to amortize the fixed per-micro-batch cost
+      // (offset/commit log, state-store commit, sink file commit) the
+      // standard production way, while the drain still crosses batch
+      // boundaries (cross-batch keyed state exercised, ≥2 data batches)
       val src = s.readStream.schema(toks.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/terms")
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/terms")
         .as[(String, String)]
       graft.streaming.StreamExtract.availableNowWriter(
         graft.streaming.StreamExtract.hllDeltas(src).toDF("key", "j", "m"),
@@ -1718,7 +1725,11 @@ object SparkEntry {
       val regs = s.read.parquet(s"$root/deltas")
         .groupBy("key", "j").agg(max("m").as("m"))
       val sk = graft.sketch.Hll.summarize(regs)
-      val exact = toks.groupBy("key").agg(countDistinct("term").as("exact_distinct"))
+      // exact side reads the terms BACK from the parquet written above —
+      // the identical rows, without re-running tokenize+shingle over the
+      // corpus a second time (one corpus tokenize per query)
+      val exact = s.read.parquet(s"$root/terms")
+        .groupBy("key").agg(countDistinct("term").as("exact_distinct"))
       sk.join(exact, "key")
         .select(col("key").as("source"), col("present"), col("s_scaled"),
           col("est_milli"), col("exact_distinct"))
@@ -1739,15 +1750,19 @@ object SparkEntry {
           "transform(sequence(0, size(w) - 2), " +
             "j -> concat_ws(' ', w[j], w[j+1]))")).as("term"))
       toks.repartition(8).write.parquet(s"$root/terms")
+      // 4-batch drain + parquet-backed exact side: same reasoning as
+      // q_stream_hll (monotone totals, max-idempotent sink — batch-count
+      // invariant; one corpus tokenize per query)
       val src = s.readStream.schema(toks.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/terms")
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/terms")
         .as[String]
       graft.streaming.StreamExtract.availableNowWriter(
         graft.streaming.StreamExtract.cmsTotals(src).toDF("r", "b", "c"),
         s"$root/totals", s"$root/ckpt").start().awaitTermination()
       val sk = s.read.parquet(s"$root/totals")
         .groupBy("r", "b").agg(max("c").as("c"))
-      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      val exact = s.read.parquet(s"$root/terms")
+        .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(desc("exact_cnt"), asc("term")).limit(20)
       graft.sketch.CountMin.estimate(sk, exact.select(col("term").as("v")), "v")
         .join(exact, col("v") === col("term"))
@@ -1765,8 +1780,10 @@ object SparkEntry {
       val vals = t(s, dir, "documents").select(col("source"),
         wsTokenCountCol(col("text")).cast("long").as("n_tokens"))
       vals.repartition(8).write.parquet(s"$root/vals")
+      // 4-batch drain: monotone totals, max-idempotent sink (the
+      // q_stream_hll/q_stream_cms reasoning) — batch-count invariant
       val src = s.readStream.schema(vals.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/vals")
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/vals")
         .as[(String, Long)]
       graft.streaming.StreamExtract.availableNowWriter(
         graft.streaming.StreamExtract.histogramTotals(src).toDF("key", "lo", "cnt"),

@@ -50,7 +50,13 @@ object SimJoin {
       .join(toks.select(col("id").as("id_a"), col("key")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("key")), Seq("id_b", "key"), "left_semi")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val sizes = ordered.select(col("id"), col("n"))
+    // set sizes from the distinct token relation directly (n == size(ks)
+    // definitionally): deriving them from `ordered` re-ran the expensive
+    // sorted-collect_list aggregate once per sizes leg — `ordered` pruned
+    // to (id, n) no longer canonicalizes equal to the prefix branch, so
+    // AQE's stage cache forks the subtree (the per-branch-pruning gotcha);
+    // this cheap count aggregate reuses toks' distinct exchange instead
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")

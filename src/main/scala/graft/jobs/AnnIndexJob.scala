@@ -130,10 +130,14 @@ object AnnIndexJob extends Serializable {
         Seq("id"), "left_semi")
     }
 
-    val scored = qprobes.join(cells, "cell")
+    // norms once per side (Knn.cosineWithNorms — bit-identical doubles):
+    // one interpreted higher-order dot per candidate instead of three
+    val scored = qprobes.withColumn("qnrm", graft.sim.Knn.normCol(col("qvec")))
+      .join(cells.withColumn("cnrm", graft.sim.Knn.normCol(col("vec"))), "cell")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
-        round(graft.sim.Knn.cosineCol(col("qvec"), col("vec")), 6).as("cosine"))
+        round(graft.sim.Knn.cosineWithNorms(col("qvec"), col("vec"),
+          col("qnrm"), col("cnrm")), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

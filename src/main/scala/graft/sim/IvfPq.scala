@@ -77,12 +77,12 @@ object IvfPq {
             (a, b) => a - b + lit(ResOff)).as("r"))
         .persist()
       try {
-        // m per-subspace codebooks over residual slices (bounded collects)
-        val books: Pq.Codebooks = (0 until m).map { j =>
-          Kmeans.trainQuantized(
-            res.select(col("id"), slice(col("r"), j * sub + 1, sub).as("p")),
-            ks, iters)._1
-        }.toArray
+        // m per-subspace codebooks over residual slices — ONE batched
+        // Lloyd loop for all m (Pq.trainSlices: slice-for-slice identical
+        // to the m independent trainQuantized runs, iters+1 jobs total
+        // instead of m·(iters+1))
+        val books: Pq.Codebooks = Pq.trainSlices(
+          res.select(col("id"), col("r").as("p")), m, sub, ks, iters)
         val bcBooks = spark.sparkContext.broadcast(books)
         // encode: (id, cell, m argmin codes) — one narrow pass
         val encoded = res.as[(Long, Int, Array[Long])].mapPartitions { it =>

@@ -12,12 +12,54 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** Dot product of two array<double> columns — the index-order sum
+    * [[cosineCol]] uses (higher-order fns are CodegenFallback: each
+    * evaluation is interpreted lambda calls, so pair-scoring paths should
+    * evaluate as FEW of these as possible per pair — see [[normCol]]). */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Euclidean norm of an array<double> column — identical arithmetic to
+    * [[cosineCol]]'s na/nb terms. Pair scorers precompute this ONCE per
+    * vector and carry it beside the vector, so each pair evaluates one
+    * interpreted higher-order dot instead of three (dot + two norms):
+    * bit-identical doubles (same operand values, same op order), ~3× less
+    * interpreted work on the hot pair path. */
+  def normCol(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
   /** Cosine similarity of two array<float/double> columns. */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / greatest(na * nb, lit(1e-12d))
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / greatest(normCol(a) * normCol(b), lit(1e-12d))
+
+  /** Cosine from a precomputed-norm pair — the exact [[cosineCol]] value
+    * (dot / greatest(na·nb, 1e-12)) with na/nb read from columns. */
+  def cosineWithNorms(vecA: Column, vecB: Column, nrmA: Column, nrmB: Column): Column =
+    dotCol(vecA, vecB) / greatest(nrmA * nrmB, lit(1e-12d))
+
+  /** `round(cosineWithNorms(...), 6)` replayed in plain Scala loops —
+    * bit-identical to the Catalyst evaluation: the dot is the same
+    * left-fold over indices ((0 + a₀b₀) + a₁b₁ …) that
+    * aggregate(zip_with(a, b, *)) performs; greatest == max on non-NaN
+    * norms; and Spark's Round(double, 6, HALF_UP) is literally
+    * `BigDecimal(d).setScale(6, HALF_UP).toDouble` with NaN/Inf passed
+    * through (RoundBase, mathExpressions.scala), reproduced verbatim.
+    * Exists so hot pair-verification paths can evaluate the threshold in
+    * a typed map instead of an interpreted CodegenFallback expression
+    * (KnnSpec pins equality against the Column form). */
+  def pairCosineRound6(va: Array[Double], vb: Array[Double],
+                       na: Double, nb: Double): Double = {
+    // Catalyst yields NULL for null/length-mismatched arrays (zip_with
+    // pads with null, the aggregate null-poisons) and a null filter drops
+    // the row — NaN reproduces the "never passes the threshold" outcome
+    if (va == null || vb == null || va.length != vb.length) return Double.NaN
+    var dot = 0.0
+    var i = 0
+    val n = va.length
+    while (i < n) { dot += va(i) * vb(i); i += 1 }
+    val cos = dot / math.max(na * nb, 1e-12)
+    if (cos.isNaN || cos.isInfinite) cos
+    else BigDecimal(cos).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   /** Brute-force top-k neighbors of one query vector.
@@ -126,14 +168,18 @@ object Knn {
               maxBucket: Int = 256,
               drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val vecs = df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", normCol(col("vec")))
     val und = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket, drops)
     // both directions: each member of an unordered pair queries the other
     val pairs = und.unionByName(
       und.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val scored = pairs
-      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
-      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
-      .select(col("id_a"), col("id_b"), round(cosineCol(col("vec_a"), col("vec_b")), 6).as("cosine"))
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"), round(cosineWithNorms(col("vec_a"),
+        col("vec_b"), col("nrm_a"), col("nrm_b")), 6).as("cosine"))
     val w = Window.partitionBy("id_a").orderBy(desc("cosine"), asc("id_b"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -211,10 +257,13 @@ object Knn {
     // subset of the corpus), candidates from the corpus
     val qvecs = queries.select(col(idCol).cast("string").as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnrm", normCol(col("qvec")))
     val scored = cand
       .join(qvecs, "qid")
-      .join(vecs.withColumnRenamed("vec", "cvec"), "id")
-      .select(col("qid"), col("id"), round(cosineCol(col("qvec"), col("cvec")), 6).as("cosine"))
+      .join(vecs.withColumnRenamed("vec", "cvec")
+        .withColumn("cnrm", normCol(col("cvec"))), "id")
+      .select(col("qid"), col("id"), round(cosineWithNorms(col("qvec"),
+        col("cvec"), col("qnrm"), col("cnrm")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -227,16 +276,33 @@ object Knn {
                             bits: Int = 10, tables: Int = 3, dim: Int = 64,
                             maxBucket: Int = 256,
                             drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val vecs = df.select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", normCol(col("vec")))
+    // threshold compares the 6-dp ROUNDED cosine: the raw double can
+    // differ from an independent evaluation (e.g. the DuckDB oracle) in
+    // the last ulps, so an unrounded compare would make borderline pairs
+    // implementation-defined; rounding pins the cut deterministically.
+    // Evaluated in a typed map ([[pairCosineRound6]] — bit-identical),
+    // NOT a Column filter: the Column form gets pushed into the second
+    // attach join's condition, and a CodegenFallback higher-order
+    // function there drops that join out of codegen (the semDedup
+    // lesson); norms ride the attach joins precomputed.
+    val thr = simThreshold
     val losers = candidatePairs(df, idCol, vecCol, bits, tables, dim, maxBucket, drops)
-      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
-      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
-      // threshold compares the 6-dp ROUNDED cosine: the raw double can
-      // differ from an independent evaluation (e.g. the DuckDB oracle) in
-      // the last ulps, so an unrounded compare would make borderline pairs
-      // implementation-defined; rounding pins the cut deterministically
-      .filter(round(cosineCol(col("vec_a"), col("vec_b")), 6) >= simThreshold)
-      .select(col("id_b").as("loser"))
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_b").as("loser"), col("vec_a"), col("vec_b"),
+        col("nrm_a"), col("nrm_b"))
+      .as[(String, Array[Double], Array[Double], Double, Double)]
+      .mapPartitions(_.collect {
+        case (loser, va, vb, na, nb)
+            if pairCosineRound6(va, vb, na, nb) >= thr => loser
+      })
+      .toDF("loser")
       .distinct()
     df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")
   }
@@ -304,14 +370,46 @@ object Knn {
       sum(when(col("rn") > maxCell, 1L).otherwise(0L)).as("dropped_members"),
       sum(when(col("rn") === maxCell + 1, 1L).otherwise(0L)).as("overflow_cells")))
     val live = observed.filter(col("rn") <= maxCell).select(col("id"), col("cell"))
-    val pairs = live.as("a").join(live.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val losers = pairs
-      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
-      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
-      .filter(round(cosineCol(col("vec_a"), col("vec_b")), 6) >= simThreshold)
-      .select(col("id_b").as("loser"))
+    // attach (vec, norm) ONCE to the ≤ nCells·maxCell capped membership —
+    // the window/cap pipeline stays payload-free (id, cell), and the pair
+    // self-join below carries both vectors inline, replacing the two
+    // pair-count-sized vector re-joins of the previous shape (pairs are
+    // within-cell quadratic, members are not).
+    val liveV = live.join(
+      vecs.withColumn("nrm", normCol(col("vec"))), Seq("id"))
+    // within-cell quadratic verification in ONE typed flatMapGroups over
+    // the capped membership: the previous pair self-join materialized
+    // |pairs| rows each carrying BOTH dim-wide vectors (quadratic in the
+    // cell cap) through join + filter machinery — and a cosine Column
+    // filter gets pushed into the join condition, where its
+    // CodegenFallback higher-order function drops the join out of
+    // whole-stage codegen entirely (measured 4× wall). Here each cell's
+    // ≤ maxCell members deserialize once and the pair loop runs on
+    // primitive arrays with [[pairCosineRound6]] — bit-identical
+    // threshold decisions (same pairs: every a.id < b.id within a cell;
+    // same arithmetic), group state bounded by the cap like the join was.
+    val thr = simThreshold
+    val losers = liveV
+      .select(col("cell"), col("id"), col("vec"), col("nrm"))
+      .as[(Int, String, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, String, Array[Double], Double)]) =>
+        val ms = it.toArray
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < ms.length) {
+          var j = 0
+          while (j < ms.length) {
+            if (i != j && ms(i)._2 < ms(j)._2 &&
+                pairCosineRound6(ms(i)._3, ms(j)._3, ms(i)._4, ms(j)._4) >= thr)
+              out += ms(j)._2
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("loser")
       .distinct()
     df.join(losers, df(idCol).cast("string") === col("loser").cast("string"), "left_anti")
   }

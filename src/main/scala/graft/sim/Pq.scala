@@ -55,13 +55,77 @@ object Pq {
     val pts0 = Kmeans.quantize(df, idCol, vecCol, dim)
     val pts = (if (sampleCap == Int.MaxValue) pts0
                else pts0.orderBy("id").limit(sampleCap)).persist()
-    try {
-      (0 until m).map { j =>
-        Kmeans.trainQuantized(
-          pts.select(col("id"), slice(col("p"), j * sub + 1, sub).as("p")),
-          ks, iters)._1
-      }.toArray
-    } finally pts.unpersist()
+    try trainSlices(pts, m, sub, ks, iters)
+    finally pts.unpersist()
+  }
+
+  /** All m per-slice codebooks in ONE Lloyd loop over the full-width
+    * quantized relation: per iteration a single narrow pass assigns every
+    * (row, subspace) pair to its argmin entry and accumulates per-
+    * (subspace, cluster, component) integer sums map-side, so the whole
+    * round is one job instead of m — subspace-for-subspace the identical
+    * trajectory to m independent [[Kmeans.trainQuantized]] runs (same
+    * smallest-id init slices, same strict-< tie rule via [[argminCode]] —
+    * the documented Kmeans assignment convention — same truncating
+    * integer centroid division, same empty-cluster keep). PqSpec pins the
+    * equality against the per-slice runs. */
+  private[sim] def trainSlices(pts: DataFrame, m: Int, sub: Int,
+                               ks: Int, iters: Int): Codebooks = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    // init: the ks smallest-id vectors (ONE collect serves every subspace —
+    // the per-slice runs each picked the same ids' slices)
+    val init = pts.orderBy("id").limit(ks).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == ks, s"need >= $ks vectors, got ${init.length}")
+    var books: Codebooks =
+      Array.tabulate(m)(j => init.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = pts.select(col("p")).as[Array[Long]]
+        .mapPartitions { it =>
+          val bks = bc.value
+          val sums = Array.fill(m, ks)(null: Array[Long])
+          val cnts = Array.ofDim[Long](m, ks)
+          it.foreach { p =>
+            var j = 0
+            while (j < m) {
+              val c = argminCode(p, j * sub, bks(j))
+              var s = sums(j)(c)
+              if (s == null) { s = new Array[Long](sub); sums(j)(c) = s }
+              var i = 0
+              while (i < sub) { s(i) += p(j * sub + i); i += 1 }
+              cnts(j)(c) += 1L
+              j += 1
+            }
+          }
+          (for { j <- (0 until m).iterator; c <- (0 until ks).iterator
+                 if cnts(j)(c) > 0L }
+            yield (j, c, sums(j)(c), cnts(j)(c)))
+        }
+        .collect() // ≤ partitions·m·ks tiny rows — bounded driver scalar
+      // driver merge + divide: integer sums are order-free, so the
+      // partition-wise partials fold to the same totals as one global
+      // aggregate; empty cluster keeps its previous centroid (the Kmeans
+      // contract), division truncates like the trainQuantized driver fold
+      val totS = Array.fill(m, ks)(null: Array[Long])
+      val totN = Array.ofDim[Long](m, ks)
+      partials.foreach { case (j, c, s, n) =>
+        var t = totS(j)(c)
+        if (t == null) { t = new Array[Long](sub); totS(j)(c) = t }
+        var i = 0
+        while (i < sub) { t(i) += s(i); i += 1 }
+        totN(j)(c) += n
+      }
+      val next = books.map(_.map(_.clone()))
+      for (j <- 0 until m; c <- 0 until ks; if totN(j)(c) > 0L) {
+        var i = 0
+        while (i < sub) { next(j)(c)(i) = totS(j)(c)(i) / totN(j)(c); i += 1 }
+      }
+      books = next
+      bc.destroy()
+    }
+    books
   }
 
   /** (id BIGINT, codes ARRAY<INT>) — one narrow pass; malformed vectors

@@ -288,6 +288,21 @@ object StreamExtract {
     import spark.implicits._
     graft.sketch.Hll.observations(rows.toDF("key", "v"), "key", "v")
       .as[(String, Int, Int)]
+      // partial max per (key, register) WITHIN each input partition before
+      // the state shuffle (map-side aggregation, guide §2.3): the keyed
+      // state folds a max, so shipping one pre-maxed row per (partition,
+      // key, j) instead of one per observation leaves every batch's
+      // register maxima — and therefore the emitted deltas — identical
+      // while the stateful exchange carries ≤ M·|keys| rows per partition
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(String, Int), Int]
+        it.foreach { case (k, j, m) =>
+          val key = (k, j)
+          val prev = acc.getOrElse(key, 0)
+          if (m > prev) acc(key) = m
+        }
+        acc.iterator.map { case ((k, j), m) => (k, j, m) }
+      }
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (kj: (String, Int), rs: Iterator[(String, Int, Int)], state: GroupState[Int]) => {
@@ -315,6 +330,18 @@ object StreamExtract {
     import spark.implicits._
     graft.sketch.CountMin.observations(values.toDF("v"), "v")
       .as[(Int, Int, Long)]
+      // partial sum per counter within each input partition (map-side
+      // aggregation before the state shuffle — the state fold sums, so
+      // per-batch totals are identical; ≤ d·w = 4096 rows cross per
+      // partition instead of d rows per input value)
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+        it.foreach { case (r, b, c) =>
+          val key = (r, b)
+          acc(key) = acc.getOrElse(key, 0L) + c
+        }
+        acc.iterator.map { case ((r, b), c) => (r, b, c) }
+      }
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (rb: (Int, Int), rs: Iterator[(Int, Int, Long)], state: GroupState[Long]) => {
@@ -344,6 +371,17 @@ object StreamExtract {
     import spark.implicits._
     graft.sketch.Quantile.observations(rows.toDF("key", "v"), "key", "v")
       .as[(String, Long, Long)]
+      // partial sum per (key, bucket) within each input partition — same
+      // map-side-aggregation-before-the-state-shuffle shape as
+      // [[cmsTotals]]; the summed fold makes per-batch totals identical
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+        it.foreach { case (k, lo, c) =>
+          val key = (k, lo)
+          acc(key) = acc.getOrElse(key, 0L) + c
+        }
+        acc.iterator.map { case ((k, lo), c) => (k, lo, c) }
+      }
       .groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (kl: (String, Long), rs: Iterator[(String, Long, Long)], state: GroupState[Long]) => {

@@ -41,10 +41,17 @@ object TextRank {
       .select(col(idCol).cast("long").as("doc"),
         posexplode(split(col(textCol), SentSplit)).as(Seq("idx", "sent")))
       .filter(col("idx") < MaxSents)
+    // materialized ONCE (localCheckpoint): three consumers — the two edge
+    // self-join legs and the node set — live in SEPARATE jobs (PageRank
+    // checkpoints its edge and node relations eagerly), so without a
+    // checkpoint the tokenize+distinct subtree re-runs per consumer.
+    // Doc-token-sized (one row per distinct (doc, idx, term)) — the same
+    // materialization class as Bm25F's flen relation.
     val toks = sents
       .select(col("doc"), col("idx"),
         explode(graft.index.Bm25.tokensCol(col("sent"))).as("term"))
       .distinct()
+      .localCheckpoint()
     val nodes = toks.select(col("doc"), col("idx")).distinct()
       .select((col("doc") * 4096 + col("idx")).as("id"))
     val edges = toks.as("a").join(toks.as("b"),

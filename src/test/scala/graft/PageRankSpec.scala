@@ -32,6 +32,20 @@ class PageRankSpec extends SparkSuiteBase {
     assert(ranks(3) == ranks(3, shuffled))
   }
 
+  test("pagerank: driver fast-path equals the distributed loop, multi-edges included") {
+    // multi-edge graph (duplicate (0,2) rows => weight 2) + an edge whose
+    // src is outside the node set (must contribute nothing on both paths)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 2L), (2L, 0L), (9L, 0L))
+      .toDF("src", "dst")
+    val driver = PageRank.run(e, nodes, iters = 4, base = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = PageRank.run(e, nodes, iters = 4, base = 1000000L,
+        driverEdgeLimit = 0L) // gate at 0 forces the distributed loop
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
+    assert(driver.keySet == Set(0L, 1L, 2L, 3L)) // 9 gets no teleport row
+  }
+
   test("pagerank: dangling mass dissipates, teleport floor holds") {
     // sink graph: 0→1, 1 has no out-edges — after enough iterations
     // node 1 holds teleport + inflow, node 0 exactly teleport + nothing

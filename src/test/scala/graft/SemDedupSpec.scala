@@ -66,6 +66,30 @@ class SemDedupSpec extends SparkSuiteBase {
     assert(obs.get.getOrElse("overflow_cells", 0L) == 1L)
   }
 
+  test("pairCosineRound6 is bit-identical to the Catalyst round(cosineCol) form") {
+    // adversarial values: exact half-boundaries at 6 dp, negatives, zero
+    // norms (the 1e-12 guard), anti-parallel vectors, tiny magnitudes
+    val r = new java.util.SplittableRandom(0xc051eedL)
+    val vecs: Seq[Array[Double]] =
+      Seq(Array(0.0, 0.0, 0.0, 0.0), Array(1e-9, -1e-9, 1e-9, -1e-9)) ++
+        (0 until 200).map(_ => Array.fill(4)(r.nextDouble() * 2 - 1))
+    val pairs = (for (a <- vecs; b <- vecs.take(20)) yield (a, b)).toSeq
+    val catalystRows = pairs.toDF("a", "b")
+      .select(org.apache.spark.sql.functions.round(
+        Knn.cosineCol(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")), 6).as("c"))
+      .collect().map(_.getDouble(0))
+    val scalaRows = pairs.map { case (a, b) =>
+      val na = math.sqrt(a.foldLeft(0.0)((acc, v) => acc + v * v))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, v) => acc + v * v))
+      Knn.pairCosineRound6(a, b, na, nb)
+    }
+    catalystRows.zip(scalaRows).zipWithIndex.foreach { case ((c, s), i) =>
+      assert(java.lang.Double.doubleToLongBits(c) ==
+        java.lang.Double.doubleToLongBits(s), s"pair $i: catalyst=$c scala=$s")
+    }
+  }
+
   test("null / wrong-dim vectors are exempt, not fatal") {
     val d = Seq(
       (0L, Array(1.0, 0.0, 0.0, 0.0)),
