@@ -103,6 +103,30 @@ object SparkEntry {
       }
     } catch { case _: Throwable => () }
 
+  /** Run `body` (a streaming drain: start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to the STREAM STATE width,
+    * restoring the session value after. Stateful-operator parallelism is
+    * fixed at query start from this conf and sizes the number of state
+    * stores; state-store fixed cost per partition per micro-batch is the
+    * dominant wall for small state (measured: the stream-stream band join
+    * spent 199 task-seconds at 32 state partitions vs 10 at 8 — same
+    * output, 20× less machinery). The right width scales with STATE
+    * volume (sketch grids are ≤4096 cells; watermark-bounded joins hold
+    * one horizon of events), NOT with input-scan width — input-side map
+    * work runs at source parallelism before the state exchange either
+    * way. Parameterized (graft.stream.state.partitions /
+    * SPARK_GRAFT_STREAM_STATE_PARTS) so a deployment with heavy state
+    * sizes it up; emitted rows are partition-layout-invariant for every
+    * stream in this file (keyed folds / watermark-final emissions). */
+  private def withStreamStateParts[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val n = sys.props.get("graft.stream.state.partitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")).getOrElse("8")
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Materialize `df` off its scratch files (localCheckpoint truncates the
     * lineage to executor blocks), then delete the scratch root NOW instead
     * of at JVM exit: the bench sweep's fresh-root queries (pipeline,
@@ -163,6 +187,12 @@ object SparkEntry {
         wsTokenCountCol(col("text")) >= 3 &&
         !col("text").rlike("\\n\\s*\\n") && col("text").rlike("\\S"))
       .select($"doc_id", $"text").as[(Long, String)]
+      // spread the HTML rendering: the documents table is one parquet file
+      // (one scan partition), so without this every consumer's render of
+      // ~3×|docs| article pages runs on a single task (measured 4.4 s
+      // serial stages inside q_pipeline_e2e). Row-wise generation —
+      // partitioning cannot change the produced pages.
+      .repartition(spark.sparkContext.defaultParallelism, $"doc_id")
       .flatMap { case (id, text) =>
         Seq((id, text), (id + 500000L, text),
             (id + 1000000L, text + " appended trailing marker"))
@@ -1719,9 +1749,11 @@ object SparkEntry {
       val src = s.readStream.schema(toks.schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$root/terms")
         .as[(String, String)]
-      graft.streaming.StreamExtract.availableNowWriter(
-        graft.streaming.StreamExtract.hllDeltas(src).toDF("key", "j", "m"),
-        s"$root/deltas", s"$root/ckpt").start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract.availableNowWriter(
+          graft.streaming.StreamExtract.hllDeltas(src).toDF("key", "j", "m"),
+          s"$root/deltas", s"$root/ckpt").start().awaitTermination()
+      }
       val regs = s.read.parquet(s"$root/deltas")
         .groupBy("key", "j").agg(max("m").as("m"))
       val sk = graft.sketch.Hll.summarize(regs)
@@ -1756,9 +1788,11 @@ object SparkEntry {
       val src = s.readStream.schema(toks.schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$root/terms")
         .as[String]
-      graft.streaming.StreamExtract.availableNowWriter(
-        graft.streaming.StreamExtract.cmsTotals(src).toDF("r", "b", "c"),
-        s"$root/totals", s"$root/ckpt").start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract.availableNowWriter(
+          graft.streaming.StreamExtract.cmsTotals(src).toDF("r", "b", "c"),
+          s"$root/totals", s"$root/ckpt").start().awaitTermination()
+      }
       val sk = s.read.parquet(s"$root/totals")
         .groupBy("r", "b").agg(max("c").as("c"))
       val exact = s.read.parquet(s"$root/terms")
@@ -1785,9 +1819,11 @@ object SparkEntry {
       val src = s.readStream.schema(vals.schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$root/vals")
         .as[(String, Long)]
-      graft.streaming.StreamExtract.availableNowWriter(
-        graft.streaming.StreamExtract.histogramTotals(src).toDF("key", "lo", "cnt"),
-        s"$root/totals", s"$root/ckpt").start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract.availableNowWriter(
+          graft.streaming.StreamExtract.histogramTotals(src).toDF("key", "lo", "cnt"),
+          s"$root/totals", s"$root/ckpt").start().awaitTermination()
+      }
       val hist = s.read.parquet(s"$root/totals")
         .groupBy("key", "lo").agg(max("cnt").as("cnt"))
       graft.sketch.Quantile.percentiles(hist, Seq(100, 250, 500, 750, 900, 990))
@@ -2497,12 +2533,14 @@ object SparkEntry {
         s.readStream.schema(docs.schema).parquet(s"$root/docs").as[(String, String)]
       }
       implicit val sp: SparkSession = s
-      graft.streaming.StreamExtract.nearDupVerdicts(src, threshold = 0.8)
-        .toDF("url", "duplicate_of")
-        .writeStream.format("parquet").option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract.nearDupVerdicts(src, threshold = 0.8)
+          .toDF("url", "duplicate_of")
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       // one verdict per matching band per batch (at-least-once, documented):
       // consumers dedup by (url, keeper)
       detachAndClean(s.read.parquet(s"$root/out").distinct(), root)
@@ -2523,13 +2561,15 @@ object SparkEntry {
         .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
       ev.write.parquet(s"$root/in")
       val src = s.readStream.schema(ev.schema).parquet(s"$root/in")
-      graft.streaming.StreamExtract.eventCounts(src)
-        .select(col("win_start").cast("long").as("win_start"),
-          col("event_type"), col("cnt"), round(col("total"), 2).as("total"))
-        .writeStream.format("parquet").option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract.eventCounts(src)
+          .select(col("win_start").cast("long").as("win_start"),
+            col("event_type"), col("cnt"), round(col("total"), 2).as("total"))
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       detachAndClean(s.read.parquet(s"$root/out"), root)
     }),
     // --- streaming gap sessionization: keyed fragment state sealed by the
@@ -2545,13 +2585,15 @@ object SparkEntry {
       ev.write.parquet(s"$root/in")
       val src = s.readStream.schema(ev.schema).parquet(s"$root/in")
         .as[(Long, java.sql.Timestamp, Long)]
-      graft.streaming.StreamExtract
-        .sessionsStream(src, 21600L * 1000000, "10 minutes")
-        .toDF("user_id", "session_idx", "n_events", "start_us", "span_us")
-        .writeStream.format("parquet").option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract
+          .sessionsStream(src, 21600L * 1000000, "10 minutes")
+          .toDF("user_id", "session_idx", "n_events", "start_us", "span_us")
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       detachAndClean(s.read.parquet(s"$root/out"), root)
     }),
     // --- stream-stream watermarked band join: purchases attributed to the
@@ -2572,11 +2614,13 @@ object SparkEntry {
       val sch = ev.drop("event_type").schema
       val vs = s.readStream.schema(sch).parquet(s"$root/in_v")
       val ps = s.readStream.schema(sch).parquet(s"$root/in_p")
-      graft.streaming.StreamExtract.bandJoinStream(vs, ps, 21600L)
-        .writeStream.format("parquet").option("path", s"$root/out")
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      withStreamStateParts(s) {
+        graft.streaming.StreamExtract.bandJoinStream(vs, ps, 21600L)
+          .writeStream.format("parquet").option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       detachAndClean(s.read.parquet(s"$root/out"), root)
     }),
     // --- full pipeline shape on generated pages (rows-only)

@@ -50,7 +50,10 @@ object DedupJob {
     // here — and as a bonus the expensive verify lineage (referenced twice
     // by the edges union) is materialized once instead of re-derived.
     val pairs = if (drops.isDefined) rawPairs.localCheckpoint() else rawPairs
+    // label the eager clustering actions (guide §1.5, diagnostic only)
+    spark.sparkContext.setJobDescription("dedup:components")
     val comps = graft.dedup.Components.of(pairs)
+    spark.sparkContext.setJobDescription(null)
     val losers = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("loser"), col("comp").as("duplicate_of"))
     val nearClean = exactClean.join(losers,

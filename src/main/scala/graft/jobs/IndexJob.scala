@@ -61,7 +61,18 @@ object IndexJob {
       .select((col("id").as("doc") +: (col("text") +: facetCols.map(col))): _*)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc")
       .orderBy(("text" +: facetCols).map(col): _*)
+    // EXPLICIT-width doc repartition feeding the dedup window: the window
+    // reuses the partitioning (hash(doc) satisfies partitionBy(doc) at any
+    // width), and — because everything from here to the tf partial
+    // aggregate is narrow — the tokenize stage inherits this width too.
+    // Without it, AQE coalesces the window's byte-tiny exchange and the
+    // fused window+tokenize+tf stage runs on ONE task (measured 7.7 s on a
+    // 4.7k-doc segment): byte-based advisory sizing is ~100× too coarse
+    // for tokenize-class per-row cost. Width is cluster-derived
+    // (defaultParallelism), keyed on the high-cardinality doc id.
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val docs = projected
+      .repartition(parts, col("doc"))
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")

@@ -50,7 +50,9 @@ object PipelineJob {
 
   def run(spark: SparkSession, pages: Dataset[PageRow], root: String,
           nBuckets: Int = 16, jaccardThreshold: Double = 0.8): Result = {
+    spark.sparkContext.setJobDescription("pipeline:extract")
     val er = ExtractJob.run(spark, pages, s"$root/extract", nBuckets)
+    spark.sparkContext.setJobDescription(null)
     val indexRoot = s"$root/index"
     val plake = new LakeTable(s"$root/pipeline")
     val stageKey = s"indexed-extract-v${er.version}"
@@ -62,6 +64,11 @@ object PipelineJob {
         val dropped = plake.readManifest(v).metrics.getOrElse("dropped", 0.0)
         Result(er.version, indexRoot, dropped.toLong, resumed = true)
       case None =>
+        // phase labels (guide §1.5): thread-local, purely diagnostic — the
+        // UI/listeners can attribute the pipeline's jobs to stages
+        def phase(p: String): Unit =
+          spark.sparkContext.setJobDescription(s"pipeline:$p")
+        phase("dedup")
         // stage 2: corpus-wide dedup over the extracted chunk relation.
         // Chunk identity is (url, chunk_index) — content-stable across
         // resumed runs, joinable back to the lake, and oracle-expressible.
@@ -76,6 +83,7 @@ object PipelineJob {
         // recorded, not erased; count rides the write via observe()
         val dlake = new LakeTable(s"$root/dedup")
         val dv = dlake.currentVersion + 1
+        phase("dedup-dropped-write")
         val obs = org.apache.spark.sql.Observation()
         dr.dropped.observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$root/dedup/data/v$dv/dropped")
@@ -94,12 +102,15 @@ object PipelineJob {
         val (nTomb, nAdd) =
           if (ilake.currentVersion == 0) {
             // first build: whole corpus as one segment, compacted to one
+            phase("index-build")
             IndexJob.build(spark, clean, indexRoot, facetCols = Seq("host"))
+            phase("index-compact")
             IndexJob.compact(spark, indexRoot)
             (0L, -1L) // -1 = full build (appended count not tracked)
-          } else incrementalSync(spark, clean, indexRoot)
+          } else { phase("index-sync"); incrementalSync(spark, clean, indexRoot) }
 
         // stage barrier: downstream stages for this extract version are done
+        spark.sparkContext.setJobDescription(null)
         plake.commit(Nil, Seq(stageKey), Nil, Map("dropped" -> nDropped.toDouble))
         Result(er.version, indexRoot, nDropped, resumed = false,
           tombstoned = nTomb, appended = nAdd)

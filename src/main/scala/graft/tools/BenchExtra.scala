@@ -26,7 +26,8 @@ object BenchExtra {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-benchextra-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("BENCHEXTRA_SHUFFLE").map(_.toInt).getOrElse(cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
@@ -76,11 +77,31 @@ object BenchExtra {
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val shufR = new java.util.concurrent.atomic.AtomicLong
     val shufW = new java.util.concurrent.atomic.AtomicLong
+    val jobLog = sys.env.contains("BENCHEXTRA_JOBLOG")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (jobLog) jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("spark.job.description", ""))
+              .filter(_.nonEmpty).map(_.take(40) + " | ").getOrElse("") +
+            j.stageInfos.headOption.map(s => s.name.take(60)).getOrElse("?")))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (jobLog) Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+          println(f"JOB ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f  $site")
+        }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (jobLog) {
+          val i = s.stageInfo
+          val rt = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+          val wall = (for { a <- i.submissionTime; b <- i.completionTime }
+            yield (b - a) / 1000.0).getOrElse(-1.0)
+          println(f"STAGE ${i.stageId}%4d wall=$wall%7.3f tasks=${i.numTasks}%4d " +
+            f"runSec=${rt / 1000.0}%7.1f  ${i.name.take(70)}")
+        }
+      }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -91,6 +112,24 @@ object BenchExtra {
         }
       }
     })
+    // optional: dump EVERY query execution's final plan (writes included —
+    // the per-query --plans flag only sees the returned DataFrame)
+    sys.env.get("BENCHEXTRA_EXECDUMP").foreach { dir =>
+      Files.createDirectories(Paths.get(dir))
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val i = n.incrementAndGet()
+          val desc = Option(spark.sparkContext.getLocalProperty("spark.job.description")).getOrElse("")
+          val txt = f"== $funcName $desc ${durationNs / 1e9}%.3fs ==%n" +
+            qe.explainString(ExplainMode.fromString("formatted"))
+          Files.write(Paths.get(f"$dir/exec$i%03d.txt"), txt.getBytes(UTF_8))
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
     def memGBs(): Double = {
       val n = 16 * 1024 * 1024
       val a = Array.tabulate(n)(_.toLong)
