@@ -37,14 +37,22 @@ object HyperBall {
   /** Per-vertex ball register table `(key, j, m)` after `radius` rounds;
     * `key` is the vertex id cast to string ([[Hll]] key convention).
     * Vertices = src ∪ dst of `edges` (src/dst columns). */
-  def registers(edges: DataFrame, radius: Int): DataFrame = {
+  def registers(edges: DataFrame, radius: Int,
+                driverEdgeLimit: Long = 1L << 18): DataFrame = {
     require(radius >= 0, s"radius $radius")
     val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
+      col("dst").cast("string").as("dst")).localCheckpoint()
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     var r = Hll.registers(verts.select(col("v").as("k"), col("v")), "k", "v")
       .localCheckpoint()
+    // size-gated driver merge rounds (the PageRank.driverLoop precedent):
+    // the INITIAL registers still come from the distributed Hll pipeline
+    // (no hash replication), and the rounds are pure integer max-merges —
+    // order-insensitive, so the in-memory fold equals the distributed
+    // aggregate exactly (HyperBallSpec pins path parity).
+    if (e.count() <= driverEdgeLimit && r.count() <= driverEdgeLimit)
+      return driverRounds(e, r, radius)
     var t = 0
     while (t < radius) {
       val fromNbrs = e.join(r, col("key") === col("dst"))
@@ -57,6 +65,38 @@ object HyperBall {
       t += 1
     }
     r
+  }
+
+  /** Driver replica of the max-merge rounds: next(v, j) = max(r(v, j),
+    * r(u, j) over edges (v, u)) — registers absent on a side simply don't
+    * contribute, exactly like the unionByName + max aggregate. */
+  private def driverRounds(e: DataFrame, r0: DataFrame, radius: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.select(col("src"), col("dst")).as[(String, String)].collect()
+    var r = scala.collection.mutable.HashMap.empty[(String, Int), Int]
+    r0.select(col("key"), col("j"), col("m")).as[(String, Int, Int)].collect()
+      .foreach { case (k, j, m) =>
+        val key = (k, j)
+        if (m > r.getOrElse(key, Int.MinValue)) r.update(key, m)
+      }
+    var t = 0
+    while (t < radius) {
+      // group the previous round's registers per vertex, then push each
+      // dst's registers to src with a max-merge
+      val byV = r.toSeq.groupBy(_._1._1)
+      val next = scala.collection.mutable.HashMap.empty[(String, Int), Int]
+      r.foreach { case (k, m) => next.update(k, m) }
+      es.foreach { case (src, dst) =>
+        byV.getOrElse(dst, Nil).foreach { case ((_, j), m) =>
+          val key = (src, j)
+          if (m > next.getOrElse(key, Int.MinValue)) next.update(key, m)
+        }
+      }
+      r = next
+      t += 1
+    }
+    r.toSeq.map { case ((k, j), m) => (k, j, m) }.toDF("key", "j", "m")
   }
 
   /** Per-vertex ball-size summary `(v, present, s_scaled, est_milli,

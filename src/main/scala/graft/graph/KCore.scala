@@ -36,7 +36,8 @@ object KCore {
     * undirected graph induced by `edges` (src, dst); vertices outside the
     * core (including isolated ones) are absent. `core_deg` is the vertex's
     * degree WITHIN the core (≥ k by construction). */
-  def run(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+  def run(edges: DataFrame, k: Int, maxIter: Int = 100,
+          driverEdgeLimit: Long = 1L << 18): DataFrame = {
     require(k >= 1, s"k $k")
     val d = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).where(col("src") =!= col("dst"))
@@ -46,6 +47,13 @@ object KCore {
       .union(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     var cnt = e.count()
+    // size-gated driver peel (the PageRank.driverLoop precedent): the
+    // k-core fixpoint is confluent AND this replica peels the same
+    // synchronized rounds, so the surviving edge set — an integer set
+    // fixpoint, no arithmetic at all — is identical (KCoreSpec pins
+    // path parity). Larger graphs run the distributed loop below.
+    if (cnt <= driverEdgeLimit)
+      return driverPeel(e, k, maxIter)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter && cnt > 0) {
@@ -69,4 +77,28 @@ object KCore {
       .select(col("src").as("id"), col("core_deg"))
   }
 
+  /** Driver replica of the synchronized peel over the already-normalized
+    * DIRECTED-both-ways simple edge array: per round keep vertices with
+    * degree ≥ k, keep edges with BOTH endpoints kept, stop when the edge
+    * count is unchanged (or maxIter, matching the distributed bound). */
+  private def driverPeel(e: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var es = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    var iter = 0
+    var converged = es.isEmpty
+    while (!converged && iter < maxIter) {
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (src, _) => deg.update(src, deg.getOrElse(src, 0L) + 1L) }
+      val next = es.filter { case (src, dst) =>
+        deg.getOrElse(src, 0L) >= k && deg.getOrElse(dst, 0L) >= k }
+      converged = next.length == es.length
+      es = next
+      iter += 1
+      if (es.isEmpty) converged = true
+    }
+    val core = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (src, _) => core.update(src, core.getOrElse(src, 0L) + 1L) }
+    core.toSeq.map { case (id, d) => (id, d) }.toDF("id", "core_deg")
+  }
 }

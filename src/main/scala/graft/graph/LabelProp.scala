@@ -38,11 +38,24 @@ object LabelProp {
   /** (id, label) after `iters` synchronous majority rounds over the
     * symmetrized `edges` (src, dst); `nodes` (id) fixes the output domain
     * and the initial labels (label₀ = id). */
-  def run(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, nodes: DataFrame, iters: Int,
+          driverEdgeLimit: Long = 1L << 18): DataFrame = {
     require(iters >= 1, s"iters $iters")
     val d = edges.select(col("src"), col("dst"))
     val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // size-gated driver rounds (the PageRank.driverLoop precedent): the
+    // synchronous majority update with the (count DESC, label ASC) tie
+    // order is pure integer voting — the in-memory replica plays the same
+    // rounds (LabelPropSpec pins path parity); big graphs run below.
+    val longIds = e.schema.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType) &&
+      nodes.schema.head.dataType == org.apache.spark.sql.types.LongType
+    if (longIds && e.count() <= driverEdgeLimit) {
+      val nds = nodes.select(col("id")).localCheckpoint()
+      if (nds.count() <= driverEdgeLimit)
+        return driverRounds(e, nds, iters)
+    }
     var l = nodes.select(col("id"), col("id").cast("long").as("label"))
     for (_ <- 1 to iters) {
       val upd = e.join(l, e("src") === l("id"))
@@ -58,5 +71,43 @@ object LabelProp {
         .localCheckpoint()
     }
     l
+  }
+
+  /** Driver replica of the synchronous rounds: votes(dst)(label) += 1 per
+    * symmetrized edge whose src holds a label (only node-domain ids do —
+    * the join semantics); argmax by (count DESC, label ASC); nodes with no
+    * votes keep their previous label. Multi-edges count multiply (the
+    * edge array is the multiset). */
+  private def driverRounds(e: DataFrame, nds: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val ids = nds.select(col("id")).as[Long].collect()
+    var l = scala.collection.mutable.LongMap.empty[Long]
+    ids.foreach(id => l.update(id, id))
+    for (_ <- 1 to iters) {
+      val votes = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.LongMap[Long]]
+      es.foreach { case (src, dst) =>
+        l.get(src).foreach { lab =>
+          val v = votes.getOrElseUpdate(dst, scala.collection.mutable.LongMap.empty[Long])
+          v.update(lab, v.getOrElse(lab, 0L) + 1L)
+        }
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      ids.foreach { id =>
+        votes.get(id) match {
+          case Some(v) if v.nonEmpty =>
+            var bestLab = Long.MinValue; var bestC = Long.MinValue
+            v.foreach { case (lab, c) =>
+              if (c > bestC || (c == bestC && lab < bestLab)) { bestC = c; bestLab = lab }
+            }
+            next.update(id, bestLab)
+          case _ => next.update(id, l(id))
+        }
+      }
+      l = next
+    }
+    ids.toSeq.map(id => (id, l(id))).toDF("id", "label")
   }
 }

@@ -31,7 +31,8 @@ object TrustRank {
     * rank 0. `seeds` is an (id) relation (duplicates tolerated). */
   def run(edges: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: Int,
           base: Long = 1000000000000L,
-          dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+          dampNum: Long = 17L, dampDen: Long = 20L,
+          driverEdgeLimit: Long = 1L << 18): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampDen > dampNum,
       s"bad damping $dampNum/$dampDen or iters $iters")
     val teleport = base / dampDen * (dampDen - dampNum)
@@ -44,6 +45,15 @@ object TrustRank {
         .withColumn("is_seed", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("s"))
       .localCheckpoint()
+    // size-gated driver loop (the PageRank.driverLoop precedent): the
+    // identical integer recurrence in driver arrays — integer sums are
+    // order-free, so the fold equals the distributed aggregate bit-for-bit
+    // (TrustRankSpec pins path parity). Big graphs run the loop below.
+    val longIds = ed.schema.take(2).forall(_.dataType ==
+        org.apache.spark.sql.types.LongType) &&
+      tagged.schema.head.dataType == org.apache.spark.sql.types.LongType
+    if (longIds && ed.count() <= driverEdgeLimit && tagged.count() <= driverEdgeLimit)
+      return driverLoop(ed, tagged, iters, base, teleport, dampNum, dampDen)
     // the initial ranks are their OWN checkpoint so the per-round
     // dropCheckpoint(prev) never reaches through to `tagged`'s blocks
     // (tagged is re-read every round)
@@ -67,5 +77,42 @@ object TrustRank {
     graft.Lineage.dropCheckpoint(ed)
     graft.Lineage.dropCheckpoint(tagged)
     r
+  }
+
+  /** Driver replica of the distributed recurrence: r₀ = s·base; per round
+    * inflow(dst) += floor((r(src)·dampNum)/(dampDen·outdeg)) per edge row,
+    * r = s·teleport + inflow over the node domain. Ranks are ≥ 0 and
+    * non-seed ranks can be 0 (floor of 0 is 0 on both paths); edges whose
+    * src is outside the node set contribute nothing, dst outside the
+    * domain is dropped — matching the joins. */
+  private def driverLoop(ed: DataFrame, tagged: DataFrame, iters: Int,
+                         base: Long, teleport: Long,
+                         dampNum: Long, dampDen: Long): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    val es = ed.select(col("src"), col("dst"), col("outdeg"))
+      .as[(Long, Long, Long)].collect()
+    val ids = tagged.select(col("id"), col("s")).as[(Long, Long)].collect()
+    var rank = scala.collection.mutable.LongMap.empty[Long]
+    ids.foreach { case (id, s) => rank.update(id, s * base) }
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < es.length) {
+        val (src, dst, outdeg) = es(i)
+        rank.get(src) match {
+          case Some(r) =>
+            val c = (r * dampNum) / (dampDen * outdeg)
+            inflow.update(dst, inflow.getOrElse(dst, 0L) + c)
+          case None =>
+        }
+        i += 1
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      ids.foreach { case (id, s) =>
+        next.update(id, s * teleport + inflow.getOrElse(id, 0L)) }
+      rank = next
+    }
+    ids.toSeq.map { case (id, _) => (id, rank(id)) }.toDF("id", "rank")
   }
 }

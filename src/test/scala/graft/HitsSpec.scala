@@ -34,4 +34,14 @@ class HitsSpec extends SparkSuiteBase {
     assert(run(edges, Seq(1L, 2L, 3L), 1) == Set(
       (1L, 0L, 4L), (2L, 2L, 0L), (3L, 1L, 1L)))
   }
+
+  test("driver fast-path equals the forced distributed loop") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 1L, 1L -> 2L)
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L)
+    val driver = run(edges, nodes, 3)
+    val dist = Hits.run(edges.toDF("src", "dst"), nodes.toDF("id"), 3,
+        driverEdgeLimit = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(driver == dist)
+  }
 }

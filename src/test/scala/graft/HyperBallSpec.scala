@@ -73,4 +73,13 @@ class HyperBallSpec extends SparkSuiteBase {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("driver fast-path equals the forced distributed rounds") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 1L -> 2L)
+    val driver = regs(edges, 2)
+    val dist = HyperBall.registers(edges.toDF("src", "dst"), 2,
+        driverEdgeLimit = 0L)
+      .as[(String, Int, Int)].collect().toSet
+    assert(driver == dist)
+  }
 }

@@ -39,4 +39,13 @@ class KCoreSpec extends SparkSuiteBase {
       5L -> 3L, 5L -> 1L)
     assert(run(edges, 3, parts = 1) == run(edges, 3, parts = 7))
   }
+
+  test("driver fast-path equals the forced distributed peel") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 3L, 2L -> 2L, 3L -> 1L)
+    val driver = run(edges, 2)
+    val dist = KCore.run(edges.toDF("src", "dst"), 2, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
+  }
 }

@@ -53,4 +53,12 @@ class LabelPropSpec extends SparkSuiteBase {
     val edges = Seq(0L -> 1L, 1L -> 1L)
     assert(run(edges, Seq(0L, 1L), 1)(1L) == 1L)
   }
+
+  test("driver fast-path equals the forced distributed rounds") {
+    val driver = run(bridged, 0L to 5L, 3)
+    val dist = LabelProp.run(bridged.toDF("src", "dst"),
+        (0L to 5L).toDF("id"), 3, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
+  }
 }

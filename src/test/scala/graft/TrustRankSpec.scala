@@ -54,4 +54,14 @@ class TrustRankSpec extends SparkSuiteBase {
     assert(run(edges, nodes, Seq(0L, 7L), 3, parts = 1) ==
       run(edges, nodes, Seq(0L, 7L), 3, parts = 9))
   }
+
+  test("driver fast-path equals the forced distributed loop") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 1L -> 2L)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val driver = run(edges, nodes, Seq(1L, 4L), 4)
+    val dist = TrustRank.run(edges.toDF("src", "dst"), nodes.toDF("id"),
+        Seq(1L, 4L).toDF("id"), 4, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
+  }
 }
