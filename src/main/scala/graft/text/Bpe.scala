@@ -45,12 +45,23 @@ object Bpe extends Serializable {
   /** Learn `nMerges` merge rules from a (word, freq) table.
     * @return (merge ledger (step, pair, cnt) — k driver rows, and the
     *         final symbolized vocabulary (word, syms)) */
-  def learn(spark: SparkSession, words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+  def learn(spark: SparkSession, words: DataFrame, nMerges: Int,
+            driverWordLimit: Long = 1L << 18): (DataFrame, DataFrame) = {
     import spark.implicits._
     var cur = words.select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
       .map { case (w, f) => (w, w.map(_.toString): Seq[String], f) }
       .localCheckpoint()
+    // size-gated driver rounds (the graph-family driverLoop precedent):
+    // the merge loop iterates the VOCABULARY table, so when it fits under
+    // `driverWordLimit` rows the k rounds run in driver memory — identical
+    // pair counting (integer sums are order-free), the identical
+    // (cnt DESC, pair ASC) argmax (pairs are ASCII, so Java string order
+    // == the UTF8 binary order Spark sorts by), and the SAME shared
+    // applyMerge scan. Open-web vocabularies beyond the gate run the
+    // distributed rounds below (BpeSpec pins path parity).
+    if (cur.count() <= driverWordLimit)
+      return driverLearn(spark, cur.collect(), nMerges)
     val ledger = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
@@ -75,6 +86,35 @@ object Bpe extends Serializable {
     }
     (ledger.toSeq.toDF("step", "pair", "cnt"),
       cur.map { case (w, syms, _) => (w, syms.mkString(" ")) }.toDF("word", "syms"))
+  }
+
+  /** Driver replica of the merge rounds over a collected vocabulary. */
+  private def driverLearn(spark: SparkSession,
+                          vocab0: Array[(String, Seq[String], Long)],
+                          nMerges: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var vocab = vocab0
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (_, syms, f) =>
+        if (syms.length >= 2)
+          syms.sliding(2).foreach(p =>
+            cnt.update(p(0) + " " + p(1), cnt.getOrElse(p(0) + " " + p(1), 0L) + f))
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val (pair, c) = cnt.minBy { case (p, n) => (-n, p) }
+        ledger += ((step, pair, c))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab.map { case (w, syms, f) => (w, applyMerge(syms, a, b), f) }
+        step += 1
+      }
+    }
+    (ledger.toSeq.toDF("step", "pair", "cnt"),
+      vocab.toSeq.map { case (w, syms, _) => (w, syms.mkString(" ")) }.toDF("word", "syms"))
   }
 
   /** ENCODE a corpus with a learned merge ledger — the inference half of

@@ -54,11 +54,20 @@ object TextRank {
       .localCheckpoint()
     val nodes = toks.select(col("doc"), col("idx")).distinct()
       .select((col("doc") * 4096 + col("idx")).as("id"))
-    val edges = toks.as("a").join(toks.as("b"),
-        col("a.doc") === col("b.doc") && col("a.term") === col("b.term")
-          && col("a.idx") =!= col("b.idx"))
-      .select((col("a.doc") * 4096 + col("a.idx")).as("src"),
-        (col("b.doc") * 4096 + col("b.idx")).as("dst"))
+    // shared-term multi-edges via ONE (doc, term) aggregate + ordered-pair
+    // explode, replacing the toks⋈toks self-join (two sorted join legs →
+    // one exchange): the idx list per (doc, term) is duplicate-free (toks
+    // is distinct), so exploding all ordered pairs i ≠ j emits exactly the
+    // self-join's row multiset. Per-(doc, term) fan-out is bounded by the
+    // sentence cap (≤ MaxSents² pairs), the same bound the join had.
+    val edges = toks.groupBy("doc", "term")
+      .agg(collect_list(col("idx")).as("idxs"))
+      .filter(size(col("idxs")) > 1)
+      .select(col("doc"), explode(expr(
+        "filter(flatten(transform(idxs, a -> transform(idxs, b -> struct(a, b)))), " +
+          "p -> p.a != p.b)")).as("p"))
+      .select((col("doc") * 4096 + col("p.a")).as("src"),
+        (col("doc") * 4096 + col("p.b")).as("dst"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(desc("rank"), asc("sent_idx"))
     graft.graph.PageRank.run(edges, nodes, iters)

@@ -67,4 +67,17 @@ class BpeSpec extends SparkSuiteBase {
     assert(ledger.count() == 0)
     assert(vocab.collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
   }
+
+  test("driver fast-path equals the forced distributed rounds") {
+    import spark.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val (l1, v1) = graft.text.Bpe.learn(spark, words, nMerges = 6)
+    val (l2, v2) = graft.text.Bpe.learn(spark, words, nMerges = 6,
+      driverWordLimit = 0L)
+    assert(l1.as[(Int, String, Long)].collect().toSet ==
+      l2.as[(Int, String, Long)].collect().toSet)
+    assert(v1.as[(String, String)].collect().toSet ==
+      v2.as[(String, String)].collect().toSet)
+  }
 }
