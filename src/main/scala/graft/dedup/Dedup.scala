@@ -138,6 +138,37 @@ object MinHash {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Distinct values of `xs`, ascending — the array form of toSet for
+    * [[jaccardSorted]] (sorted in place; input array is owned). */
+  def distinctSorted(xs: Array[Long]): Array[Long] = {
+    if (xs.length <= 1) return xs
+    java.util.Arrays.sort(xs)
+    var n = 1
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i) != xs(n - 1)) { xs(n) = xs(i); n += 1 }
+      i += 1
+    }
+    if (n == xs.length) xs else java.util.Arrays.copyOf(xs, n)
+  }
+
+  /** [[jaccard]] over PRE-DISTINCTED sorted hash arrays: |a ∩ b| by sorted
+    * merge, |a ∪ b| = |a| + |b| − |a ∩ b| — the identical integer counts
+    * (and therefore the identical Double quotient, bit-for-bit) as the
+    * toSet form, without rebuilding the sets per pair. DedupSpec pins
+    * equality against [[jaccard]]. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Signature-estimated Jaccard. */
   def estJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
     var eq = 0; var i = 0
@@ -219,16 +250,27 @@ object MinHash {
       .select($"p.a".as("id_a"), $"p.b".as("id_b"))
       .distinct()
 
-    // verify with exact shingle Jaccard (join texts back; broadcast-unsafe
-    // at scale, so plain shuffle joins on id)
-    val texts = df.select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+    // verify with exact shingle Jaccard. The attach joins carry each doc's
+    // DISTINCT SORTED shingle-hash array instead of its raw text: a doc in
+    // p pairs previously re-tokenized and re-md5-hashed its full text p
+    // times (once per pair side) inside the pair map — the dominant CPU of
+    // verification, since every md5 is ~an order costlier than the merge
+    // compare that replaces it. Hashing now runs once per doc in a narrow
+    // map; per-pair work is an integer sorted merge with the identical
+    // counts (jaccardSorted ≡ jaccard over sets — DedupSpec pins it).
+    // Shuffle bytes are comparable (8 B/shingle hash vs the text's bytes);
+    // joins stay plain shuffle joins on id (broadcast-unsafe at scale).
+    val shs = df.select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (id, t) => (id, distinctSorted(shingles(t))) })
+      .toDF("id", "sh")
     val verified = pairs
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .select($"id_a", $"id_b", $"text_a", $"text_b")
-      .as[(String, String, String, String)]
-      .map { case (idA, idB, textA, textB) =>
-        (idA, idB, jaccard(shingles(textA), shingles(textB)))
+      .join(shs.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(shs.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .as[(String, String, Array[Long], Array[Long])]
+      .map { case (idA, idB, shA, shB) =>
+        (idA, idB, jaccardSorted(shA, shB))
       }
       .toDF("id_a", "id_b", "jaccard")
       .filter($"jaccard" >= threshold)

@@ -444,14 +444,21 @@ object Bm25 {
   }
 
   private[graft] def scoredAll(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // explicit isnotnull(id) on the SHARED input: the dl join side gets this
     // filter pushed from the equi-join anyway, the tf side does not (a
     // Window blocks the pushdown) — without it the two subtrees canonicalize
     // differently and AQE's stage cache cannot reuse the tokenize exchange.
     // Semantically a no-op (null ids never survive the equi-join).
-    val tf = termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol)
+    scoredAllFromTf(termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol), query)
+  }
+
+  /** [[scoredAll]] from a PRECOMPUTED (doc, term, tf) relation — the same
+    * plan body, split out so multi-pass callers (PRF's feedback pass +
+    * expanded re-score) can tokenize the corpus once, materialize the tf
+    * relation, and feed both passes from it. */
+  private[graft] def scoredAllFromTf(tf: DataFrame, query: String): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     // dl derived from tf (dl == Σ_term tf, definitionally — and identically
     // to the oracle, whose dl also comes from the token relation): ONE
     // tokenize of the corpus instead of two. The (doc,term) aggregate

@@ -35,17 +35,27 @@ object Prf {
     * the BM25 top-k feedback docs. Integer-exact ordering. */
   def expansionTerms(docs: DataFrame, idCol: String, textCol: String,
                      query: String, k: Int, m: Int, minLen: Int = 4,
-                     stop: Seq[String] = Keywords.StopWords): DataFrame = {
+                     stop: Seq[String] = Keywords.StopWords): DataFrame =
+    expansionFromTf(
+      Bm25.termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol),
+      query, k, m, minLen, stop)
+
+  /** [[expansionTerms]] from a precomputed corpus (doc, term, tf) relation.
+    * The feedback docs' per-(doc, term) counts are READ OFF the corpus tf
+    * relation (semi-join on the top-k ids + the term masks) instead of
+    * re-tokenizing their texts — the counts are definitionally the same
+    * aggregate, and the tf subtree is shared with the scoring pass. */
+  private def expansionFromTf(tfAll: DataFrame, query: String, k: Int, m: Int,
+                              minLen: Int, stop: Seq[String]): DataFrame = {
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
-    val fb = Bm25.scores(docs, idCol, textCol, query)
+    val fb = Bm25.scoredAllFromTf(tfAll, query)
+      .select(col("doc"), round(col("score"), 4).as("score"))
       .orderBy(desc("score"), asc("doc")).limit(k)
-    val fbDocs = docs.join(fb.select(col("doc")),
-      col(idCol).cast("string") === col("doc").cast("string"))
-    val toks = fbDocs.select(col("doc"),
-        explode(Bm25.tokensCol(col(textCol))).as("term"))
+    val fbIds = fb.select(col("doc").cast("string").as("__graft_fb_doc"))
+    val tf = tfAll
+      .join(fbIds, tfAll("doc").cast("string") === col("__graft_fb_doc"), "left_semi")
       .filter(length(col("term")) >= minLen &&
         !col("term").isin(stop: _*) && !col("term").isin(qTerms: _*))
-    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     tf.groupBy("term")
       .agg(sum("tf").as("tf_sum"), count(lit(1)).as("df_fb"))
       .orderBy(desc("tf_sum"), desc("df_fb"), asc("term"))
@@ -57,14 +67,23 @@ object Prf {
   }
 
   /** (doc, score): the corpus re-scored with the expanded query — every
-    * matching doc, 4-dp rounded (no top-k boundary). */
+    * matching doc, 4-dp rounded (no top-k boundary).
+    *
+    * The corpus is tokenized ONCE: the (doc, term, tf) relation is
+    * materialized (localCheckpoint) and feeds the feedback pass, the term
+    * mining AND the expanded re-score — previously each of the two scoring
+    * actions re-ran the corpus tokenize+aggregate (separate actions share
+    * no AQE stage cache), the dominant cost of the two-pass algorithm. */
   def search(docs: DataFrame, idCol: String, textCol: String,
              query: String, k: Int, m: Int): DataFrame = {
-    val mined = expansionTerms(docs, idCol, textCol, query, k, m)
+    val tfAll = Bm25.termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol)
+      .localCheckpoint()
+    val mined = expansionFromTf(tfAll, query, k, m, 4, Keywords.StopWords)
       .orderBy("rank").select("term")
       .collect().map(_.getString(0)) // bounded: m rows
     val expanded = (graft.dedup.MinHash.tokenize(query).distinct ++ mined)
       .mkString(" ")
-    Bm25.scores(docs, idCol, textCol, expanded)
+    Bm25.scoredAllFromTf(tfAll, expanded)
+      .select(col("doc"), round(col("score"), 4).as("score"))
   }
 }

@@ -25,9 +25,18 @@ object DedupJob {
           urlCol: String = "url", textCol: String = "text",
           jaccardThreshold: Double = 0.8,
           drops: Option[org.apache.spark.sql.Observation] = None): Result = {
-    // D2: exact content dedup, keep-first by url
+    // D2: exact content dedup, keep-first by url. Materialized ONCE
+    // (localCheckpoint): the annotated relation feeds ≥3 separate actions —
+    // the near-dup candidate/verify lineage (via exactClean), the caller's
+    // dropped-lineage write (via exactDropped) and every consumer of
+    // `clean` (IndexJob.build runs 3 write jobs over it) — and each action
+    // re-ran the sha256 + keep-first window over the full corpus without
+    // it (guide §5: persist exactly when reused AND expensive to recompute;
+    // the 100-TB analog is snapshotting the hashed/annotated corpus table
+    // once instead of re-shuffling it per downstream stage).
     val hashed = docs.withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
     val annotated = ExactDedup.annotate(hashed, col("content_hash"), col(urlCol))
+      .localCheckpoint()
     val exactClean = annotated.filter(!col("is_duplicate"))
       .drop("is_duplicate", "duplicate_of", "content_hash")
     val exactDropped = annotated.filter(col("is_duplicate"))

@@ -71,11 +71,18 @@ object IndexJob {
     // for tokenize-class per-row cost. Width is cluster-derived
     // (defaultParallelism), keyed on the high-cardinality doc id.
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // materialized ONCE (localCheckpoint): the deduped segment relation
+    // feeds 2-4 SEPARATE write actions (postings, doclen+dochash, facets,
+    // positions) and each re-ran the upstream scan + repartition + dedup
+    // window without it — separate actions share no AQE stage cache
+    // (guide §5; the 100-TB analog is staging the deduped segment once
+    // before fanning out its channel writes).
     val docs = projected
       .repartition(parts, col("doc"))
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
+      .localCheckpoint()
     val idx = Bm25.build(docs, "doc", "text")
     val lake = new LakeTable(indexRoot)
     val v = lake.currentVersion + 1

@@ -101,11 +101,15 @@ object PipelineJob {
         val ilake = new LakeTable(indexRoot)
         val (nTomb, nAdd) =
           if (ilake.currentVersion == 0) {
-            // first build: whole corpus as one segment, compacted to one
+            // first build: whole corpus as ONE segment — already the
+            // single-live-segment state compaction exists to restore, so
+            // compacting here would be an identity rewrite of every table
+            // (no overlap to merge, no tombstones to purge; search equality
+            // single-segment vs compacted is IndexExprSpec's invariant).
+            // Callers appending further segments compact on their own
+            // schedule, as the spec suite does.
             phase("index-build")
             IndexJob.build(spark, clean, indexRoot, facetCols = Seq("host"))
-            phase("index-compact")
-            IndexJob.compact(spark, indexRoot)
             (0L, -1L) // -1 = full build (appended count not tracked)
           } else { phase("index-sync"); incrementalSync(spark, clean, indexRoot) }
 

@@ -41,18 +41,21 @@ object TextRank {
       .select(col(idCol).cast("long").as("doc"),
         posexplode(split(col(textCol), SentSplit)).as(Seq("idx", "sent")))
       .filter(col("idx") < MaxSents)
-    // materialized ONCE (localCheckpoint): three consumers — the two edge
-    // self-join legs and the node set — live in SEPARATE jobs (PageRank
-    // checkpoints its edge and node relations eagerly), so without a
-    // checkpoint the tokenize+distinct subtree re-runs per consumer.
-    // Doc-token-sized (one row per distinct (doc, idx, term)) — the same
-    // materialization class as Bm25F's flen relation.
+    // single consumer (the edge aggregate) since the pair-explode rewrite
+    // replaced the toks⋈toks self-join — no checkpoint needed: the
+    // tokenize+distinct subtree runs exactly once, inside PageRank's edge
+    // checkpoint job.
     val toks = sents
       .select(col("doc"), col("idx"),
         explode(graft.index.Bm25.tokensCol(col("sent"))).as("term"))
       .distinct()
-      .localCheckpoint()
-    val nodes = toks.select(col("doc"), col("idx")).distinct()
+    // node set derived NARROWLY from sents — (doc, idx) is unique there by
+    // construction (posexplode of one split per doc), so "has ≥1 distinct
+    // token" ≡ "tokensCol(sent) is non-empty": the same set the previous
+    // toks.select(doc, idx).distinct() produced, with a size() filter per
+    // row instead of a full shuffle of the token relation.
+    val nodes = sents
+      .filter(size(graft.index.Bm25.tokensCol(col("sent"))) > 0)
       .select((col("doc") * 4096 + col("idx")).as("id"))
     // shared-term multi-edges via ONE (doc, term) aggregate + ordered-pair
     // explode, replacing the toks⋈toks self-join (two sorted join legs →

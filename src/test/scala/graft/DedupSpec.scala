@@ -86,6 +86,26 @@ class DedupSpec extends SparkSuiteBase {
       "e" -> ""))
   }
 
+  test("jaccardSorted over distinctSorted arrays == jaccard (bit-for-bit)") {
+    // the verify path's precomputed-array form must reproduce the toSet
+    // form exactly — same intersection/union integers, same Double quotient
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong - 10)
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(20).toLong - 10)
+      val expect = MinHash.jaccard(a, b)
+      val got = MinHash.jaccardSorted(
+        MinHash.distinctSorted(a.clone()), MinHash.distinctSorted(b.clone()))
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(expect), s"${a.toSeq} vs ${b.toSeq}")
+    }
+    // corner cases: both empty (1.0), one empty (0.0), negative-range hashes
+    assert(MinHash.jaccardSorted(Array.empty, Array.empty) == 1.0)
+    assert(MinHash.jaccardSorted(MinHash.distinctSorted(Array(Long.MinValue, Long.MaxValue)),
+      Array.empty) == 0.0)
+    assert(MinHash.distinctSorted(Array(3L, 1L, 3L, 2L, 1L)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("repetition ratios: closed-form corner cases") {
     import graft.text.TextAnalysis.repetitionRatios
     assert(repetitionRatios("") == ((0.0, 0.0, 0.0)))
