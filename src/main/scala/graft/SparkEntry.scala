@@ -2489,7 +2489,10 @@ object SparkEntry {
       import s.implicits._
       implicit val sp: SparkSession = s
       val root = scratchDir("graft-stream-")
+      // rendered once: the pages dataset is scanned by the write AND the
+      // batch-parity branch below — regeneration is row-pure but not free
       val pages = s.range(400).repartition(8).map(i => PageGen.row(42L, i))
+        .localCheckpoint()
       pages.write.parquet(s"$root/pages")
       def drain(): Unit = {
         val src = s.readStream.schema(pages.schema).parquet(s"$root/pages").as[PageRow]
@@ -2501,6 +2504,9 @@ object SparkEntry {
       val afterFirst = s.read.parquet(s"$root/out").count()
       drain() // same checkpoint: source offsets say nothing is new
       val sIds = s.read.parquet(s"$root/out").select(col("id"))
+      // batch-side extraction materialized ONCE: three separate actions
+      // below (bN, bD, the parity join) each re-ran the full extract+chunk
+      // pipeline over the pages without it
       val bIds = pages
         .mapPartitions(_.map(p => Extract.extractOne(p.url, p.html)))
         .flatMap(d =>
@@ -2508,6 +2514,7 @@ object SparkEntry {
             Chunker.chunkDocument(d.url, Hashing.sha256Hex(d.text), d.text)
           else Nil)
         .toDF().select(col("id"))
+        .localCheckpoint()
       val (sN, bN) = (sIds.count(), bIds.count())
       val (sD, bD) = (sIds.distinct().count(), bIds.distinct().count())
       val m = sIds.distinct().join(bIds.distinct(), Seq("id"), "inner").count()

@@ -52,6 +52,13 @@ object Containment {
     import spark.implicits._
     require(tau > 0 && tau <= 1, s"tau $tau")
     require(maxDf >= 2, s"maxDf $maxDf — pairs need df >= 2")
+    // materialized ONCE (localCheckpoint): the shingle relation is consumed
+    // by its own df aggregate AND the kept join (plus the optional drop
+    // ledger), and the consumers prune it differently — without a
+    // materialization the flatMap (and whatever harness lineage feeds it)
+    // re-runs per consumer (the per-branch-pruning fork). One row per
+    // distinct (doc, shingle) — token-stream-class, the same size the
+    // pair join shuffles anyway.
     val sh = docs
       .select(col(idCol).cast("string").as("id"),
         coalesce(col(textCol).cast("string"), lit("")).as("text"))
@@ -62,6 +69,7 @@ object Containment {
         val n = set.size
         set.iterator.map(h => (id, h, n))
       }.toDF("id", "h", "n")
+      .localCheckpoint()
     val dfc = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // The drop ledger fires as its OWN bounded action (the DedupJob
     // discipline): drops > 0 does NOT force surviving pairs here, so if the

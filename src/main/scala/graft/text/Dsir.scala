@@ -77,9 +77,16 @@ object Dsir {
     * construction. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
           buckets: Int, alpha: Double = 0.5): DataFrame = {
+    // each count table is consumed TWICE (the bucket join + its own total
+    // aggregate) and the two consumers prune differently, so without a
+    // materialization the corpus-wide gram explode+hash re-runs per
+    // consumer (the per-branch-pruning fork). The AGGREGATED table is
+    // ≤`buckets` rows — checkpointing it costs nothing and pins the
+    // explode to exactly one run per corpus.
     def counts(df: DataFrame, name: String) =
       gramBuckets(df.withColumn("__id", lit("_")), "__id", textCol, buckets)
         .groupBy("bucket").agg(count(lit(1)).cast("double").as(name))
+        .localCheckpoint()
     val tc = counts(target, "nt")
     val rc = counts(raw, "nr")
     val denom = lit(alpha) * buckets
