@@ -73,11 +73,31 @@ object Kmeans {
 
   /** The Lloyd loop over an ALREADY-quantized `(id BIGINT, p ARRAY<BIGINT>)`
     * relation — the entry [[Pq]] uses to train one codebook per sub-vector
-    * slice without re-quantizing. Semantics identical to [[train]]. */
-  def trainQuantized(quantized: DataFrame,
-                     k: Int, iters: Int): (Array[Array[Long]], DataFrame) = {
-    val pts = quantized.persist()
+    * slice without re-quantizing. Semantics identical to [[train]].
+    *
+    * SIZE-GATED driver loop (the PageRank/HyperBall precedent): the
+    * distributed loop costs 1 + `iters` scheduled collect jobs, each
+    * re-scanning the corpus — pure fixed overhead once the point set is
+    * small. At or under `driverPointLimit` rows (default 2^16 ·
+    * dim-64 longs ≈ 33 MB — far from driver-heap pressure) the points
+    * collect ONCE and the identical integer recurrence runs in arrays:
+    * integer sums are order-free, the argmin tie rule (first minimal
+    * index) matches `array_position`'s first-occurrence semantics, and
+    * the truncating division of non-negative sums is the same — so both
+    * paths produce bit-equal centroids and assignments (KmeansSpec pins
+    * path parity). Larger point sets run the distributed loop
+    * unchanged. */
+  def trainQuantized(quantized: DataFrame, k: Int, iters: Int,
+                     driverPointLimit: Long = 1L << 16): (Array[Array[Long]], DataFrame) = {
+    // cache ownership: only persist (and later unpersist) when the CALLER
+    // hasn't — unpersisting a caller-cached input here silently dropped
+    // its cache mid-job (IvfPq re-derived residuals from a fresh scan
+    // after coarse training for exactly this reason)
+    val wasCached =
+      quantized.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pts = if (wasCached) quantized else quantized.persist()
     try {
+      if (pts.count() <= driverPointLimit) return driverLloyd(pts, k, iters)
       // init: the k smallest-id vectors, centroid index = id rank
       var cents: Array[Array[Long]] = pts.orderBy("id").limit(k).collect()
         .map(_.getSeq[Long](1).toArray)
@@ -97,7 +117,63 @@ object Kmeans {
         cents = next
       }
       (cents, assign(pts, cents).select("id", "cluster", "dist"))
-    } finally pts.unpersist()
+    } finally if (!wasCached) pts.unpersist()
+  }
+
+  /** The exact integer Lloyd recurrence in driver arrays — see
+    * [[trainQuantized]]'s gate comment for the bit-parity argument. The
+    * returned assignment relation is driver-built (LocalRelation), which
+    * downstream consumers aggregate/join exactly like the distributed
+    * form. */
+  private def driverLloyd(pts: DataFrame, k: Int,
+                          iters: Int): (Array[Array[Long]], DataFrame) = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val rows: Array[(Long, Array[Long])] =
+      pts.select(col("id"), col("p")).as[(Long, Array[Long])].collect()
+    val byId = rows.sortBy(_._1)
+    var cents = byId.take(k).map(_._2.clone())
+    require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
+    val dim = cents(0).length
+    // argmin over the current centroids: (first minimal index, distance)
+    def nearest(p: Array[Long], cs: Array[Array[Long]]): (Int, Long) = {
+      var bestC = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val ct = cs(c)
+        var d = 0L; var i = 0
+        while (i < dim) { val x = p(i) - ct(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; bestC = c } // strict <: ties keep first
+        c += 1
+      }
+      (bestC, bestD)
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val cnts = new Array[Long](k)
+      rows.foreach { case (_, p) =>
+        val (c, _) = nearest(p, cents)
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+        cnts(c) += 1L
+      }
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0L) {
+          var i = 0
+          while (i < dim) { next(c)(i) = sums(c)(i) / cnts(c); i += 1 }
+        }
+        c += 1
+      }
+      cents = next
+    }
+    val fc = cents
+    val out = rows.toSeq.map { case (id, p) =>
+      val (c, d) = nearest(p, fc)
+      (id, c, d)
+    }.toDF("id", "cluster", "dist")
+    (cents, out)
   }
 
   /** Assignment-only entry: (id, cluster, dist) after `iters` rounds. */

@@ -73,7 +73,13 @@ object NaiveBayes {
     val tf = test.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"), explode(graft.index.Bm25.tokensCol(col(textCol))).as("term"))
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(grid), "term")
+    // NO broadcast hint on the grid: it is vocab × classes — bounded only
+    // when the caller bounds the vocabulary (top-V induction), and a
+    // forced broadcast of an open-web vocabulary is an unbounded
+    // driver/executor allocation (guide §5). The planner still broadcasts
+    // automatically whenever the grid is under the threshold (every gate
+    // corpus), and AQE picks the join side at runtime otherwise.
+    tf.join(grid, "term")
       .groupBy("doc", "class")
       .agg(sum(col("tf").cast("double") * col("ln_theta")).as("ll"))
       .join(broadcast(priors), "class")

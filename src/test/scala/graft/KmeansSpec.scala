@@ -70,6 +70,16 @@ class KmeansSpec extends SparkSuiteBase {
     assert(got == reference(data, k = 4, iters = 3))
   }
 
+  test("size-gated driver loop == distributed loop (centroids and assignments bit-equal)") {
+    val data = (0 until 60).map(i => (i.toLong, vec(4000L + i)))
+    val q = Kmeans.quantize(data.toDF("id", "vec").repartition(5), "id", "vec", Dim)
+    val (cd, ad) = Kmeans.trainQuantized(q, 4, 3) // 60 rows: gate fires
+    val (cx, ax) = Kmeans.trainQuantized(q, 4, 3, driverPointLimit = 0L) // forced distributed
+    assert(cd.map(_.toSeq).toSeq == cx.map(_.toSeq).toSeq)
+    assert(ad.as[(Long, Int, Long)].collect().sortBy(_._1).toSeq ==
+      ax.as[(Long, Int, Long)].collect().sortBy(_._1).toSeq)
+  }
+
   test("well-separated blobs recover their generating partition") {
     // 3 tight blobs offset by large constants; k=3, ids interleaved so the
     // init centroids (ids 0,1,2) land one per blob.
