@@ -29,6 +29,11 @@ object ImageHash {
     * than 8 px leave the unreachable cells empty (bit 0). Exact for
     * rasters up to ~10^9 pixels (cellSum·total fits a Long). */
   def aHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    // loud contract at the decode boundary: a raster whose length
+    // disagrees with w·h would index cells past 63 (or silently mis-bin)
+    // — fail the row's task rather than emit a wrong fingerprint
+    require(px.length == w.toLong * h,
+      s"aHash64: raster length ${px.length} != ${w}x$h")
     val cs = new Array[Long](64)
     val cc = new Array[Long](64)
     var p = 0
