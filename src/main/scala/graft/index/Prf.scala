@@ -35,16 +35,28 @@ object Prf {
     * the BM25 top-k feedback docs. Integer-exact ordering. */
   def expansionTerms(docs: DataFrame, idCol: String, textCol: String,
                      query: String, k: Int, m: Int, minLen: Int = 4,
-                     stop: Seq[String] = Keywords.StopWords): DataFrame =
-    expansionFromTf(
-      Bm25.termFreq(docs.filter(col(idCol).isNotNull), idCol, textCol),
-      query, k, m, minLen, stop)
+                     stop: Seq[String] = Keywords.StopWords): DataFrame = {
+    // standalone entry (q_prf_terms): mine from the k feedback docs'
+    // TEXTS directly — a narrow tokenize of k docs, cheaper than deriving
+    // their counts off a corpus-wide tf relation when no materialized tf
+    // exists to share (search() below has one, and uses expansionFromTf)
+    val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
+    val fb = Bm25.scores(docs, idCol, textCol, query)
+      .orderBy(desc("score"), asc("doc")).limit(k)
+    val fbDocs = docs.join(fb.select(col("doc")),
+      col(idCol).cast("string") === col("doc").cast("string"))
+    val toks = fbDocs.select(col("doc"),
+        explode(Bm25.tokensCol(col(textCol))).as("term"))
+      .filter(length(col("term")) >= minLen &&
+        !col("term").isin(stop: _*) && !col("term").isin(qTerms: _*))
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    rankTerms(tf, m)
+  }
 
-  /** [[expansionTerms]] from a precomputed corpus (doc, term, tf) relation.
-    * The feedback docs' per-(doc, term) counts are READ OFF the corpus tf
-    * relation (semi-join on the top-k ids + the term masks) instead of
-    * re-tokenizing their texts — the counts are definitionally the same
-    * aggregate, and the tf subtree is shared with the scoring pass. */
+  /** [[expansionTerms]] from a PRE-MATERIALIZED corpus (doc, term, tf)
+    * relation (search()'s checkpointed tf): the feedback docs' counts are
+    * read off it (semi-join on the top-k ids + the term masks) instead of
+    * re-tokenizing their texts — definitionally the same aggregate. */
   private def expansionFromTf(tfAll: DataFrame, query: String, k: Int, m: Int,
                               minLen: Int, stop: Seq[String]): DataFrame = {
     val qTerms = graft.dedup.MinHash.tokenize(query).distinct.toSeq
@@ -56,6 +68,12 @@ object Prf {
       .join(fbIds, tfAll("doc").cast("string") === col("__graft_fb_doc"), "left_semi")
       .filter(length(col("term")) >= minLen &&
         !col("term").isin(stop: _*) && !col("term").isin(qTerms: _*))
+    rankTerms(tf, m)
+  }
+
+  /** The integer-exact (tf_sum DESC, df_fb DESC, term) rank over a masked
+    * feedback (doc, term, tf) relation — shared by both mining entries. */
+  private def rankTerms(tf: DataFrame, m: Int): DataFrame =
     tf.groupBy("term")
       .agg(sum("tf").as("tf_sum"), count(lit(1)).as("df_fb"))
       .orderBy(desc("tf_sum"), desc("df_fb"), asc("term"))
@@ -64,7 +82,6 @@ object Prf {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("tf_sum"), desc("df_fb"), asc("term"))))
       .select("rank", "term", "tf_sum", "df_fb")
-  }
 
   /** (doc, score): the corpus re-scored with the expanded query — every
     * matching doc, 4-dp rounded (no top-k boundary).

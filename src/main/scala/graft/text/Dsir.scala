@@ -79,16 +79,19 @@ object Dsir {
           buckets: Int, alpha: Double = 0.5): DataFrame = {
     // each count table is consumed TWICE (the bucket join + its own total
     // aggregate) and the two consumers prune differently, so without a
-    // materialization the corpus-wide gram explode+hash re-runs per
-    // consumer (the per-branch-pruning fork). The AGGREGATED table is
-    // ≤`buckets` rows — checkpointing it costs nothing and pins the
-    // explode to exactly one run per corpus.
+    // materialization the gram explode+hash re-runs per consumer (the
+    // per-branch-pruning fork — plan-audited: 5 corpus scans in the final
+    // plan). The RAW side is the full corpus, so its ≤`buckets`-row
+    // aggregate is checkpointed (one corpus explode instead of two; the
+    // table is tiny, the explode is the operator's dominant scan). The
+    // TARGET side is the domain sample — small by the DSIR setting — and
+    // stays inline: its duplicated explode costs less than serializing a
+    // third eager job before the scoring action.
     def counts(df: DataFrame, name: String) =
       gramBuckets(df.withColumn("__id", lit("_")), "__id", textCol, buckets)
         .groupBy("bucket").agg(count(lit(1)).cast("double").as(name))
-        .localCheckpoint()
     val tc = counts(target, "nt")
-    val rc = counts(raw, "nr")
+    val rc = counts(raw, "nr").localCheckpoint()
     val denom = lit(alpha) * buckets
     val tTot = tc.agg(sum("nt").as("t_total"))
     val rTot = rc.agg(sum("nr").as("r_total"))
